@@ -1,0 +1,116 @@
+"""Per-dialect envelope → op-record decoding (the analog of the
+reference's translator family, re-expressed as batch kernels).
+
+Dialect semantics (operation taxonomy, image selection, skip/dead-letter
+rules) mirror the reference translators:
+
+- Debezium/DMS-style: operation dispatch load/insert/update/delete +
+  create-table/drop-table control records (reference
+  transform/aws_dms.py:146-166), invalid shape → dead letter (the
+  reference raises MessageFormatError, transform/aws_dms.py:36-55).
+- MySQL-binlog-style: write/update/delete rows; housekeeping ops
+  (rotate/heartbeat) are skipped silently, mirroring MongoDB
+  drop/invalidate → None (reference transform/mongodb.py:337-343).
+- DynamoDB-Streams-style: eventSource guard, INSERT/MODIFY read
+  ``NewImage``, REMOVE reads ``Keys`` (reference
+  transform/dynamodb.py:173-224); descriptor decode incl. varied-list →
+  aux routing via :mod:`commons_codec_ray.decode.dynamodb_types`.
+
+Each decoder takes the parsed payload dict and returns a list of op
+tuples ``(op_code, record_dict, aux_dict)``; unknown operations raise
+``UnknownOperationError`` which the batch stage converts to a dead-letter
+row (OP_DEAD) instead of failing the task.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from commons_codec_ray.decode import dynamodb_types
+from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA, OP_UPSERT
+
+
+class UnknownOperationError(ValueError):
+    pass
+
+
+class MessageFormatError(ValueError):
+    pass
+
+
+OpTuple = tuple[int, dict[str, Any], dict[str, Any]]
+
+
+def decode_debezium(payload: dict) -> list[OpTuple]:
+    meta = payload.get("metadata")
+    if not isinstance(meta, dict):
+        raise MessageFormatError("missing metadata")
+    operation = meta.get("operation")
+    if meta.get("record-type") == "control":
+        if operation in ("create-table", "drop-table"):
+            control = payload.get("control", {})
+            return [(OP_SCHEMA, {}, {"operation": operation, "control": control, "table": meta.get("table-name")})]
+        raise UnknownOperationError(f"unknown control operation: {operation!r}")
+    data = payload.get("data")
+    if not isinstance(data, dict):
+        raise MessageFormatError("missing data")
+    if operation in ("load", "insert", "update"):
+        return [(OP_UPSERT, data, {})]
+    if operation == "delete":
+        # delete events carry key fields + nulls for the rest
+        return [(OP_DELETE, data, {})]
+    raise UnknownOperationError(f"unknown operation: {operation!r}")
+
+
+def decode_binlog(payload: dict) -> list[OpTuple]:
+    op = payload.get("op")
+    if op in ("rotate", "heartbeat"):
+        return []  # housekeeping → skip
+    rows = payload.get("rows")
+    if not isinstance(rows, list):
+        raise MessageFormatError("missing rows")
+    out: list[OpTuple] = []
+    if op in ("write_rows", "update_rows"):
+        for r in rows:
+            after = r.get("after")
+            if not isinstance(after, dict):
+                raise MessageFormatError("row without after-image")
+            out.append((OP_UPSERT, after, {}))
+        return out
+    if op == "delete_rows":
+        for r in rows:
+            before = r.get("before")
+            if not isinstance(before, dict):
+                raise MessageFormatError("row without before-image")
+            out.append((OP_DELETE, before, {}))
+        return out
+    raise UnknownOperationError(f"unknown binlog op: {op!r}")
+
+
+def decode_ddbstream(payload: dict) -> list[OpTuple]:
+    if payload.get("eventSource") != "aws:dynamodb":
+        raise MessageFormatError(f"unknown eventSource: {payload.get('eventSource')!r}")
+    name = payload.get("eventName")
+    ddb = payload.get("dynamodb")
+    if not isinstance(ddb, dict):
+        raise MessageFormatError("missing dynamodb body")
+    # image selection: NewImage for INSERT/MODIFY, Keys for REMOVE
+    if name in ("INSERT", "MODIFY"):
+        image = ddb.get("NewImage")
+        op = OP_UPSERT
+    elif name == "REMOVE":
+        image = ddb.get("Keys")
+        op = OP_DELETE
+    else:
+        raise UnknownOperationError(f"unknown eventName: {name!r}")
+    if not isinstance(image, dict):
+        raise MessageFormatError("missing image")
+    typed, varied = dynamodb_types.deserialize_image(image)
+    return [(op, typed, varied)]
+
+
+DECODERS = {
+    "debezium": decode_debezium,
+    "binlog": decode_binlog,
+    "ddbstream": decode_ddbstream,
+}

@@ -1,0 +1,76 @@
+"""DynamoDB attribute-descriptor deserialization (fresh implementation).
+
+Semantics match the reference's sink-flavored deserializer
+(``CrateDBTypeDeserializer``, reference transform/dynamodb.py:28-68, over
+the vendored boto3 deserializer vendor/boto3/dynamodb/types.py:82-144):
+
+- ``S`` → str, ``BOOL`` → bool, ``NULL`` → None, ``B`` → bytes passthrough
+- ``N`` → float (the reference coerces Decimal → float for the sink)
+- ``SS``/``NS``/``BS`` sets → lists (NS elements → float)
+- ``M`` → dict (recursive)
+- ``L`` → list (recursive); a list whose inner descriptor TYPE MARKERS
+  differ is tagged "varied" so the caller routes it to the untyped/aux
+  bucket instead of a typed column (reference transform/dynamodb.py:44-68
+  + model.py:171-172).
+
+Returns ``(value, varied)`` where ``varied`` is only ever True for lists.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_MARKERS = frozenset({"S", "N", "B", "BOOL", "NULL", "M", "L", "SS", "NS", "BS"})
+
+
+class UnknownDescriptorError(ValueError):
+    pass
+
+
+def deserialize(descriptor: dict) -> tuple[Any, bool]:
+    if not isinstance(descriptor, dict) or len(descriptor) != 1:
+        raise UnknownDescriptorError(f"not a type descriptor: {descriptor!r}")
+    marker, value = next(iter(descriptor.items()))
+    if marker == "S":
+        return value, False
+    if marker == "N":
+        return float(value), False
+    if marker == "BOOL":
+        return bool(value), False
+    if marker == "NULL":
+        return None, False
+    if marker == "B":
+        return value, False  # passthrough (already bytes/base64 str)
+    if marker == "SS":
+        return list(value), False
+    if marker == "NS":
+        return [float(v) for v in value], False
+    if marker == "BS":
+        return list(value), False
+    if marker == "M":
+        return {k: deserialize(v)[0] for k, v in value.items()}, False
+    if marker == "L":
+        inner_markers = set()
+        out = []
+        for item in value:
+            if isinstance(item, dict) and len(item) == 1:
+                inner_markers.add(next(iter(item.keys())))
+            out.append(deserialize(item)[0])
+        # heterogeneous inner type markers → "varied" list → aux routing
+        varied = len(inner_markers) > 1
+        return out, varied
+    raise UnknownDescriptorError(f"unknown DynamoDB type marker: {marker!r}")
+
+
+def deserialize_image(image: dict) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Deserialize a full Keys/NewImage dict.
+
+    Returns (typed, varied) dicts: ``varied`` holds attributes whose
+    value was a mixed-type list (→ aux bucket downstream).
+    """
+    typed: dict[str, Any] = {}
+    varied: dict[str, Any] = {}
+    for name, desc in image.items():
+        value, is_varied = deserialize(desc)
+        (varied if is_varied else typed)[name] = value
+    return typed, varied

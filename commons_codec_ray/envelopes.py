@@ -1,0 +1,221 @@
+"""Deterministic CDC-envelope synthesis from the driver's `events` table.
+
+The sandbox provides a deterministic `events.parquet`
+(event_id, ts, user_id, event_type, value, props). We derive the CDC
+change stream from it with a PURE, SQL-expressible mapping so the DuckDB
+oracle can compute the expected final lake state independently:
+
+    conv_id  = 'c-' || user_id
+    turn_idx = event_id % 40                       (int32)
+    op       = DELETE if event_id % 10 == 7 else UPSERT
+    role     = event_type
+    text     = props            (opaque string payload)
+    tool     = 'search' if value >= 50 else NULL
+    ts       = ts
+    lsn      = event_id         (monotone log sequence number)
+
+Each logical op is then *encoded* into one of three envelope dialects
+(chosen by ``event_id % 3``) and later decoded back by the engine's
+decoders — a lossless round trip, so correctness of decode+apply is
+verifiable against the SQL oracle that skips the envelope hop.
+
+Dialect shapes follow the reference's test corpora (see FIXTURES.md §3):
+  - DynamoDB-Streams-style: eventSource/eventName/dynamodb{Keys,NewImage}
+    with type descriptors (reference transform/dynamodb.py:173-224,
+    tests/transform/test_dynamodb_cdc.py:21-180)
+  - Debezium/DMS-style: data/metadata{operation,...}
+    (reference transform/aws_dms.py:447-452, tests/transform/test_aws_dms_universal.py:77-160)
+  - MySQL-binlog-style: op/table/rows[{before,after}]
+    (op taxonomy per reference transform/mongodb.py:304-348)
+
+Duplicate deliveries (same lsn re-sent, ``event_id % 13 == 3``) simulate
+Lambda retry storms — the reference handles these with
+``ON CONFLICT DO NOTHING`` (transform/dynamodb.py:186-195, CHANGES.md);
+our engine dedups them in LWW apply. Optional corruption
+(``event_id % 97 == 13``) produces undecodable envelopes for the
+dead-letter path (reference raises ValueError,
+transform/dynamodb.py:180-214).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+DIALECTS = ("debezium", "binlog", "ddbstream")
+
+# Logical-op intermediate produced by the mapping above.
+_UPSERT = "upsert"
+_DELETE = "delete"
+
+
+def logical_ops_from_events(batch: pa.Table) -> dict[str, np.ndarray]:
+    """events columns → logical op columns (all numpy / object arrays)."""
+    event_id = batch["event_id"].to_numpy(zero_copy_only=False)
+    user_id = batch["user_id"].to_numpy(zero_copy_only=False)
+    event_type = batch["event_type"].to_numpy(zero_copy_only=False)
+    value = batch["value"].to_numpy(zero_copy_only=False)
+    props = batch["props"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # µs since epoch
+
+    conv_id = np.char.add("c-", user_id.astype(str))
+    turn_idx = (event_id % 40).astype(np.int32)
+    is_delete = (event_id % 10) == 7
+    tool = np.where(value >= 50, "search", None)
+    return {
+        "conv_id": conv_id.astype(object),
+        "turn_idx": turn_idx,
+        "is_delete": is_delete,
+        "role": event_type,
+        "text": props,
+        "tool": tool,
+        "ts_us": ts,
+        "lsn": event_id.astype(np.int64),
+    }
+
+
+def _iso_strings(ts_us: np.ndarray) -> np.ndarray:
+    return np.datetime_as_string(ts_us.astype("datetime64[us]"), unit="us")
+
+
+def encode_debezium(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    if is_del:
+        data = {"conv_id": conv_id, "turn_idx": int(turn_idx), "role": None,
+                "text": None, "tool": None, "ts": None}
+        op = "delete"
+    else:
+        data = {"conv_id": conv_id, "turn_idx": int(turn_idx), "role": role,
+                "text": text, "tool": tool, "ts": ts_iso}
+        op = "update" if lsn % 2 else "insert"  # both map to UPSERT (full image)
+    return json.dumps(
+        {
+            "data": data,
+            "before-image": {},
+            "metadata": {
+                "operation": op,
+                "schema-name": "public",
+                "table-name": "transcripts",
+                "commit-timestamp": ts_iso,
+                "stream-position": f"{lsn:016x}",
+                "transaction-id": int(lsn),
+                "record-type": "data",
+            },
+        },
+        separators=(",", ":"),
+    )
+
+
+def encode_binlog(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    key = {"conv_id": conv_id, "turn_idx": int(turn_idx)}
+    if is_del:
+        body = {"op": "delete_rows", "rows": [{"before": key, "after": None}]}
+    else:
+        after = dict(key, role=role, text=text, tool=tool, ts=ts_iso)
+        op = "update_rows" if lsn % 2 else "write_rows"
+        body = {"op": op, "rows": [{"before": None, "after": after}]}
+    body.update(
+        {
+            "table": {"schema": "public", "name": "transcripts"},
+            "log_pos": int(lsn),
+            "server_id": 1,
+        }
+    )
+    return json.dumps(body, separators=(",", ":"))
+
+
+def encode_ddbstream(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    keys = {"conv_id": {"S": conv_id}, "turn_idx": {"N": str(int(turn_idx))}}
+    ddb: dict = {"Keys": keys, "ApproximateCreationDateTime": int(lsn)}
+    if is_del:
+        name = "REMOVE"
+    else:
+        img = dict(keys)
+        img["role"] = {"S": role}
+        img["text"] = {"S": text}
+        img["tool"] = {"NULL": True} if tool is None else {"S": tool}
+        img["ts"] = {"S": ts_iso}
+        ddb["NewImage"] = img
+        name = "MODIFY" if lsn % 2 else "INSERT"
+    return json.dumps(
+        {"eventSource": "aws:dynamodb", "eventName": name, "dynamodb": ddb},
+        separators=(",", ":"),
+    )
+
+
+_ENCODERS = {"debezium": encode_debezium, "binlog": encode_binlog, "ddbstream": encode_ddbstream}
+
+
+class EventsToEnvelopes:
+    """map_batches stage: events rows → CDC envelope rows.
+
+    Output columns: lsn:int64, source_offset:int64, dialect:string,
+    payload:string(JSON), conv_id:string (promoted for partitioning
+    without a full decode).
+
+    Options
+    -------
+    dialect: fix one dialect, or None → ``event_id % 3`` round-robin.
+    duplicate_rate: re-emit rows with ``event_id % 13 == 3`` (same lsn,
+        same payload) to exercise idempotent apply.
+    corrupt: replace payloads where ``event_id % 97 == 13`` with
+        malformed JSON (dead-letter path).
+    """
+
+    def __init__(self, dialect: str | None = None, duplicates: bool = True, corrupt: bool = False):
+        self.dialect = dialect
+        self.duplicates = duplicates
+        self.corrupt = corrupt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ops = logical_ops_from_events(batch)
+        lsn = ops["lsn"]
+        n = len(lsn)
+        ts_iso = _iso_strings(ops["ts_us"])
+        if self.dialect is None:
+            dialect_idx = (lsn % 3).astype(np.int64)
+        else:
+            dialect_idx = np.full(n, DIALECTS.index(self.dialect), dtype=np.int64)
+        corrupt_mask = ((lsn % 97) == 13) if self.corrupt else np.zeros(n, dtype=bool)
+
+        conv = ops["conv_id"]
+        turn = ops["turn_idx"]
+        is_del = ops["is_delete"]
+        role = ops["role"]
+        text = ops["text"]
+        tool = ops["tool"]
+
+        payloads = np.empty(n, dtype=object)
+        dialects = np.empty(n, dtype=object)
+        for i in range(n):
+            d = DIALECTS[dialect_idx[i]]
+            dialects[i] = d
+            if corrupt_mask[i]:
+                payloads[i] = '{"this-is": "not-a-valid-envelope", "lsn": %d' % lsn[i]
+            else:
+                payloads[i] = _ENCODERS[d](
+                    conv[i], turn[i], bool(is_del[i]), role[i], text[i], tool[i], ts_iso[i], int(lsn[i])
+                )
+
+        out = {
+            "lsn": lsn,
+            "source_offset": lsn.copy(),
+            "dialect": dialects,
+            "payload": payloads,
+            "conv_id": conv,
+        }
+        tbl = pa.table(
+            {
+                "lsn": pa.array(out["lsn"], type=pa.int64()),
+                "source_offset": pa.array(out["source_offset"], type=pa.int64()),
+                "dialect": pa.array(out["dialect"], type=pa.string()),
+                "payload": pa.array(out["payload"], type=pa.string()),
+                "conv_id": pa.array(out["conv_id"], type=pa.string()),
+            }
+        )
+        if self.duplicates:
+            dup_mask = (lsn % 13) == 3
+            if dup_mask.any():
+                tbl = pa.concat_tables([tbl, tbl.filter(pa.array(dup_mask))])
+        return tbl

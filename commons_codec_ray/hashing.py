@@ -1,0 +1,49 @@
+"""Stable, process-independent hashing for partition assignment.
+
+Partitioning must be identical across processes, Python versions and
+cluster sizes (Python's builtin ``hash`` is salted per process — never
+use it). We use crc32 over the utf-8 key bytes, which numpy cannot
+vectorize, so the hot kernel goes through pandas ``.map`` over a
+(usually small) set of *unique* conv_ids per batch: hash each distinct
+key once, then broadcast.
+
+The partition count ``P`` is FIXED (default 64) independent of cluster
+size, so the partition → file layout of the lake is identical whether
+the job runs on N or 4N workers (SURVEY.md §7.4 "stable partition→file
+layout across cluster sizes"); choose P ≥ 8× max workers for balance.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_NUM_PARTITIONS = 64
+
+
+def stable_hash_str(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def partition_ids_for(conv_ids: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
+    """Vectorized-ish partition id for a string column.
+
+    Dictionary-encodes the column (cheap in Arrow), hashes only the
+    distinct values, then takes by index — O(uniques) Python work per
+    batch instead of O(rows).
+    """
+    if isinstance(conv_ids, pa.ChunkedArray):
+        conv_ids = conv_ids.combine_chunks()
+    dict_arr = conv_ids.dictionary_encode()
+    uniques = dict_arr.dictionary.to_pylist()
+    lut = np.array(
+        [zlib.crc32(u.encode("utf-8")) % num_partitions if u is not None else 0 for u in uniques],
+        dtype=np.int32,
+    )
+    # null entries (e.g. dead-letter rows with no key) → partition 0
+    indices = dict_arr.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(lut) == 0:
+        return pa.array(np.zeros(len(indices), dtype=np.int32))
+    return pa.array(lut[indices], type=pa.int32())

@@ -1,0 +1,383 @@
+"""Driver-facing query catalog: Ray pipelines + matching DuckDB oracle SQL.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / Table.
+``ORACLE_SQL`` holds the ANSI-SQL equivalent for DuckDB over the same
+parquet tables (views pre-registered by the evaluation driver). Column
+names are kept identical on both sides — the driver's compare hashes
+values after sorting columns by name.
+
+The CDC queries rely on the deterministic events→envelope mapping in
+:mod:`commons_codec_ray.envelopes`: the Ray side round-trips through real
+envelope encode + decode + LWW apply, while the SQL oracle computes the
+same result directly with window functions — a lossless round trip makes
+them comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from commons_codec_ray.config import PipelineConfig
+from commons_codec_ray.envelopes import EventsToEnvelopes
+from commons_codec_ray.schemas import OP_NAMES, OP_SCHEMA
+from commons_codec_ray.stages.applier import apply_changes
+from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
+from commons_codec_ray.stages import dedup as dedup_stage
+from commons_codec_ray.stages import text as text_stage
+from commons_codec_ray.stages import similarity as sim_stage
+from commons_codec_ray.util import duckdb_round
+
+_EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=_EVENT_COLUMNS)
+
+
+def _documents(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC: flagship replay + per-dialect decode + dead letters
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_replay(sf_dir: str):
+    """Full mixed-dialect CDC replay (with duplicate deliveries) → final
+    lake state. The headline pipeline: encode → decode → hash partition →
+    LWW apply; exactly one shuffle."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    # good data ops only (no dead letters are generated here; cheap guard)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA)), batch_format="pyarrow"
+    )
+    return apply_changes(ds, cfg)
+
+
+_CDC_REPLAY_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ops)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op = 1
+"""
+
+
+def _q_decode(sf_dir: str, dialect: str):
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(
+        EventsToEnvelopes(dialect=dialect, duplicates=False), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=False),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        names = pa.array([OP_NAMES[o] for o in t["op"].to_pylist()], type=pa.string())
+        return pa.table(
+            {
+                "op": names,
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "text": t["text"],
+                "tool": t["tool"],
+                "ts": t["ts"],
+                "lsn": t["lsn"],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_decode_debezium(sf_dir: str):
+    """Debezium-style envelope decode only (no apply): op taxonomy,
+    null-padded delete images, ISO timestamp parse."""
+    return _q_decode(sf_dir, "debezium")
+
+
+def q_decode_binlog(sf_dir: str):
+    """MySQL-binlog-style envelope decode only."""
+    return _q_decode(sf_dir, "binlog")
+
+
+def q_decode_ddbstream(sf_dir: str):
+    """DynamoDB-Streams-style envelope decode only (descriptor type system)."""
+    return _q_decode(sf_dir, "ddbstream")
+
+
+_DECODE_SQL = """
+SELECT CASE WHEN event_id % 10 = 7 THEN 'DELETE' ELSE 'UPSERT' END AS op,
+       'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+       CASE WHEN event_id % 10 = 7 THEN NULL ELSE event_type END AS role,
+       CASE WHEN event_id % 10 = 7 THEN NULL ELSE props END      AS text,
+       CASE WHEN event_id % 10 = 7 THEN NULL
+            WHEN value >= 50 THEN 'search' ELSE NULL END         AS tool,
+       CASE WHEN event_id % 10 = 7 THEN NULL ELSE ts END         AS ts,
+       event_id AS lsn
+FROM events
+"""
+
+
+def q_dead_letter(sf_dir: str):
+    """Corrupted envelopes (event_id % 97 == 13) must be dead-lettered,
+    not crash the job; returns the dead-letter count."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(
+        EventsToEnvelopes(duplicates=False, corrupt=True), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=False), batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    n = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["op"], pa.scalar(3, pa.int8()))), batch_format="pyarrow"
+    ).count()
+    return pa.table({"n_dead": pa.array([n], pa.int64())})
+
+
+_DEAD_LETTER_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_dead FROM events WHERE event_id % 97 = 13"
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped: tumbling-window aggregate over the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_windowed_agg(sf_dir: str):
+    """Tumbling 1-day window per user: pre-aggregated inside map_batches
+    (combiner), then a small groupby over partials — the scalable
+    aggregate pattern."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        tt = pa.table({"user_id": t["user_id"], "window_start": day, "value": t["value"]})
+        return tt.group_by(["user_id", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("value_sum", alias_name="sum_value"),
+        Sum("value_count", alias_name="n_events"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "sum_value": duckdb_round(t["sum_value"].combine_chunks(), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_WINDOWED_AGG_SQL = """
+SELECT user_id,
+       time_bucket(INTERVAL '1 day', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup of a doubled corpus (simulated re-crawl): content-hash
+    partition + per-group keep-first ⇒ exactly the original rows."""
+    docs = _documents(sf_dir)
+    doubled = docs.union(_documents(sf_dir))
+    return dedup_stage.exact_dedup(doubled, column="text", order_by="doc_id")
+
+
+_EXACT_DEDUP_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def q_token_count(sf_dir: str):
+    """Whitespace token counting, vectorized with an Arrow regex kernel."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text_stage.token_count, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_stats(sf_dir: str):
+    """Per-language corpus stats via partial-aggregate + small groupby."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["lang"]).aggregate([("n_chars", "sum"), ("n_chars", "count")])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_chars_sum", alias_name="sum_chars"),
+            Sum("n_chars_count", alias_name="n_docs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_chars"].cast(pa.float64()), t["n_docs"].cast(pa.float64()))
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "avg_chars": duckdb_round(avg, 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_TEXT_STATS_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for three query vectors; broadcast query
+    matrix, per-batch float64 matmul, partial top-k reduce."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = sim_stage.ann_topk(ds, query_ids=[0, 1, 2], k=10, round_to=4)
+    return out.select_columns(["query_id", "vec_id", "score"])
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(s, 4) AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# --- rows-only checks (no exact SQL equivalent; driver verifies rows>=0) ---
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs over a corpus with planted
+    near-duplicates (each doc unioned with a lightly-perturbed copy)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = pc.add(t["doc_id"], 1_000_000)
+        texts = pa.array([f"{x} PERTURBED" if x else x for x in t["text"].to_pylist()])
+        return pa.table({"doc_id": ids, "text": texts})
+
+    corpus = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
+    pairs = dedup_stage.jaccard_pairs(corpus, threshold=0.5)
+    return pairs
+
+
+def q_simhash(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(dedup_stage.SimHasher, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_langid(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = docs.map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text_stage.QualityScorer, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "stop_ratio", "mean_tok_len", "punct_ratio", "quality"])
+
+
+def q_fingerprint(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text_stage.Fingerprinter, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_lsh_topk(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return sim_stage.lsh_topk(ds, query_ids=[0, 1, 2], k=10, bits=6)
+
+
+QUERIES = {
+    "cdc_replay": q_cdc_replay,
+    "cdc_decode_debezium": q_decode_debezium,
+    "cdc_decode_binlog": q_decode_binlog,
+    "cdc_decode_ddbstream": q_decode_ddbstream,
+    "cdc_dead_letter": q_dead_letter,
+    "windowed_agg": q_windowed_agg,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "text_stats": q_text_stats,
+    "ann_topk": q_ann_topk,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLE_SQL = {
+    "cdc_replay": _CDC_REPLAY_SQL,
+    "cdc_decode_debezium": _DECODE_SQL,
+    "cdc_decode_binlog": _DECODE_SQL,
+    "cdc_decode_ddbstream": _DECODE_SQL,
+    "cdc_dead_letter": _DEAD_LETTER_SQL,
+    "windowed_agg": _WINDOWED_AGG_SQL,
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "token_count": _TOKEN_COUNT_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+    "ann_topk": _ANN_TOPK_SQL,
+}

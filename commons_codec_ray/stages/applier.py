@@ -1,0 +1,141 @@
+"""Last-writer-wins apply: the engine's one shuffle + merge.
+
+Semantics (SURVEY.md §2.6, derived from the reference):
+
+- UPSERT is a FULL-ROW overwrite — ``MODIFY`` writes the whole new image
+  (reference transform/dynamodb.py:198-205); ``update``/``replace`` set the
+  whole document (transform/mongodb.py:324-329).
+- Resolution is last-writer-wins on ``(conv_id, turn_idx) → max(lsn)``;
+  duplicate deliveries (same lsn, identical payload) collapse to one row —
+  the distributed analog of the reference's ``ON CONFLICT DO NOTHING``
+  idempotence (transform/dynamodb.py:186-195).
+- DELETE with the max lsn removes the key.
+
+LWW is an associative, commutative reduce, so it runs in three layers:
+  1. within-batch combine right after decode (before the shuffle),
+  2. per-partition reduce after the hash shuffle on ``partition_id``,
+  3. merge against the partition's base state (base rows participate with
+     their stored ``_lsn``), making epoch re-application a no-op.
+
+All kernels are numpy/Arrow vectorized — no Python loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from commons_codec_ray.schemas import (
+    IMAGE_COLUMNS,
+    OP_DELETE,
+    OP_SCHEMA,
+    OP_UPSERT,
+    TRANSCRIPT_SCHEMA,
+)
+
+# internal lake column holding the winning op's lsn per row
+LSN_COLUMN = "_lsn"
+
+_OP_COLUMNS = ["op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+
+
+def _lww_take_indices(tbl: pa.Table) -> np.ndarray:
+    """Indices of the max-lsn row per (conv_id, turn_idx), stable."""
+    conv = tbl["conv_id"].combine_chunks().dictionary_encode()
+    codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = tbl["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lsn = tbl["lsn"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lsn, turn, codes))
+    c = codes[order]
+    t = turn[order]
+    last = np.empty(len(order), dtype=bool)
+    if len(order):
+        last[-1] = True
+        last[:-1] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
+    return order[last]
+
+
+def lww_reduce(tbl: pa.Table) -> pa.Table:
+    """Reduce an op table (UPSERT/DELETE rows only) to one row per key."""
+    if tbl.num_rows == 0:
+        return tbl
+    return tbl.take(pa.array(_lww_take_indices(tbl)))
+
+
+def lww_combine_batch(ops: pa.Table) -> pa.Table:
+    """Within-batch partial LWW; SCHEMA/DEAD rows pass through untouched."""
+    if ops.num_rows == 0:
+        return ops
+    special_mask = pc.greater_equal(ops["op"], OP_SCHEMA)
+    if pc.any(special_mask).as_py():
+        special = ops.filter(special_mask)
+        data = ops.filter(pc.invert(special_mask))
+        return pa.concat_tables([lww_reduce(data), special])
+    return lww_reduce(ops)
+
+
+def base_as_ops(base: pa.Table) -> pa.Table:
+    """Lift a lake partition (transcript cols + _lsn) into op-record form."""
+    n = base.num_rows
+    cols = {
+        "op": pa.array(np.full(n, OP_UPSERT, dtype=np.int8)),
+        "conv_id": base["conv_id"],
+        "turn_idx": base["turn_idx"],
+        "role": base["role"],
+        "text": base["text"],
+        "tool": base["tool"],
+        "ts": base["ts"],
+        "lsn": base[LSN_COLUMN] if LSN_COLUMN in base.column_names else pa.array(np.full(n, -1, dtype=np.int64)),
+    }
+    return pa.table(cols)
+
+
+def apply_ops_to_base(base: pa.Table | None, ops: pa.Table) -> pa.Table:
+    """Merge decoded ops into a partition's base state → new state.
+
+    Returns transcript columns + ``_lsn``. Deterministic given (base,
+    full op set), so re-running a failed epoch rewrites identical output
+    (the exactly-once property lives in the commit protocol, not here).
+    """
+    ops = ops.select([c for c in _OP_COLUMNS if c in ops.column_names])
+    parts = [ops]
+    if base is not None and base.num_rows:
+        parts.append(base_as_ops(base))
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    reduced = lww_reduce(merged)
+    alive = reduced.filter(pc.equal(reduced["op"], OP_UPSERT))
+    out = pa.table(
+        {
+            "conv_id": alive["conv_id"].cast(pa.string()),
+            "turn_idx": alive["turn_idx"].cast(pa.int32()),
+            "role": alive["role"].cast(pa.string()),
+            "text": alive["text"].cast(pa.string()),
+            "tool": alive["tool"].cast(pa.string()),
+            "ts": alive["ts"].cast(pa.timestamp("us")),
+            LSN_COLUMN: alive["lsn"].cast(pa.int64()),
+        }
+    )
+    return out
+
+
+def final_state(out: pa.Table, with_lsn: bool = False) -> pa.Table:
+    if with_lsn or LSN_COLUMN not in out.column_names:
+        return out
+    return out.drop_columns([LSN_COLUMN])
+
+
+def apply_changes(ops_ds, config=None, num_partitions: int | None = None):
+    """Distributed LWW apply with no base lake (pure replay → final state).
+
+    ``ops_ds`` is a Dataset of op records (dead letters already split
+    off). The ONE all-to-all exchange on the hot path: hash shuffle on
+    ``partition_id`` via ``groupby().map_groups`` — each group is a full
+    key-partition, so per-key ordering needs no cross-partition
+    coordination.
+    """
+    def _apply(group: pa.Table) -> pa.Table:
+        out = apply_ops_to_base(None, group)
+        return final_state(out)
+
+    return ops_ds.groupby("partition_id").map_groups(_apply, batch_format="pyarrow")

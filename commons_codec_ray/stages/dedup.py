@@ -1,0 +1,232 @@
+"""Deduplication operators for the transcript/document lake.
+
+Exact dedup: content-hash partition + per-group keep-first — one shuffle
+on a fixed-width hash column (never on raw document text; the hash is
+computed vectorized per batch so only int64s drive the exchange).
+
+Near-dup families (MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine) live here too: shingle → minhash → band → bucket groupby is the
+scale path (candidates only within identical LSH buckets; no all-pairs).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _crc32_column(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    crc = zlib.crc32
+    return pa.array(
+        np.fromiter(
+            (crc(t.encode("utf-8")) if t is not None else 0 for t in texts.to_pylist()),
+            dtype=np.int64,
+            count=len(texts),
+        )
+    )
+
+
+def add_content_hash(batch: pa.Table, column: str = "text", out: str = "_h") -> pa.Table:
+    return batch.append_column(out, _crc32_column(batch[column]))
+
+
+def exact_dedup(ds, column: str = "text", order_by: str = "doc_id"):
+    """Exact dedup: keep the min-``order_by`` row per distinct ``column``.
+
+    hash-partition (groupby on the int64 content hash) + per-group
+    keep-first; within a hash bucket, ties are broken on the actual
+    content so crc collisions stay correct.
+    """
+
+    def _first(group: pa.Table) -> pa.Table:
+        df = group.sort_by([(order_by, "ascending")]).to_pandas()
+        df = df.drop_duplicates(subset=[column], keep="first")
+        return pa.Table.from_pandas(df.drop(columns=["_h"]), preserve_index=False)
+
+    return (
+        ds.map_batches(lambda t: add_content_hash(t, column), batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(_first, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\S+")
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Stateful map_batches stage: text → minhash signature + LSH band keys.
+
+    Permutation parameters are built once per actor (``__init__``), each
+    batch is vectorized numpy: shingle-hash matrix → (a*x+b) mod p →
+    column-min per permutation. Output adds ``band_{i}`` int64 columns
+    (hash of each band) for the LSH bucket groupby.
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 8, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall(text.lower())
+        k = self.shingle_k
+        if len(toks) < k:
+            grams = [" ".join(toks)] if toks else [""]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return np.unique(
+            np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) affine hash mod Mersenne prime, min per row
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])  # (n, num_perm)
+        out = batch
+        r = self.rows_per_band
+        for b in range(self.bands):
+            band = sigs[:, b * r : (b + 1) * r]
+            # stable per-band bucket key: crc of the band bytes
+            keys = np.fromiter(
+                (zlib.crc32(band[i].tobytes()) for i in range(band.shape[0])),
+                dtype=np.int64,
+                count=band.shape[0],
+            )
+            out = out.append_column(f"band_{b}", pa.array(keys + (b << 32)))
+        out = out.append_column("_sig", pa.array(list(sigs), type=pa.list_(pa.uint64())))
+        return out
+
+
+def minhash_candidates(ds, hasher: MinHasher | None = None, id_column: str = "doc_id"):
+    """Candidate near-dup pairs via LSH banding.
+
+    explode to (band_key, doc_id) rows → groupby(band_key) → pairs within
+    a bucket. Returns a Dataset of {id_a, id_b, band_key} with id_a < id_b
+    (pairs may repeat across bands; dedup downstream when verifying).
+    """
+    hasher = hasher or MinHasher()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        keys = np.concatenate(
+            [batch[f"band_{b}"].to_numpy(zero_copy_only=False) for b in range(hasher.bands)]
+        )
+        rep_ids = np.tile(ids, hasher.bands)
+        return pa.table({"band_key": keys, id_column: rep_ids})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group[id_column].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[ia]), "id_b": pa.array(ids[ib])})
+
+    sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("band_key").map_groups(pairs, batch_format="pyarrow")
+
+
+def jaccard_pairs(ds, threshold: float = 0.7, hasher: MinHasher | None = None, id_column: str = "doc_id"):
+    """Near-dup pairs with estimated Jaccard ≥ threshold.
+
+    LSH candidates → verify with the full minhash signatures (broadcast
+    of the signature table would not scale; instead signatures ride the
+    candidate rows via a bucket-local join inside the band group).
+    """
+    hasher = hasher or MinHasher()
+
+    def explode_with_sig(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for b in range(hasher.bands):
+            parts.append(
+                pa.table(
+                    {
+                        "band_key": batch[f"band_{b}"],
+                        id_column: batch[id_column],
+                        "_sig": batch["_sig"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        group = group.sort_values(id_column)
+        ids = group[id_column].to_numpy()
+        sigs = np.stack(group["_sig"].to_numpy())
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "jaccard": est[keep]})
+
+    sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    exploded = sigs.map_batches(explode_with_sig, batch_format="pyarrow")
+    pairs = exploded.groupby("band_key").map_groups(verified_pairs, batch_format="pandas")
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["id_a", "id_b"])
+
+    return pairs.groupby("id_a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over token crc32-derived hashes; vectorized per batch."""
+
+    def __init__(self, bits: int = 64, seed: int = 11):
+        self.bits = bits
+        rng = np.random.RandomState(seed)
+        # one 64-bit mix per token is derived by splitmix-style re-hash
+        self.salt = np.uint64(rng.randint(1, 2**63 - 1, dtype=np.int64))
+
+    def simhash(self, text: str) -> int:
+        toks = _TOKEN_RE.findall((text or "").lower())
+        if not toks:
+            return 0
+        h = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks))
+        # expand 32-bit crc to 64 bits deterministically
+        h = (h * np.uint64(0x9E3779B97F4A7C15) + self.salt) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.fromiter(
+            (self.simhash(t) for t in batch["text"].to_pylist()),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("simhash", pa.array(vals.astype(np.int64)))

