@@ -1,0 +1,251 @@
+"""The CDC ingest pipeline: epoch loop over an envelope log → Parquet lake.
+
+Stage boundaries (SURVEY.md §3.4): driver (epoch plan, manifests) →
+stateless decode tasks (``map_batches`` over Arrow envelope batches) →
+ONE hash shuffle on ``partition_id`` → per-partition LWW apply (reads the
+partition's base state, merges, writes the new partition file) →
+two-phase commit (manifest + atomic checkpoint) → metrics/lineage.
+
+Scale notes:
+- an epoch is the checkpoint granularity; its op set is materialized in
+  the object store (bounded by ``epoch_size``), never the whole log;
+- partitions untouched by an epoch are carried forward without rewrite;
+- the partition count P is fixed and independent of cluster size, so N-
+  and 4N-worker runs produce byte-identical lakes;
+- schema-evolution control events take effect at the epoch boundary they
+  arrive in (full-row upserts + aux spill make this deterministic and
+  safe for the whole epoch; the reference's order-sensitive registry,
+  transform/aws_dms.py:140-144, is preserved at epoch granularity).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from commons_codec_ray.config import PipelineConfig, SchemaRegistry, resolve_logical_type
+from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA, OP_UPSERT
+from commons_codec_ray.sink.manifest import Checkpoint, LakeManifestStore
+from commons_codec_ray.stages.applier import LSN_COLUMN, apply_ops_to_base, final_state
+from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
+
+_STATIC_COLUMNS = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def _extra_columns(registry: SchemaRegistry, table: str) -> list[tuple[str, pa.DataType]]:
+    cols = registry.column_types.get(table, {})
+    return [(n, resolve_logical_type(t)) for n, t in cols.items() if n not in _STATIC_COLUMNS]
+
+
+def _make_apply_fn(
+    lake_root: str,
+    epoch: int,
+    base_partitions: dict[int, str],
+    extra_columns: list[tuple[str, pa.DataType]],
+):
+    """Per-partition applier run inside map_groups tasks.
+
+    Writes the new partition file via tmp + atomic rename (safe under
+    Ray task retries — a retried task rewrites identical bytes) and
+    returns one lineage row per partition.
+    """
+
+    def _apply(group: pa.Table) -> pa.Table:
+        import os
+
+        pid = group["partition_id"][0].as_py()
+        base = None
+        rel = base_partitions.get(pid)
+        if rel is not None:
+            base = pq.read_table(Path(lake_root) / rel)
+        out = apply_ops_to_base(base, group, extra_columns)
+        epoch_dir = Path(lake_root) / "epochs" / f"epoch-{epoch:08d}"
+        epoch_dir.mkdir(parents=True, exist_ok=True)
+        path = epoch_dir / f"part-{pid:04d}.parquet"
+        tmp = path.with_suffix(f".tmp-{os.getpid()}")
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        max_lsn = pc.max(group["lsn"]).as_py() if group.num_rows else -1
+        rel_path = str(path.relative_to(lake_root))
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "path": pa.array([rel_path], pa.string()),
+                "rows": pa.array([out.num_rows], pa.int64()),
+                "max_lsn": pa.array([max_lsn if max_lsn is not None else -1], pa.int64()),
+                "ops_applied": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return _apply
+
+
+class CDCPipeline:
+    def __init__(self, lake_dir: str | Path, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        self.store = LakeManifestStore(lake_dir)
+        ckpt = self.store.read_checkpoint()
+        if ckpt.registry_json and ckpt.registry_json != "{}":
+            self.config.registry = SchemaRegistry.from_json(ckpt.registry_json)
+
+    # ------------------------------------------------------------------ epoch
+    def run_epoch(self, envelopes, epoch: int, offset_range: tuple[int, int]) -> dict[str, Any]:
+        """Decode + apply + commit one epoch. ``envelopes`` is a Dataset of
+        (lsn, source_offset, dialect, payload[, conv_id]) rows."""
+        cfg = self.config
+        t0 = time.time()
+        ckpt = self.store.read_checkpoint()
+        if epoch <= ckpt.last_epoch:
+            return {"epoch": epoch, "skipped": True}  # already committed (resume)
+
+        ops = envelopes.map_batches(
+            DecodeEnvelopes(cfg, combine=True),
+            batch_format="pyarrow",
+            batch_size=cfg.decode_batch_size,
+        ).materialize()
+
+        # --- schema control events (tiny by construction) -------------------
+        schema_ops = ops.map_batches(
+            lambda t: t.filter(pc.equal(t["op"], pa.scalar(OP_SCHEMA, pa.int8()))),
+            batch_format="pyarrow",
+        )
+        schema_rows = schema_ops.take_all()
+        schema_rows.sort(key=lambda r: r["lsn"])
+        for row in schema_rows:
+            self._apply_schema_event(row)
+
+        # --- dead letters ----------------------------------------------------
+        dead = ops.map_batches(
+            lambda t: t.filter(pc.equal(t["op"], pa.scalar(OP_DEAD, pa.int8()))),
+            batch_format="pyarrow",
+        )
+        n_dead = dead.count()
+        if n_dead:
+            dead.select_columns(["lsn", "source_offset", "aux", "error"]).write_parquet(
+                str(self.store.dead_letter_dir(epoch))
+            )
+
+        # --- data ops → ONE shuffle → per-partition apply --------------------
+        data = ops.map_batches(
+            lambda t: t.filter(pc.less(t["op"], pa.scalar(OP_SCHEMA, pa.int8()))),
+            batch_format="pyarrow",
+        )
+        base_partitions = {int(k): v for k, v in ckpt.partitions.items()}
+        apply_fn = _make_apply_fn(
+            str(self.store.root),
+            epoch,
+            base_partitions,
+            _extra_columns(cfg.registry, cfg.table),
+        )
+        self.store.ensure_dirs(epoch)
+        lineage = (
+            data.groupby("partition_id").map_groups(apply_fn, batch_format="pyarrow").take_all()
+        )
+
+        metrics = {
+            "events": sum(r["ops_applied"] for r in lineage),
+            "rows_out": sum(r["rows"] for r in lineage),
+            "partitions_touched": len(lineage),
+            "dead_letters": n_dead,
+            "schema_events": len(schema_rows),
+            "duration_s": round(time.time() - t0, 3),
+        }
+        self.store.commit_epoch(
+            epoch, lineage, offset_range, cfg.registry.to_json(), metrics
+        )
+        return {"epoch": epoch, "skipped": False, **metrics}
+
+    def _apply_schema_event(self, row: dict[str, Any]) -> None:
+        aux = json.loads(row["aux"] or "{}")
+        table = aux.get("table") or self.config.table
+        if aux.get("operation") == "create-table":
+            control = aux.get("control", {})
+            tdef = control.get("table-def", {})
+            columns = {
+                name: (spec.get("type", "STRING") if isinstance(spec, dict) else str(spec))
+                for name, spec in tdef.get("columns", {}).items()
+            }
+            pk = tdef.get("primary-key", [])
+            self.config.registry.apply_create_table(table, columns, pk)
+        elif aux.get("operation") == "drop-table":
+            self.config.registry.apply_drop_table(table)
+
+    # ------------------------------------------------------------------ replay
+    def replay(
+        self,
+        envelopes_path: str,
+        epoch_size: int | None = None,
+        max_offset: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """Replay an envelope log from the last checkpoint to its end.
+
+        Epochs slice the log by ``source_offset`` ranges using Parquet
+        row-group predicate pushdown — resume never rescans committed
+        offsets.
+        """
+        epoch_size = epoch_size or self.config.epoch_size
+        if max_offset is None:
+            max_offset = _max_column_value(envelopes_path, "source_offset")
+        ckpt = self.store.read_checkpoint()
+        start = ckpt.next_offset
+        epoch = ckpt.last_epoch + 1
+        results = []
+        lo = start
+        while lo <= max_offset:
+            hi = lo + epoch_size
+            env = rd.read_parquet(
+                envelopes_path,
+                filter=(pc.field("source_offset") >= lo) & (pc.field("source_offset") < hi),
+            )
+            results.append(self.run_epoch(env, epoch, (lo, hi)))
+            epoch += 1
+            lo = hi
+        return results
+
+    # ------------------------------------------------------------------ reads
+    def read_lake(self, with_lsn: bool = False):
+        files = self.store.current_files()
+        if not files:
+            raise FileNotFoundError(f"empty lake at {self.store.root}")
+        ds = rd.read_parquet(files)
+        if not with_lsn:
+            ds = ds.map_batches(
+                lambda t: final_state(t, with_lsn=False), batch_format="pyarrow"
+            )
+        return ds
+
+    def checkpoint(self) -> Checkpoint:
+        return self.store.read_checkpoint()
+
+
+def _max_column_value(parquet_path: str, column: str) -> int:
+    """Max of an int column from Parquet row-group statistics (no scan)."""
+    import glob
+    import os
+
+    paths = (
+        sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
+        if os.path.isdir(parquet_path)
+        else [parquet_path]
+    )
+    best = -1
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[column]
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is not None and stats.has_min_max:
+                best = max(best, stats.max)
+            else:  # fall back to a column scan for this file
+                col = pq.read_table(p, columns=[column])[column]
+                best = max(best, pc.max(col).as_py())
+                break
+    return best

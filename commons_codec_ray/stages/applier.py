@@ -75,6 +75,39 @@ def lww_combine_batch(ops: pa.Table) -> pa.Table:
     return lww_reduce(ops)
 
 
+def materialize_aux_columns(ops: pa.Table, extra_columns: list[tuple[str, pa.DataType]]) -> pa.Table:
+    """Pull schema-evolved columns out of the ``aux`` JSON spill.
+
+    The decoder routes fields it doesn't know statically into ``aux``
+    (the reference's untyped bucket, model.py:171-175). When the
+    registry later declares such a field a real column (create-table
+    control event, transform/aws_dms.py:140-144), the applier
+    materializes it. Only rows with non-null aux pay the JSON parse —
+    the rare path by construction.
+    """
+    import json as _json
+
+    if not extra_columns or ops.num_rows == 0:
+        return ops
+    aux = ops["aux"].to_pylist()
+    wanted = [name for name, _ in extra_columns if name not in ops.column_names]
+    if not wanted:
+        return ops
+    parsed: list[dict | None] = [None] * len(aux)
+    for i, a in enumerate(aux):
+        if a:
+            try:
+                parsed[i] = _json.loads(a)
+            except ValueError:
+                parsed[i] = None
+    out = ops
+    types = dict(extra_columns)
+    for name in wanted:
+        vals = [(p.get(name) if p else None) for p in parsed]
+        out = out.append_column(name, pa.array(vals).cast(types[name]))
+    return out
+
+
 def base_as_ops(base: pa.Table) -> pa.Table:
     """Lift a lake partition (transcript cols + _lsn) into op-record form."""
     n = base.num_rows
@@ -88,34 +121,54 @@ def base_as_ops(base: pa.Table) -> pa.Table:
         "ts": base["ts"],
         "lsn": base[LSN_COLUMN] if LSN_COLUMN in base.column_names else pa.array(np.full(n, -1, dtype=np.int64)),
     }
-    return pa.table(cols)
+    extras = [c for c in base.column_names if c not in cols and c != LSN_COLUMN]
+    tbl = pa.table(cols)
+    for c in extras:
+        tbl = tbl.append_column(c, base[c])
+    return tbl
 
 
-def apply_ops_to_base(base: pa.Table | None, ops: pa.Table) -> pa.Table:
+def apply_ops_to_base(
+    base: pa.Table | None,
+    ops: pa.Table,
+    extra_columns: list[tuple[str, pa.DataType]] | None = None,
+) -> pa.Table:
     """Merge decoded ops into a partition's base state → new state.
 
-    Returns transcript columns + ``_lsn``. Deterministic given (base,
-    full op set), so re-running a failed epoch rewrites identical output
-    (the exactly-once property lives in the commit protocol, not here).
+    Returns transcript columns (+ any schema-evolved extra columns) +
+    ``_lsn``. Deterministic given (base, full op set), so re-running a
+    failed epoch rewrites identical output (the exactly-once property
+    lives in the commit protocol, not here).
     """
-    ops = ops.select([c for c in _OP_COLUMNS if c in ops.column_names])
+    if extra_columns:
+        ops = materialize_aux_columns(ops, extra_columns)
+    extra_names = [name for name, _ in (extra_columns or [])]
+    keep = [c for c in _OP_COLUMNS if c in ops.column_names] + [
+        c for c in extra_names if c in ops.column_names
+    ]
+    ops = ops.select(keep)
     parts = [ops]
     if base is not None and base.num_rows:
         parts.append(base_as_ops(base))
     merged = pa.concat_tables(parts, promote_options="permissive")
     reduced = lww_reduce(merged)
     alive = reduced.filter(pc.equal(reduced["op"], OP_UPSERT))
-    out = pa.table(
-        {
-            "conv_id": alive["conv_id"].cast(pa.string()),
-            "turn_idx": alive["turn_idx"].cast(pa.int32()),
-            "role": alive["role"].cast(pa.string()),
-            "text": alive["text"].cast(pa.string()),
-            "tool": alive["tool"].cast(pa.string()),
-            "ts": alive["ts"].cast(pa.timestamp("us")),
-            LSN_COLUMN: alive["lsn"].cast(pa.int64()),
-        }
-    )
+    cols = {
+        "conv_id": alive["conv_id"].cast(pa.string()),
+        "turn_idx": alive["turn_idx"].cast(pa.int32()),
+        "role": alive["role"].cast(pa.string()),
+        "text": alive["text"].cast(pa.string()),
+        "tool": alive["tool"].cast(pa.string()),
+        "ts": alive["ts"].cast(pa.timestamp("us")),
+        LSN_COLUMN: alive["lsn"].cast(pa.int64()),
+    }
+    out = pa.table(cols)
+    types = dict(extra_columns or [])
+    for name in extra_names:
+        if name in alive.column_names:
+            out = out.append_column(name, alive[name].cast(types[name]))
+        else:
+            out = out.append_column(name, pa.nulls(out.num_rows, types[name]))
     return out
 
 

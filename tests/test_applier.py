@@ -1,0 +1,168 @@
+"""Stateful-sequence tests for LWW apply (pattern: reference
+tests/transform/test_aws_dms_universal.py order-sensitive sequences +
+the idempotence precedent in tests/transform/test_dynamodb_cdc.py:365-369)."""
+
+import numpy as np
+import pyarrow as pa
+
+from commons_codec_ray.schemas import OP_DELETE, OP_UPSERT
+from commons_codec_ray.stages.applier import (
+    LSN_COLUMN,
+    apply_ops_to_base,
+    base_as_ops,
+    lww_combine_batch,
+    lww_reduce,
+)
+
+
+def ops_table(rows):
+    """rows: (op, conv_id, turn_idx, text, lsn)"""
+    return pa.table(
+        {
+            "op": pa.array([r[0] for r in rows], pa.int8()),
+            "conv_id": pa.array([r[1] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[2] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([1000 + r[4] for r in rows], pa.timestamp("us")),
+            "lsn": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def final_dict(out):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r[LSN_COLUMN])
+        for r in out.to_pylist()
+    }
+
+
+def test_insert_update_delete_sequence():
+    ops = ops_table(
+        [
+            (OP_UPSERT, "a", 0, "v1", 1),
+            (OP_UPSERT, "a", 0, "v2", 2),
+            (OP_DELETE, "a", 0, None, 3),
+            (OP_UPSERT, "a", 1, "w1", 4),
+        ]
+    )
+    out = apply_ops_to_base(None, ops)
+    assert final_dict(out) == {("a", 1): ("w1", 4)}
+
+
+def test_out_of_order_lsn_arrival():
+    # arrival order ≠ lsn order; LWW must pick max-lsn, not last-arrived
+    ops = ops_table(
+        [
+            (OP_UPSERT, "a", 0, "newest", 9),
+            (OP_UPSERT, "a", 0, "oldest", 1),
+            (OP_UPSERT, "a", 0, "middle", 5),
+        ]
+    )
+    out = apply_ops_to_base(None, ops)
+    assert final_dict(out) == {("a", 0): ("newest", 9)}
+
+
+def test_duplicate_delivery_idempotent():
+    # same (key, lsn) delivered twice (retry storm) → exactly one row
+    ops = ops_table(
+        [
+            (OP_UPSERT, "a", 0, "v", 1),
+            (OP_UPSERT, "a", 0, "v", 1),
+        ]
+    )
+    out = apply_ops_to_base(None, ops)
+    assert out.num_rows == 1
+    assert final_dict(out) == {("a", 0): ("v", 1)}
+
+
+def test_delete_then_reinsert():
+    ops = ops_table(
+        [
+            (OP_UPSERT, "a", 0, "v1", 1),
+            (OP_DELETE, "a", 0, None, 2),
+            (OP_UPSERT, "a", 0, "v2", 3),
+        ]
+    )
+    out = apply_ops_to_base(None, ops)
+    assert final_dict(out) == {("a", 0): ("v2", 3)}
+
+
+def test_base_merge_respects_stored_lsn():
+    base = apply_ops_to_base(None, ops_table([(OP_UPSERT, "a", 0, "stored", 10)]))
+    # replayed older op must NOT overwrite newer stored state
+    out = apply_ops_to_base(base, ops_table([(OP_UPSERT, "a", 0, "stale", 5)]))
+    assert final_dict(out) == {("a", 0): ("stored", 10)}
+    # newer op wins
+    out2 = apply_ops_to_base(base, ops_table([(OP_UPSERT, "a", 0, "fresh", 11)]))
+    assert final_dict(out2) == {("a", 0): ("fresh", 11)}
+
+
+def test_reapply_same_epoch_is_noop():
+    ops = ops_table([(OP_UPSERT, "a", 0, "v1", 1), (OP_UPSERT, "b", 3, "v2", 2)])
+    once = apply_ops_to_base(None, ops)
+    twice = apply_ops_to_base(once, ops)
+    assert final_dict(once) == final_dict(twice)
+
+
+def test_empty_string_vs_null_text():
+    ops = ops_table([(OP_UPSERT, "a", 0, "", 1), (OP_UPSERT, "a", 1, None, 2)])
+    out = apply_ops_to_base(None, ops).sort_by("turn_idx")
+    texts = out["text"].to_pylist()
+    assert texts == ["", None]
+
+
+def test_lww_combine_batch_passthrough_special():
+    from commons_codec_ray.schemas import OP_DEAD, OPS_SCHEMA
+
+    tbl = pa.table(
+        {
+            "op": pa.array([OP_UPSERT, OP_UPSERT, OP_DEAD], pa.int8()),
+            "conv_id": pa.array(["a", "a", None], pa.string()),
+            "turn_idx": pa.array([0, 0, None], pa.int32()),
+            "role": pa.array([None] * 3, pa.string()),
+            "text": pa.array(["v1", "v2", None], pa.string()),
+            "tool": pa.array([None] * 3, pa.string()),
+            "ts": pa.array([None] * 3, pa.timestamp("us")),
+            "aux": pa.array([None, None, "junk"], pa.string()),
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "source_offset": pa.array([1, 2, 3], pa.int64()),
+            "partition_id": pa.array([0, 0, 0], pa.int32()),
+            "error": pa.array([None, None, "boom"], pa.string()),
+        },
+        schema=OPS_SCHEMA,
+    )
+    out = lww_combine_batch(tbl)
+    assert out.num_rows == 2  # one combined data row + one dead letter
+    by_op = {r["op"]: r for r in out.to_pylist()}
+    assert by_op[OP_UPSERT]["text"] == "v2"
+    assert by_op[OP_DEAD]["error"] == "boom"
+
+
+def test_lww_reduce_scales_many_keys():
+    n = 200_000
+    rng = np.random.RandomState(0)
+    conv = np.char.add("c-", (rng.randint(0, 5000, n)).astype(str))
+    turn = rng.randint(0, 50, n).astype(np.int32)
+    lsn = rng.permutation(n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "op": pa.array(np.full(n, OP_UPSERT, dtype=np.int8)),
+            "conv_id": pa.array(conv.astype(object), pa.string()),
+            "turn_idx": pa.array(turn),
+            "role": pa.array([None] * n, pa.string()),
+            "text": pa.array(lsn.astype(str).astype(object), pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(np.full(n, 0), pa.timestamp("us")),
+            "lsn": pa.array(lsn),
+        }
+    )
+    out = lww_reduce(tbl)
+    # one row per distinct key, each carrying its max lsn
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    expect = df.groupby(["conv_id", "turn_idx"])["lsn"].max()
+    got = out.to_pandas().set_index(["conv_id", "turn_idx"])["lsn"].sort_index()
+    pd.testing.assert_series_equal(got, expect.sort_index(), check_names=False)

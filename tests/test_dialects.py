@@ -1,0 +1,144 @@
+"""Golden envelope → op-record tests, per dialect (pattern: reference
+tests/transform/test_dynamodb_cdc.py:201-300, test_aws_dms_*.py)."""
+
+import pytest
+
+from commons_codec_ray.decode.dialects import (
+    MessageFormatError,
+    UnknownOperationError,
+    decode_binlog,
+    decode_ddbstream,
+    decode_debezium,
+)
+from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA, OP_UPSERT
+
+TS = "2024-07-12T01:17:42.000123"
+
+
+def _ddb(name, image_key, image):
+    return {
+        "eventSource": "aws:dynamodb",
+        "eventName": name,
+        "dynamodb": {"Keys": {"conv_id": {"S": "c-1"}, "turn_idx": {"N": "3"}}, image_key: image},
+    }
+
+
+class TestDdbStream:
+    def test_insert(self):
+        img = {
+            "conv_id": {"S": "c-1"},
+            "turn_idx": {"N": "3"},
+            "role": {"S": "assistant"},
+            "text": {"S": "Räuber"},  # multi-byte UTF-8 preserved
+            "tool": {"NULL": True},
+            "ts": {"S": TS},
+        }
+        [(op, rec, aux)] = decode_ddbstream(_ddb("INSERT", "NewImage", img))
+        assert op == OP_UPSERT
+        assert rec == {
+            "conv_id": "c-1", "turn_idx": 3.0, "role": "assistant",
+            "text": "Räuber", "tool": None, "ts": TS,
+        }
+        assert aux == {}
+
+    def test_modify_full_row(self):
+        img = {"conv_id": {"S": "c-1"}, "turn_idx": {"N": "3"}, "text": {"S": ""}}
+        [(op, rec, _)] = decode_ddbstream(_ddb("MODIFY", "NewImage", img))
+        assert op == OP_UPSERT
+        assert rec["text"] == ""  # empty string, not null
+
+    def test_remove_uses_keys(self):
+        [(op, rec, _)] = decode_ddbstream(
+            {"eventSource": "aws:dynamodb", "eventName": "REMOVE",
+             "dynamodb": {"Keys": {"conv_id": {"S": "c-1"}, "turn_idx": {"N": "3"}}}}
+        )
+        assert op == OP_DELETE
+        assert rec == {"conv_id": "c-1", "turn_idx": 3.0}
+
+    def test_varied_list_to_aux(self):
+        img = {"conv_id": {"S": "c-1"}, "turn_idx": {"N": "3"},
+               "mix": {"L": [{"S": "a"}, {"N": "1"}]}}
+        [(op, rec, aux)] = decode_ddbstream(_ddb("INSERT", "NewImage", img))
+        assert "mix" not in rec
+        assert aux == {"mix": ["a", 1.0]}
+
+    def test_unknown_source_raises(self):
+        with pytest.raises(MessageFormatError):
+            decode_ddbstream({"eventSource": "aws:kinesis", "eventName": "INSERT", "dynamodb": {}})
+
+    def test_unknown_event_raises(self):
+        with pytest.raises(UnknownOperationError):
+            decode_ddbstream(_ddb("UPSERT", "NewImage", {}))
+
+
+class TestDebezium:
+    DATA = {"conv_id": "c-1", "turn_idx": 3, "role": "user", "text": "hi", "tool": None, "ts": TS}
+
+    def _env(self, operation, data=None, record_type="data"):
+        return {
+            "data": data if data is not None else dict(self.DATA),
+            "before-image": {},
+            "metadata": {"operation": operation, "schema-name": "public",
+                         "table-name": "transcripts", "record-type": record_type},
+        }
+
+    @pytest.mark.parametrize("operation", ["load", "insert", "update"])
+    def test_upserts(self, operation):
+        [(op, rec, _)] = decode_debezium(self._env(operation))
+        assert op == OP_UPSERT and rec == self.DATA
+
+    def test_delete(self):
+        data = {"conv_id": "c-1", "turn_idx": 3, "role": None, "text": None, "tool": None, "ts": None}
+        [(op, rec, _)] = decode_debezium(self._env("delete", data))
+        assert op == OP_DELETE
+
+    def test_control_create_table(self):
+        env = {
+            "control": {"table-def": {"columns": {"rating": {"type": "INT32"}},
+                                      "primary-key": ["conv_id", "turn_idx"]}},
+            "metadata": {"operation": "create-table", "table-name": "transcripts",
+                         "record-type": "control"},
+        }
+        [(op, _rec, aux)] = decode_debezium(env)
+        assert op == OP_SCHEMA
+        assert aux["operation"] == "create-table"
+        assert aux["control"]["table-def"]["columns"]["rating"]["type"] == "INT32"
+
+    def test_unknown_operation_raises(self):
+        with pytest.raises(UnknownOperationError):
+            decode_debezium(self._env("truncate"))
+
+    def test_missing_data_raises(self):
+        with pytest.raises(MessageFormatError):
+            decode_debezium({"metadata": {"operation": "insert", "record-type": "data"}})
+
+
+class TestBinlog:
+    AFTER = {"conv_id": "c-1", "turn_idx": 3, "role": "user", "text": "hi", "tool": None, "ts": TS}
+
+    def test_write_and_update(self):
+        for opname in ("write_rows", "update_rows"):
+            env = {"op": opname, "rows": [{"before": None, "after": dict(self.AFTER)}],
+                   "table": {"schema": "public", "name": "transcripts"}}
+            [(op, rec, _)] = decode_binlog(env)
+            assert op == OP_UPSERT and rec == self.AFTER
+
+    def test_delete(self):
+        env = {"op": "delete_rows", "rows": [{"before": {"conv_id": "c-1", "turn_idx": 3}, "after": None}]}
+        [(op, rec, _)] = decode_binlog(env)
+        assert op == OP_DELETE and rec == {"conv_id": "c-1", "turn_idx": 3}
+
+    def test_multi_row_envelope(self):
+        env = {"op": "write_rows",
+               "rows": [{"after": dict(self.AFTER)}, {"after": dict(self.AFTER, turn_idx=4)}]}
+        out = decode_binlog(env)
+        assert [r["turn_idx"] for _, r, _ in out] == [3, 4]
+
+    @pytest.mark.parametrize("opname", ["rotate", "heartbeat"])
+    def test_housekeeping_skipped(self, opname):
+        # analog of MongoDB drop/invalidate → None (ref transform/mongodb.py:337-343)
+        assert decode_binlog({"op": opname}) == []
+
+    def test_unknown_op_raises(self):
+        with pytest.raises(UnknownOperationError):
+            decode_binlog({"op": "truncate_rows", "rows": []})

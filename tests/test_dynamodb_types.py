@@ -1,0 +1,68 @@
+"""Descriptor type-matrix tests (pattern: reference
+tests/transform/test_dynamodb_types_vanilla.py / _cratedb.py)."""
+
+import pytest
+
+from commons_codec_ray.decode.dynamodb_types import (
+    UnknownDescriptorError,
+    deserialize,
+    deserialize_image,
+)
+
+
+@pytest.mark.parametrize(
+    "desc,expected",
+    [
+        ({"S": "hello"}, "hello"),
+        ({"S": ""}, ""),  # empty string preserved, distinct from null
+        ({"N": "42"}, 42.0),  # N → float (sink flavor)
+        ({"N": "3.14"}, 3.14),
+        ({"BOOL": True}, True),
+        ({"BOOL": False}, False),
+        ({"NULL": True}, None),
+        ({"SS": ["a", "b"]}, ["a", "b"]),  # sets → lists
+        ({"NS": ["1", "2.5"]}, [1.0, 2.5]),
+        ({"BS": ["AQ==", "Ag=="]}, ["AQ==", "Ag=="]),
+        ({"M": {"x": {"S": "y"}, "n": {"N": "1"}}}, {"x": "y", "n": 1.0}),
+        ({"L": []}, []),
+        ({"M": {}}, {}),
+        ({"L": [{"S": "a"}, {"S": "b"}]}, ["a", "b"]),
+        # nested depth
+        ({"M": {"inner": {"M": {"deep": {"L": [{"N": "1"}]}}}}}, {"inner": {"deep": [1.0]}}),
+    ],
+)
+def test_scalar_matrix(desc, expected):
+    value, varied = deserialize(desc)
+    assert value == expected
+    assert varied is False
+
+
+def test_varied_list_tagged():
+    # mixed inner type markers → varied (→ aux routing downstream)
+    value, varied = deserialize({"L": [{"S": "a"}, {"N": "1"}]})
+    assert value == ["a", 1.0]
+    assert varied is True
+
+
+def test_homogeneous_list_not_varied():
+    value, varied = deserialize({"L": [{"N": "1"}, {"N": "2"}]})
+    assert varied is False
+
+
+def test_unknown_marker_raises():
+    with pytest.raises(UnknownDescriptorError):
+        deserialize({"XX": "nope"})
+    with pytest.raises(UnknownDescriptorError):
+        deserialize({"S": "a", "N": "1"})  # two markers
+
+
+def test_image_varied_routing():
+    typed, varied = deserialize_image(
+        {
+            "pk": {"S": "k1"},
+            "mixed": {"L": [{"S": "a"}, {"N": "2"}]},
+            "plain": {"N": "7"},
+        }
+    )
+    assert typed == {"pk": "k1", "plain": 7.0}
+    assert varied == {"mixed": ["a", 2.0]}

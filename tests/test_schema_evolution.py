@@ -1,0 +1,123 @@
+"""Schema evolution via in-band control events (pattern: reference
+tests/transform/test_aws_dms_universal.py:262-271 create→drop→recreate,
+PK harvest at transform/aws_dms.py:140-144)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from commons_codec_ray.config import PipelineConfig, SchemaRegistry, resolve_logical_type
+from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+
+def control_envelope(lsn, columns, pk=("conv_id", "turn_idx"), operation="create-table"):
+    payload = {
+        "control": {"table-def": {"columns": columns, "primary-key": list(pk)}},
+        "metadata": {"operation": operation, "schema-name": "public",
+                     "table-name": "transcripts", "record-type": "control"},
+    }
+    if operation == "drop-table":
+        payload.pop("control")
+    return {"lsn": lsn, "source_offset": lsn, "dialect": "debezium",
+            "payload": json.dumps(payload), "conv_id": None}
+
+
+def data_envelope(lsn, conv_id, turn_idx, text, extra=None):
+    data = {"conv_id": conv_id, "turn_idx": turn_idx, "role": "user",
+            "text": text, "tool": None, "ts": "2024-01-01T00:00:00"}
+    if extra:
+        data.update(extra)
+    payload = {"data": data, "before-image": {},
+               "metadata": {"operation": "insert", "record-type": "data",
+                            "schema-name": "public", "table-name": "transcripts"}}
+    return {"lsn": lsn, "source_offset": lsn, "dialect": "debezium",
+            "payload": json.dumps(payload), "conv_id": conv_id}
+
+
+def write_log(path, rows):
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+
+def test_added_column_materializes_and_backfills_null(tmp_path):
+    log = tmp_path / "env.parquet"
+    write_log(
+        log,
+        [
+            data_envelope(0, "a", 0, "old-row"),
+            # epoch boundary at 2 → control lands in epoch 1
+            control_envelope(2, {
+                "conv_id": {"type": "STRING"}, "turn_idx": {"type": "INT32"},
+                "role": {"type": "STRING"}, "text": {"type": "STRING"},
+                "tool": {"type": "STRING"}, "ts": {"type": "TIMESTAMP"},
+                "rating": {"type": "INT32"},
+            }),
+            data_envelope(3, "a", 1, "new-row", extra={"rating": 5}),
+        ],
+    )
+    pipe = CDCPipeline(tmp_path / "lake", PipelineConfig(num_partitions=4, epoch_size=2))
+    pipe.replay(str(log), epoch_size=2)
+    df = pipe.read_lake().to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    assert "rating" in df.columns
+    assert df.loc[df.turn_idx == 1, "rating"].iloc[0] == 5
+    assert df.loc[df.turn_idx == 0, "rating"].isna().all()  # old rows null-filled
+
+
+def test_registry_snapshot_survives_restart(tmp_path):
+    log = tmp_path / "env.parquet"
+    write_log(
+        log,
+        [
+            control_envelope(0, {"rating": {"type": "INT64"}}),
+            data_envelope(1, "a", 0, "x", extra={"rating": 1}),
+        ],
+    )
+    pipe = CDCPipeline(tmp_path / "lake", PipelineConfig(num_partitions=4))
+    pipe.replay(str(log))
+    # fresh process: registry must come back from the checkpoint
+    pipe2 = CDCPipeline(tmp_path / "lake", PipelineConfig(num_partitions=4))
+    assert "rating" in pipe2.config.registry.column_types["transcripts"]
+    assert pipe2.config.registry.primary_keys["transcripts"] == ["conv_id", "turn_idx"]
+
+
+def test_drop_table_resets_to_caller_baseline():
+    reg = SchemaRegistry()
+    reg.column_types = {"transcripts": {"conv_id": "STRING"}}
+    reg.primary_keys = {"transcripts": ["conv_id"]}
+    reg.seed()
+    reg.apply_create_table("transcripts", {"extra": "INT32"}, ["conv_id", "extra"])
+    assert "extra" in reg.column_types["transcripts"]
+    assert reg.primary_keys["transcripts"] == ["conv_id", "extra"]
+    reg.apply_drop_table("transcripts")
+    assert reg.column_types["transcripts"] == {"conv_id": "STRING"}
+    assert reg.primary_keys["transcripts"] == ["conv_id"]
+
+
+def test_type_widening_via_unify():
+    reg = SchemaRegistry()
+    reg.column_types = {"t": {"x": "INT32"}}
+    base = pa.schema([pa.field("x", pa.int32())])
+    reg.apply_create_table("t", {"x": "INT64"}, ["x"])
+    unified = reg.arrow_schema("t", base)
+    assert unified.field("x").type == pa.int64()
+
+
+@pytest.mark.parametrize(
+    "ltype,expected",
+    [("INT8", pa.int8()), ("INT16", pa.int16()), ("INT32", pa.int32()),
+     ("INT64", pa.int64()), ("STRING", pa.string()), ("WHATEVER", pa.string()),
+     ("TIMESTAMP", pa.timestamp("us")), ("BOOLEAN", pa.bool_())],
+)
+def test_logical_type_resolution(ltype, expected):
+    # INT family by width, everything else → string (ref transform/aws_dms.py:226-246)
+    assert resolve_logical_type(ltype) == expected
+
+
+def test_registry_json_roundtrip():
+    reg = SchemaRegistry()
+    reg.apply_create_table("t", {"a": "INT32"}, ["a"])
+    reg2 = SchemaRegistry.from_json(reg.to_json())
+    assert reg2.column_types == reg.column_types
+    assert reg2.primary_keys == reg.primary_keys
+    assert reg2.version == reg.version
