@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark for the Ray-Data CDC engine.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events": M, "events_per_s": ...}
+
+Headline = full CDC replay (envelope parquet → decode → hash shuffle →
+LWW apply → committed Parquet lake) of a deterministically amplified
+event log (R update rounds over the sf events table; R via
+GRAFT_BENCH_REPLICAS, default 20 → 2M envelopes at sf0.1).
+
+``--scaling`` runs the headline at num_cpus=8 and 32 in fresh processes
+on the same input and reports throughput at both + scaling efficiency
+(sandbox proxy for the N vs 4N node-count criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "20"))
+WORK_ROOT = Path(os.environ.get("GRAFT_BENCH_DIR", "/tmp/ccr_bench"))
+
+
+def _prepare_envelopes(sf_dir: str, replicas: int) -> str:
+    """Materialize the amplified envelope log once (cached, untimed)."""
+    import pyarrow.parquet as pq
+
+    tag = f"{Path(sf_dir).name}-r{replicas}"
+    out_dir = WORK_ROOT / f"envelopes-{tag}"
+    done = out_dir / "_DONE"
+    if done.exists():
+        return str(out_dir)
+    from commons_codec_ray.envelopes import EventsToEnvelopes
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    log_dir = out_dir / "log"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    # Untimed prep, done driver-side at bench scale: one file per update
+    # round, offsets contiguous per file and row groups small (12.5k), so
+    # the epoch loop's offset-range filter prunes at file/row-group level
+    # and override_num_blocks maps splits onto row groups.
+    events = pq.read_table(f"{sf_dir}/events.parquet")
+    n_events = events.num_rows
+    for r in range(replicas):
+        env = EventsToEnvelopes(duplicates=False, lsn_offset=r * n_events)(events)
+        env = env.sort_by("source_offset")
+        pq.write_table(env, log_dir / f"round-{r:03d}.parquet", row_group_size=12_500)
+    done.touch()
+    return str(out_dir)
+
+
+def _envelope_files(env_dir: str) -> list[str]:
+    return sorted(str(p) for p in Path(env_dir).rglob("*.parquet"))
+
+
+def bench_once(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from commons_codec_ray.config import PipelineConfig
+    from commons_codec_ray.pipelines import queries as Q
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
+
+    env_dir = _prepare_envelopes(SF_DIR, REPLICAS)
+    files = _envelope_files(env_dir)
+    # warm the OS page cache AND the worker pool (imports) so we measure
+    # steady-state compute + shuffle, not first disk read / process spawn
+    total_events = rd.read_parquet(files).count()
+    warm_cfg = PipelineConfig()
+    rd.read_parquet(files, override_num_blocks=4 * num_cpus).map_batches(
+        DecodeEnvelopes(warm_cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=warm_cfg.decode_batch_size,
+    ).count()
+
+    results: dict[str, float] = {}
+
+    # --- headline: full replay into a committed lake -----------------------
+    lake = WORK_ROOT / f"lake-cpus{num_cpus}"
+    shutil.rmtree(lake, ignore_errors=True)
+    # two epochs: exercises the commit/carry-forward path while keeping the
+    # per-epoch fixed cost (a handful of Ray executions) a realistic
+    # fraction — production epochs hold minutes of events, not seconds
+    cfg = PipelineConfig(num_partitions=64, epoch_size=max(1_000_000, (total_events + 1) // 2))
+    pipe = CDCPipeline(lake, cfg)
+    t0 = time.time()
+    pipe.replay(env_dir)
+    headline = time.time() - t0
+    results["cdc_replay_lake"] = round(headline, 3)
+
+    # --- decode-only throughput (no shuffle, no sink) ----------------------
+    t0 = time.time()
+    rd.read_parquet(files, override_num_blocks=4 * num_cpus).map_batches(
+        DecodeEnvelopes(cfg, combine=True), batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    ).count()
+    results["decode_only"] = round(time.time() - t0, 3)
+
+    # --- secondary pipelines at this sf ------------------------------------
+    for name in ("windowed_agg", "exact_dedup", "ann_topk", "minhash_dedup"):
+        t0 = time.time()
+        res = Q.QUERIES[name](SF_DIR)
+        res.count() if hasattr(res, "count") else None
+        results[name] = round(time.time() - t0, 3)
+
+    # --- single-thread anchor (reference-style sequential loop) ------------
+    import pyarrow.parquet as pq
+
+    from commons_codec_ray.pipelines.oracle import replay_envelopes
+
+    anchor_tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    from commons_codec_ray.envelopes import EventsToEnvelopes
+
+    anchor_env = EventsToEnvelopes(duplicates=False)(anchor_tbl)
+    t0 = time.time()
+    replay_envelopes(anchor_env)
+    anchor_s = time.time() - t0
+    results["anchor_single_thread"] = round(anchor_s, 3)
+    anchor_eps = anchor_env.num_rows / anchor_s if anchor_s > 0 else None
+
+    ray.shutdown()
+    return {
+        "metric": "cdc replay seconds (amplified event log -> committed lake)",
+        "value": results["cdc_replay_lake"],
+        "unit": "sec",
+        "queries": results,
+        "sf": Path(SF_DIR).name,
+        "num_cpus": num_cpus,
+        "events": total_events,
+        "events_per_s": round(total_events / headline, 1),
+        "anchor_events_per_s": round(anchor_eps, 1) if anchor_eps else None,
+        "replicas": REPLICAS,
+    }
+
+
+def scaling() -> None:
+    env = dict(os.environ)
+
+    def run(ncpu: int) -> dict:
+        e = dict(env, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=e, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 vs 32, fresh processes)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "events": hi["events"],
+                "events_per_s_8": lo["events_per_s"],
+                "events_per_s_32": hi["events_per_s"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(bench_once(NUM_CPUS)))

@@ -66,11 +66,27 @@ def deserialize_image(image: dict) -> tuple[dict[str, Any], dict[str, Any]]:
     """Deserialize a full Keys/NewImage dict.
 
     Returns (typed, varied) dicts: ``varied`` holds attributes whose
-    value was a mixed-type list (→ aux bucket downstream).
+    value was a mixed-type list (→ aux bucket downstream). Scalar
+    markers (S/N/NULL/BOOL — the overwhelming majority in practice) are
+    inlined here; nested/rare markers fall back to :func:`deserialize`.
     """
     typed: dict[str, Any] = {}
     varied: dict[str, Any] = {}
     for name, desc in image.items():
+        if isinstance(desc, dict) and len(desc) == 1:
+            marker, value = next(iter(desc.items()))
+            if marker == "S":
+                typed[name] = value
+                continue
+            if marker == "N":
+                typed[name] = float(value)
+                continue
+            if marker == "NULL":
+                typed[name] = None
+                continue
+            if marker == "BOOL":
+                typed[name] = bool(value)
+                continue
         value, is_varied = deserialize(desc)
         (varied if is_varied else typed)[name] = value
     return typed, varied

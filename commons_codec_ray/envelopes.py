@@ -163,14 +163,24 @@ class EventsToEnvelopes:
         malformed JSON (dead-letter path).
     """
 
-    def __init__(self, dialect: str | None = None, duplicates: bool = True, corrupt: bool = False):
+    def __init__(
+        self,
+        dialect: str | None = None,
+        duplicates: bool = True,
+        corrupt: bool = False,
+        lsn_offset: int = 0,
+    ):
         self.dialect = dialect
         self.duplicates = duplicates
         self.corrupt = corrupt
+        # lsn_offset shifts the log-sequence space so the bench can replay
+        # the same key set repeatedly (replica r = one more update round
+        # per key — deterministic LWW-heavy amplification, no external data)
+        self.lsn_offset = lsn_offset
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ops = logical_ops_from_events(batch)
-        lsn = ops["lsn"]
+        lsn = ops["lsn"] + self.lsn_offset
         n = len(lsn)
         ts_iso = _iso_strings(ops["ts_us"])
         if self.dialect is None:

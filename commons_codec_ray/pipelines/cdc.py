@@ -54,14 +54,31 @@ def _make_apply_fn(
     """Per-partition applier run inside map_groups tasks.
 
     Writes the new partition file via tmp + atomic rename (safe under
-    Ray task retries — a retried task rewrites identical bytes) and
-    returns one lineage row per partition.
+    Ray task retries — a retried task rewrites identical bytes), writes
+    the partition's dead letters (if any) into the epoch's dead-letter
+    dir, and returns one lineage row per partition.
     """
 
     def _apply(group: pa.Table) -> pa.Table:
         import os
 
         pid = group["partition_id"][0].as_py()
+        # split off dead letters / control rows riding the same shuffle
+        special_mask = pc.greater_equal(group["op"], pa.scalar(OP_SCHEMA, pa.int8()))
+        n_dead = 0
+        if pc.any(special_mask).as_py():
+            special = group.filter(special_mask)
+            dead = special.filter(pc.equal(special["op"], pa.scalar(OP_DEAD, pa.int8())))
+            n_dead = dead.num_rows
+            if n_dead:
+                dl_dir = Path(lake_root) / "dead_letters" / f"epoch-{epoch:08d}"
+                dl_dir.mkdir(parents=True, exist_ok=True)
+                dpath = dl_dir / f"dead-{pid:04d}.parquet"
+                dtmp = dpath.with_suffix(f".tmp-{os.getpid()}")
+                pq.write_table(dead.select(["lsn", "source_offset", "aux", "error"]), dtmp)
+                os.replace(dtmp, dpath)
+            group = group.filter(pc.invert(special_mask))
+
         base = None
         rel = base_partitions.get(pid)
         if rel is not None:
@@ -82,6 +99,7 @@ def _make_apply_fn(
                 "rows": pa.array([out.num_rows], pa.int64()),
                 "max_lsn": pa.array([max_lsn if max_lsn is not None else -1], pa.int64()),
                 "ops_applied": pa.array([group.num_rows], pa.int64()),
+                "n_dead": pa.array([n_dead], pa.int64()),
             }
         )
 
@@ -97,47 +115,40 @@ class CDCPipeline:
             self.config.registry = SchemaRegistry.from_json(ckpt.registry_json)
 
     # ------------------------------------------------------------------ epoch
-    def run_epoch(self, envelopes, epoch: int, offset_range: tuple[int, int]) -> dict[str, Any]:
+    def run_epoch(
+        self,
+        envelopes,
+        epoch: int,
+        offset_range: tuple[int, int],
+        schema_rows: list[dict[str, Any]] | None = None,
+    ) -> dict[str, Any]:
         """Decode + apply + commit one epoch. ``envelopes`` is a Dataset of
-        (lsn, source_offset, dialect, payload[, conv_id]) rows."""
+        (lsn, source_offset, dialect, payload[, conv_id]) rows.
+        ``schema_rows``: this epoch's control events if the caller already
+        pre-scanned the log (``replay`` scans once for all epochs); None →
+        scan ``envelopes`` here."""
         cfg = self.config
         t0 = time.time()
         ckpt = self.store.read_checkpoint()
         if epoch <= ckpt.last_epoch:
             return {"epoch": epoch, "skipped": True}  # already committed (resume)
 
+        # --- control events (registry must update BEFORE apply) --------------
+        if schema_rows is None:
+            schema_rows = self._scan_control_events(envelopes)
+        for row in schema_rows:
+            self._apply_schema_event(row)
+
+        # --- decode → hash shuffle → apply ----------------------------------
+        # decode output is materialized once: Ray's sort-based groupby
+        # samples its input for range boundaries, and without the barrier
+        # that sampling would re-run the decode stage; dead letters ride
+        # the same exchange (partition 0) and are written by the appliers.
         ops = envelopes.map_batches(
             DecodeEnvelopes(cfg, combine=True),
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         ).materialize()
-
-        # --- schema control events (tiny by construction) -------------------
-        schema_ops = ops.map_batches(
-            lambda t: t.filter(pc.equal(t["op"], pa.scalar(OP_SCHEMA, pa.int8()))),
-            batch_format="pyarrow",
-        )
-        schema_rows = schema_ops.take_all()
-        schema_rows.sort(key=lambda r: r["lsn"])
-        for row in schema_rows:
-            self._apply_schema_event(row)
-
-        # --- dead letters ----------------------------------------------------
-        dead = ops.map_batches(
-            lambda t: t.filter(pc.equal(t["op"], pa.scalar(OP_DEAD, pa.int8()))),
-            batch_format="pyarrow",
-        )
-        n_dead = dead.count()
-        if n_dead:
-            dead.select_columns(["lsn", "source_offset", "aux", "error"]).write_parquet(
-                str(self.store.dead_letter_dir(epoch))
-            )
-
-        # --- data ops → ONE shuffle → per-partition apply --------------------
-        data = ops.map_batches(
-            lambda t: t.filter(pc.less(t["op"], pa.scalar(OP_SCHEMA, pa.int8()))),
-            batch_format="pyarrow",
-        )
         base_partitions = {int(k): v for k, v in ckpt.partitions.items()}
         apply_fn = _make_apply_fn(
             str(self.store.root),
@@ -147,9 +158,10 @@ class CDCPipeline:
         )
         self.store.ensure_dirs(epoch)
         lineage = (
-            data.groupby("partition_id").map_groups(apply_fn, batch_format="pyarrow").take_all()
+            ops.groupby("partition_id").map_groups(apply_fn, batch_format="pyarrow").take_all()
         )
 
+        n_dead = sum(r["n_dead"] for r in lineage)
         metrics = {
             "events": sum(r["ops_applied"] for r in lineage),
             "rows_out": sum(r["rows"] for r in lineage),
@@ -162,6 +174,35 @@ class CDCPipeline:
             epoch, lineage, offset_range, cfg.registry.to_json(), metrics
         )
         return {"epoch": epoch, "skipped": False, **metrics}
+
+    def _scan_control_events(self, envelopes) -> list[dict[str, Any]]:
+        """Cheap scan for in-band DDL: vectorized substring-regex over raw
+        payloads (no per-row JSON parse), then decode only the matches."""
+        from commons_codec_ray.decode.dialects import DECODERS
+
+        matches = envelopes.map_batches(
+            lambda t: t.filter(
+                pc.match_substring_regex(t["payload"], r'"record-type":\s*"control"')
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        out: list[dict[str, Any]] = []
+        for r in matches:
+            try:
+                decoded = DECODERS[r["dialect"]](json.loads(r["payload"]))
+            except Exception:  # noqa: BLE001 — malformed control → dead-letters later
+                continue
+            for op, _rec, aux in decoded:
+                if op == OP_SCHEMA:
+                    out.append(
+                        {
+                            "lsn": r["lsn"],
+                            "source_offset": r["source_offset"],
+                            "aux": json.dumps(aux, default=str),
+                        }
+                    )
+        out.sort(key=lambda r: r["lsn"])
+        return out
 
     def _apply_schema_event(self, row: dict[str, Any]) -> None:
         aux = json.loads(row["aux"] or "{}")
@@ -199,13 +240,27 @@ class CDCPipeline:
         epoch = ckpt.last_epoch + 1
         results = []
         lo = start
+        num_blocks = _decode_parallelism()
+        # ONE control-event prescan over the remaining log (vectorized regex
+        # over raw payloads — no JSON parse), bucketed into epochs below.
+        all_controls = self._scan_control_events(
+            rd.read_parquet(
+                envelopes_path,
+                filter=pc.field("source_offset") >= lo,
+                columns=["lsn", "source_offset", "dialect", "payload"],
+            )
+        )
         while lo <= max_offset:
             hi = lo + epoch_size
             env = rd.read_parquet(
                 envelopes_path,
                 filter=(pc.field("source_offset") >= lo) & (pc.field("source_offset") < hi),
+                # an epoch's offset range often maps to few large files; force
+                # enough read splits that the decode stage can use every core
+                override_num_blocks=num_blocks,
             )
-            results.append(self.run_epoch(env, epoch, (lo, hi)))
+            epoch_controls = [r for r in all_controls if lo <= r["source_offset"] < hi]
+            results.append(self.run_epoch(env, epoch, (lo, hi), schema_rows=epoch_controls))
             epoch += 1
             lo = hi
         return results
@@ -226,13 +281,23 @@ class CDCPipeline:
         return self.store.read_checkpoint()
 
 
+def _decode_parallelism() -> int:
+    """Read/decode split count: ~2 blocks per CPU in the current cluster."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — not initialised yet
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
 def _max_column_value(parquet_path: str, column: str) -> int:
     """Max of an int column from Parquet row-group statistics (no scan)."""
-    import glob
     import os
 
     paths = (
-        sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
+        sorted(str(p) for p in Path(parquet_path).rglob("*.parquet"))
         if os.path.isdir(parquet_path)
         else [parquet_path]
     )

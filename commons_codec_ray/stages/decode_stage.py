@@ -28,6 +28,13 @@ import json
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:  # orjson ships with Ray; ~4× faster loads. Fallback: stdlib.
+    import orjson
+
+    _loads = orjson.loads
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.decode.dialects import DECODERS
 from commons_codec_ray.hashing import partition_ids_for
@@ -42,7 +49,7 @@ class DecodeEnvelopes:
         self.config = config or PipelineConfig()
         self.combine = combine
         self.decoders = dict(DECODERS)
-        self.loads = json.loads
+        self.loads = _loads
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
