@@ -114,6 +114,67 @@ class CDCPipeline:
         if ckpt.registry_json and ckpt.registry_json != "{}":
             self.config.registry = SchemaRegistry.from_json(ckpt.registry_json)
 
+    # ------------------------------------------------------------------ bootstrap
+    def bootstrap_full_load(self, snapshot_ds, lsn: int = -1) -> dict[str, Any]:
+        """Initial snapshot load — the analog of the reference's full-load
+        translators (DynamoDBFullLoadTranslator, transform/dynamodb.py:141-159;
+        MongoDBFullLoadTranslator, transform/mongodb.py:239-269): a bulk
+        table of rows becomes the lake's epoch 0, after which CDC replay
+        starts at offset 0.
+
+        ``snapshot_ds``: Dataset with the transcript columns. Rows get
+        ``_lsn = lsn`` (default −1 → any CDC op wins over snapshot rows).
+        """
+        from commons_codec_ray.hashing import partition_ids_for
+        from commons_codec_ray.schemas import OP_UPSERT
+
+        ckpt = self.store.read_checkpoint()
+        if ckpt.last_epoch >= 0:
+            return {"epoch": 0, "skipped": True}
+        cfg = self.config
+        t0 = time.time()
+
+        def to_ops(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = t.num_rows
+            conv = t["conv_id"].cast(pa.string())
+            return pa.table(
+                {
+                    "op": pa.array(np.full(n, OP_UPSERT, dtype=np.int8)),
+                    "conv_id": conv,
+                    "turn_idx": t["turn_idx"].cast(pa.int32()),
+                    "role": t["role"].cast(pa.string()),
+                    "text": t["text"].cast(pa.string()),
+                    "tool": t["tool"].cast(pa.string()),
+                    "ts": t["ts"].cast(pa.timestamp("us")),
+                    "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
+                    "partition_id": partition_ids_for(
+                        conv.combine_chunks(), cfg.num_partitions
+                    ),
+                }
+            )
+
+        ops = snapshot_ds.map_batches(to_ops, batch_format="pyarrow")
+        apply_fn = _make_apply_fn(
+            str(self.store.root), 0, {}, _extra_columns(cfg.registry, cfg.table)
+        )
+        self.store.ensure_dirs(0)
+        lineage = (
+            ops.groupby("partition_id").map_groups(apply_fn, batch_format="pyarrow").take_all()
+        )
+        metrics = {
+            "events": sum(r["ops_applied"] for r in lineage),
+            "rows_out": sum(r["rows"] for r in lineage),
+            "partitions_touched": len(lineage),
+            "dead_letters": 0,
+            "schema_events": 0,
+            "duration_s": round(time.time() - t0, 3),
+            "full_load": True,
+        }
+        self.store.commit_epoch(0, lineage, (0, 0), cfg.registry.to_json(), metrics)
+        return {"epoch": 0, "skipped": False, **metrics}
+
     # ------------------------------------------------------------------ epoch
     def run_epoch(
         self,
@@ -225,13 +286,28 @@ class CDCPipeline:
         envelopes_path: str,
         epoch_size: int | None = None,
         max_offset: int | None = None,
+        mode: str = "groupby",
     ) -> list[dict[str, Any]]:
         """Replay an envelope log from the last checkpoint to its end.
 
         Epochs slice the log by ``source_offset`` ranges using Parquet
         row-group predicate pushdown — resume never rescans committed
         offsets.
+
+        ``mode``:
+          - ``"groupby"`` (default): Dataset path — decode via
+            ``map_batches``, one ``groupby(partition_id)`` exchange,
+            appliers re-read base state from Parquet per epoch. Memory-
+            safe for lakes far bigger than cluster RAM.
+          - ``"actors"``: stateful applier actor pool — partition state
+            held in actor memory across epochs, explicit hash exchange
+            via multi-return decode tasks (see
+            :mod:`commons_codec_ray.stages.actor_applier`). Fastest for
+            many-epoch streaming ingest whose working set fits the pool;
+            both modes produce byte-identical lakes.
         """
+        if mode == "actors":
+            return self._replay_actors(envelopes_path, epoch_size, max_offset)
         epoch_size = epoch_size or self.config.epoch_size
         if max_offset is None:
             max_offset = _max_column_value(envelopes_path, "source_offset")
@@ -265,6 +341,74 @@ class CDCPipeline:
             lo = hi
         return results
 
+    def _replay_actors(
+        self,
+        envelopes_path: str,
+        epoch_size: int | None = None,
+        max_offset: int | None = None,
+    ) -> list[dict[str, Any]]:
+        from commons_codec_ray.stages.actor_applier import ActorPoolApplyRunner
+
+        cfg = self.config
+        epoch_size = epoch_size or cfg.epoch_size
+        if max_offset is None:
+            max_offset = _max_column_value(envelopes_path, "source_offset")
+        files = _parquet_files(envelopes_path)
+        ckpt = self.store.read_checkpoint()
+        start, epoch = ckpt.next_offset, ckpt.last_epoch + 1
+        if start > max_offset:
+            return []
+        all_controls = self._scan_control_events(
+            rd.read_parquet(
+                files,
+                filter=pc.field("source_offset") >= start,
+                columns=["lsn", "source_offset", "dialect", "payload"],
+            )
+        )
+        runner = ActorPoolApplyRunner(
+            str(self.store.root),
+            cfg,
+            {int(k): v for k, v in ckpt.partitions.items()},
+        )
+        results = []
+        try:
+            lo = start
+            while lo <= max_offset:
+                hi = lo + epoch_size
+                t0 = time.time()
+                epoch_controls = [
+                    r for r in all_controls if lo <= r["source_offset"] < hi
+                ]
+                for row in epoch_controls:
+                    self._apply_schema_event(row)
+                if epoch_controls:
+                    runner.refresh_extra_columns()
+                self.store.ensure_dirs(epoch)
+                lineage, dead = runner.run_epoch(files, epoch, lo, hi)
+                n_dead = 0
+                if dead is not None and dead.num_rows:
+                    n_dead = dead.num_rows
+                    dl_dir = self.store.dead_letter_dir(epoch)
+                    dl_dir.mkdir(parents=True, exist_ok=True)
+                    pq.write_table(dead, dl_dir / "dead-0000.parquet")
+                metrics = {
+                    "events": sum(r["ops_applied"] for r in lineage),
+                    "rows_out": sum(r["rows"] for r in lineage),
+                    "partitions_touched": len(lineage),
+                    "dead_letters": n_dead,
+                    "schema_events": len(epoch_controls),
+                    "duration_s": round(time.time() - t0, 3),
+                }
+                self.store.commit_epoch(
+                    epoch, lineage, (lo, hi), cfg.registry.to_json(), metrics
+                )
+                results.append({"epoch": epoch, "skipped": False, **metrics})
+                epoch += 1
+                lo = hi
+        finally:
+            runner.shutdown()
+        return results
+
     # ------------------------------------------------------------------ reads
     def read_lake(self, with_lsn: bool = False):
         files = self.store.current_files()
@@ -292,15 +436,17 @@ def _decode_parallelism() -> int:
     return max(16, 2 * cpus)
 
 
-def _max_column_value(parquet_path: str, column: str) -> int:
-    """Max of an int column from Parquet row-group statistics (no scan)."""
+def _parquet_files(path: str) -> list[str]:
     import os
 
-    paths = (
-        sorted(str(p) for p in Path(parquet_path).rglob("*.parquet"))
-        if os.path.isdir(parquet_path)
-        else [parquet_path]
-    )
+    if os.path.isdir(path):
+        return sorted(str(p) for p in Path(path).rglob("*.parquet"))
+    return [path]
+
+
+def _max_column_value(parquet_path: str, column: str) -> int:
+    """Max of an int column from Parquet row-group statistics (no scan)."""
+    paths = _parquet_files(parquet_path)
     best = -1
     for p in paths:
         md = pq.ParquetFile(p).metadata

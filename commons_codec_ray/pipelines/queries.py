@@ -303,7 +303,176 @@ SELECT query_id, vec_id, round(s, 4) AS score FROM ranked WHERE rn <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Payload decoding: JSON flatten + Extended JSON round trip
+# ---------------------------------------------------------------------------
+
+
+def q_json_flatten(sf_dir: str):
+    """Generic JSON payload flatten (the reference's decoder-family
+    pattern: payload column → wide columns) over events.props."""
+    from commons_codec_ray.decode.iot import FlattenStage
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    out = ds.map_batches(
+        FlattenStage, fn_constructor_kwargs={"decoder": "json", "payload_column": "props", "keep": ("event_id",)},
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "k": t["k"].cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_JSON_FLATTEN_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+class _ExtJsonRoundTrip:
+    """Encode events rows into Extended JSON (mixed canonical/legacy
+    shapes), then decode with the engine's Extended JSON decoder —
+    a lossless loop the SQL oracle can check with a plain projection."""
+
+    def __init__(self):
+        from commons_codec_ray.decode.extended_json import decode_document
+
+        self.decode_document = decode_document
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import datetime as dt
+
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        etype = batch["event_type"].to_pylist()
+        value = batch["value"].to_pylist()
+        ts = batch["ts"].to_pylist()
+        out_rows = []
+        for i in range(len(eid)):
+            t: dt.datetime = ts[i]
+            if eid[i] % 2 == 0:  # legacy ISO-string $date (keeps µs)
+                date_desc = {"$date": t.isoformat()}
+            else:  # canonical epoch-millis $date (truncates to ms)
+                ms = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+                date_desc = {"$date": {"$numberLong": str(ms)}}
+            doc = {
+                "event_id": {"$numberLong": str(eid[i])},
+                "user_id": {"$numberInt": str(uid[i])},
+                "event_type": {"$symbol": etype[i]},
+                "value": {"$numberDouble": repr(value[i])},
+                "ts": date_desc,
+            }
+            out_rows.append(self.decode_document(doc))
+        tbl = pa.Table.from_pylist(out_rows)
+        return pa.table(
+            {
+                "event_id": tbl["event_id"].cast(pa.int64()),
+                "user_id": tbl["user_id"].cast(pa.int64()),
+                "event_type": tbl["event_type"].cast(pa.string()),
+                "value": tbl["value"].cast(pa.float64()),
+                "ts": tbl["ts"].cast(pa.timestamp("us")),
+            }
+        )
+
+
+def q_ext_json_roundtrip(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "ts"],
+    )
+    return ds.map_batches(_ExtJsonRoundTrip, batch_format="pyarrow", concurrency=2)
+
+
+_EXT_JSON_SQL = """
+SELECT event_id, user_id, event_type, value,
+       CASE WHEN event_id % 2 = 0 THEN ts
+            ELSE date_trunc('millisecond', ts) END AS ts
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join + pre-aggregated rollup (orders ⋈ customer ⋈ nation)
+# ---------------------------------------------------------------------------
+
+
+def q_bcast_join_agg(sf_dir: str):
+    """Revenue per nation: the small side (customer⋈nation lookup) is
+    broadcast via ray.put once and read in each actor's __init__; the big
+    side streams through a per-batch partial aggregate; the final groupby
+    runs over tiny partials. No shuffle of the fact table."""
+    import ray as _ray
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    lookup = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    lookup_ref = _ray.put(lookup)
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = _ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["nation"] = batch["o_custkey"].map(self.lookup)
+            g = batch.groupby("nation", sort=False).agg(
+                n_orders=("o_orderkey", "size"), total=("o_totalprice", "sum")
+            )
+            return g.reset_index()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    partials = orders.map_batches(JoinAgg, batch_format="pandas", concurrency=4)
+    agg = partials.groupby("nation").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": t["nation"],
+                "n_orders": t["n_orders"].cast(pa.int64()),
+                "total_price": duckdb_round(t["total"].combine_chunks(), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_BCAST_JOIN_SQL = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 # --- rows-only checks (no exact SQL equivalent; driver verifies rows>=0) ---
+
+
+def q_multimodal_features(sf_dir: str):
+    """Actor-pool feature extraction over a deterministic synthetic
+    multimodal table (binary payload column; codec stubbed — see
+    stages/multimodal.py)."""
+    from commons_codec_ray.stages.multimodal import (
+        feature_extract,
+        synthesize_multimodal_table,
+    )
+
+    tbl = synthesize_multimodal_table(512)
+    ds = rd.from_arrow(tbl)
+    return feature_extract(ds).select_columns(
+        ["item_id", "modality", "resized_w", "resized_h"]
+    )
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -361,12 +530,16 @@ QUERIES = {
     "token_count": q_token_count,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
+    "json_flatten": q_json_flatten,
+    "ext_json_roundtrip": q_ext_json_roundtrip,
+    "bcast_join_agg": q_bcast_join_agg,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "langid": q_langid,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
@@ -380,4 +553,7 @@ ORACLE_SQL = {
     "token_count": _TOKEN_COUNT_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "ann_topk": _ANN_TOPK_SQL,
+    "json_flatten": _JSON_FLATTEN_SQL,
+    "ext_json_roundtrip": _EXT_JSON_SQL,
+    "bcast_join_agg": _BCAST_JOIN_SQL,
 }

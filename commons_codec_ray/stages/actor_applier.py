@@ -1,0 +1,304 @@
+"""Stateful applier actor pool — the streaming hot path.
+
+The Dataset path (``groupby("partition_id").map_groups``) re-reads every
+partition's base state from Parquet each epoch and pays a sort-based
+shuffle. For a long-running ingest job that applies many epochs, the
+right shape (SURVEY.md §2.4/§3.4; the north star's "stateful actor-pool
+appliers … in-actor Arrow-backed state table") is:
+
+- ``A`` **applier actors**, each owning the fixed partition set
+  ``{pid : pid % A == actor_id}``; partition state (transcript rows +
+  ``_lsn``) lives in actor memory across epochs, loaded from the last
+  checkpoint once at start;
+- ``K`` **decode tasks** per epoch (raw ``@ray.remote``), each reading a
+  row-group slice of the envelope log, decoding, LWW-combining within
+  the slice, and hash-splitting its output into ``A`` sub-tables
+  returned as separate objects (``num_returns=A``) — an explicit hash
+  exchange through the object store, no sampling, no sort;
+- each actor merges its ``K`` sub-tables into its state, writes its
+  partition files for the epoch (tmp + atomic rename), and returns
+  lineage rows; the driver commits the manifest + checkpoint exactly as
+  in the Dataset path.
+
+This is one of the few places the engine drops below the Dataset API —
+justified because the exchange key space is small and static (``P``
+partitions), which Ray's generic sort/hash shuffles cannot exploit, and
+because applier state must persist across epochs.
+
+Failure semantics: tasks/actors are deterministic given (checkpoint,
+epoch op set); any failure aborts the epoch, and a rerun resumes from
+the last committed checkpoint (fresh actors reload base state). The
+commit protocol in :mod:`commons_codec_ray.sink.manifest` is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from commons_codec_ray.config import PipelineConfig
+from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA
+from commons_codec_ray.stages.applier import LSN_COLUMN, apply_ops_to_base
+from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
+
+
+@ray.remote
+def decode_split_task(
+    file_slices: list[tuple[str, list[int]]],
+    lo: int,
+    hi: int,
+    config: PipelineConfig,
+    num_actors: int,
+) -> Any:
+    """Read assigned row groups, decode, split by ``pid % num_actors``.
+
+    Returns ``num_actors + 1`` objects: one ops sub-table per actor plus
+    a trailing dead-letter table (kept separate so appliers stay on the
+    data-only fast path).
+    """
+    decode = DecodeEnvelopes(config, combine=True)
+    parts: list[pa.Table] = []
+    for path, row_groups in file_slices:
+        f = pq.ParquetFile(path)
+        tbl = f.read_row_groups(row_groups)
+        off = tbl["source_offset"]
+        mask = pc.and_(pc.greater_equal(off, pa.scalar(lo)), pc.less(off, pa.scalar(hi)))
+        tbl = tbl.filter(mask)
+        if tbl.num_rows:
+            parts.append(decode(tbl))
+    if parts:
+        ops = pa.concat_tables(parts)
+    else:
+        from commons_codec_ray.schemas import empty_ops_table
+
+        ops = empty_ops_table()
+
+    dead = ops.filter(pc.equal(ops["op"], pa.scalar(OP_DEAD, pa.int8())))
+    data = ops.filter(pc.less(ops["op"], pa.scalar(OP_SCHEMA, pa.int8())))
+    pid = data["partition_id"].to_numpy(zero_copy_only=False)
+    actor_of = pid % num_actors
+    out = []
+    for a in range(num_actors):
+        out.append(data.filter(pa.array(actor_of == a)))
+    out.append(dead.select(["lsn", "source_offset", "aux", "error"]))
+    return tuple(out)
+
+
+@ray.remote
+class PartitionApplier:
+    """Owns ``{pid : pid % A == actor_id}``; state lives across epochs."""
+
+    def __init__(
+        self,
+        actor_id: int,
+        num_actors: int,
+        lake_root: str,
+        base_partitions: dict[int, str],
+        extra_columns_json: str,
+    ):
+        self.actor_id = actor_id
+        self.num_actors = num_actors
+        self.lake_root = Path(lake_root)
+        self._pending: list[pa.Table] = []
+        self._pending_rows = 0
+        self.extra_columns = [
+            (n, _type_from_str(t)) for n, t in json.loads(extra_columns_json)
+        ]
+        # load base state for owned partitions ONCE (from last checkpoint)
+        self.state: dict[int, pa.Table] = {}
+        for pid, rel in base_partitions.items():
+            if pid % num_actors == actor_id:
+                self.state[pid] = pq.read_table(self.lake_root / rel)
+
+    def set_extra_columns(self, extra_columns_json: str) -> None:
+        self.extra_columns = [
+            (n, _type_from_str(t)) for n, t in json.loads(extra_columns_json)
+        ]
+
+    def ingest(self, *op_tables: pa.Table) -> None:
+        """Accumulate a decode task's output for this actor.
+
+        Called once per decode task as its result becomes available —
+        Ray queues the calls per actor, so merging overlaps the rest of
+        the decode stage instead of waiting for a global barrier. A
+        rolling LWW pre-reduce bounds memory: pending ops never exceed
+        ~2× the combine threshold regardless of epoch size.
+        """
+        from commons_codec_ray.stages.applier import lww_reduce
+
+        for t in op_tables:
+            if t.num_rows:
+                self._pending.append(t)
+                self._pending_rows += t.num_rows
+        if self._pending_rows > 2_000_000:
+            reduced = lww_reduce(pa.concat_tables(self._pending, promote_options="permissive"))
+            self._pending = [reduced]
+            self._pending_rows = reduced.num_rows
+
+    def flush_epoch(self, epoch: int) -> list[dict[str, Any]]:
+        ops = (
+            pa.concat_tables(self._pending, promote_options="permissive")
+            if self._pending
+            else None
+        )
+        self._pending, self._pending_rows = [], 0
+        return self._apply(epoch, ops)
+
+    def apply_epoch(self, epoch: int, *op_tables: pa.Table) -> list[dict[str, Any]]:
+        """One-shot variant (barrier semantics); used by small jobs/tests."""
+        ops = pa.concat_tables([t for t in op_tables if t.num_rows]) if op_tables else None
+        return self._apply(epoch, ops)
+
+    def _apply(self, epoch: int, ops: pa.Table | None) -> list[dict[str, Any]]:
+        epoch_dir = self.lake_root / "epochs" / f"epoch-{epoch:08d}"
+        epoch_dir.mkdir(parents=True, exist_ok=True)
+        lineage: list[dict[str, Any]] = []
+        if ops is None or ops.num_rows == 0:
+            return lineage
+        pids = np.unique(ops["partition_id"].to_numpy(zero_copy_only=False))
+        for pid in pids:
+            pid = int(pid)
+            group = ops.filter(pc.equal(ops["partition_id"], pa.scalar(pid, pa.int32())))
+            base = self.state.get(pid)
+            out = apply_ops_to_base(base, group, self.extra_columns)
+            self.state[pid] = out
+            path = epoch_dir / f"part-{pid:04d}.parquet"
+            tmp = path.with_suffix(f".tmp-{os.getpid()}")
+            pq.write_table(out, tmp)
+            os.replace(tmp, path)
+            lineage.append(
+                {
+                    "partition_id": pid,
+                    "path": str(path.relative_to(self.lake_root)),
+                    "rows": out.num_rows,
+                    "max_lsn": int(pc.max(group["lsn"]).as_py()),
+                    "ops_applied": group.num_rows,
+                    "n_dead": 0,
+                }
+            )
+        return lineage
+
+    def ping(self) -> int:
+        return self.actor_id
+
+
+def _type_from_str(s: str) -> pa.DataType:
+    from commons_codec_ray.config import resolve_logical_type
+
+    return resolve_logical_type(s)
+
+
+def plan_file_slices(
+    envelope_files: list[str], lo: int, hi: int, num_tasks: int
+) -> list[list[tuple[str, list[int]]]]:
+    """Assign row groups overlapping [lo, hi) to ``num_tasks`` slices,
+    using Parquet row-group statistics (no data read on the driver)."""
+    units: list[tuple[str, int, int]] = []  # (path, row_group, rows)
+    for p in envelope_files:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["source_offset"]
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max or (stats.max >= lo and stats.min < hi):
+                units.append((p, rg, md.row_group(rg).num_rows))
+    if not units:
+        return []
+    num_tasks = min(num_tasks, len(units))
+    total_rows = sum(u[2] for u in units)
+    per_task = max(1, total_rows // num_tasks)
+    slices: list[list[tuple[str, list[int]]]] = []
+    cur: dict[str, list[int]] = {}
+    cur_rows = 0
+    for path, rg, rows in units:
+        cur.setdefault(path, []).append(rg)
+        cur_rows += rows
+        if cur_rows >= per_task and len(slices) < num_tasks - 1:
+            slices.append(list(cur.items()))
+            cur, cur_rows = {}, 0
+    if cur:
+        slices.append(list(cur.items()))
+    return slices
+
+
+class ActorPoolApplyRunner:
+    """Drives decode tasks + the applier pool for a sequence of epochs."""
+
+    def __init__(
+        self,
+        lake_root: str,
+        config: PipelineConfig,
+        base_partitions: dict[int, str],
+        num_actors: int | None = None,
+        num_decode_tasks: int | None = None,
+    ):
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # appliers get ~1/3 of cores, decoders the rest; both bounded by P
+        self.num_actors = num_actors or max(2, min(config.num_partitions, cpus // 3))
+        self.num_decode_tasks = num_decode_tasks or max(4, cpus)
+        self.config = config
+        self.lake_root = lake_root
+        extra = json.dumps(
+            [
+                (n, t)
+                for n, t in config.registry.column_types.get(config.table, {}).items()
+                if n not in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            ]
+        )
+        self.actors = [
+            PartitionApplier.remote(a, self.num_actors, lake_root, base_partitions, extra)
+            for a in range(self.num_actors)
+        ]
+        ray.get([a.ping.remote() for a in self.actors])
+
+    def refresh_extra_columns(self) -> None:
+        extra = json.dumps(
+            [
+                (n, t)
+                for n, t in self.config.registry.column_types.get(self.config.table, {}).items()
+                if n not in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            ]
+        )
+        ray.get([a.set_extra_columns.remote(extra) for a in self.actors])
+
+    def run_epoch(
+        self, envelope_files: list[str], epoch: int, lo: int, hi: int
+    ) -> tuple[list[dict[str, Any]], pa.Table | None]:
+        """Returns (lineage rows, dead-letter table or None)."""
+        slices = plan_file_slices(envelope_files, lo, hi, self.num_decode_tasks)
+        if not slices:
+            return [], None
+        A = self.num_actors
+        refs_matrix = [
+            decode_split_task.options(num_returns=A + 1).remote(
+                sl, lo, hi, self.config, A
+            )
+            for sl in slices
+        ]
+        # incremental push: each actor ingests one decode task's slice as
+        # soon as that task finishes (per-actor ordered queue) — the merge
+        # overlaps the decode stage; flush_epoch is the only barrier.
+        ingest_refs = [
+            self.actors[a].ingest.remote(refs[a])
+            for refs in refs_matrix
+            for a in range(A)
+        ]
+        flush_futures = [a.flush_epoch.remote(epoch) for a in self.actors]
+        dead_tables = [t for t in ray.get([refs[A] for refs in refs_matrix]) if t.num_rows]
+        lineage = [row for rows in ray.get(flush_futures) for row in rows]
+        ray.get(ingest_refs)  # surface any ingest errors
+        dead = pa.concat_tables(dead_tables) if dead_tables else None
+        return lineage, dead
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

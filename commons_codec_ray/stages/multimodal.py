@@ -1,0 +1,129 @@
+"""Multimodal column stages: opaque ``binary`` payloads + typed metadata.
+
+Images / audio / video are carried as Arrow ``binary`` columns next to
+typed metadata columns; decode / feature-extraction / resize /
+frame-sample run as actor-pool ``map_batches`` stages (codec state built
+once per actor in ``__init__``).
+
+The sandbox has no image/audio libraries, so the DECODE step is stubbed:
+``DeterministicStubCodec`` produces seeded-deterministic features from
+the payload bytes (so the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is real and tested), and
+``ImageDecodeStage`` raises ``NotImplementedError`` at the exact spot a
+real codec (Pillow / torchvision / ffmpeg) plugs in.
+
+Scale notes: binary payloads are large — these stages should run with a
+SMALL ``batch_size`` (32–256) and ``batch_format="pyarrow"`` (binary
+round-trips pandas badly), and the surrounding pipeline should prune the
+payload column as early as possible (`select_columns` after feature
+extraction) so multi-MB blobs don't ride through later shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MULTIMODAL_SCHEMA = pa.schema(
+    [
+        pa.field("item_id", pa.int64()),
+        pa.field("modality", pa.string()),  # image | audio | video
+        pa.field("mime", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("width", pa.int32()),  # typed metadata (nullable per modality)
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+
+class ImageDecodeStage:
+    """Real-codec slot: decode image bytes → pixel arrays.
+
+    STUB: the container ships no image codec. A real deployment supplies
+    ``decode_fn(payload: bytes) -> np.ndarray``.
+    """
+
+    def __init__(self, decode_fn=None):
+        if decode_fn is None:
+            raise NotImplementedError(
+                "no image codec in this environment — pass decode_fn="
+                "(e.g. PIL.Image.open + np.asarray) to enable decoding"
+            )
+        self.decode_fn = decode_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arrays = [self.decode_fn(p.as_py()) for p in batch["payload"]]
+        shapes = pa.array([list(a.shape) for a in arrays], type=pa.list_(pa.int32()))
+        flat = pa.array([a.ravel().tobytes() for a in arrays], type=pa.binary())
+        return batch.drop_columns(["payload"]).append_column("pixels", flat).append_column(
+            "shape", shapes
+        )
+
+
+class DeterministicStubCodec:
+    """Deterministic fake decode/feature-extract for tests and plumbing.
+
+    Features = seeded hash-derived float vector per payload; "resize"
+    metadata computed arithmetically. Output layout matches what a real
+    feature extractor would produce (fixed-width ``list<float>``).
+    """
+
+    def __init__(self, feature_dim: int = 16, target: tuple[int, int] = (224, 224)):
+        self.feature_dim = feature_dim
+        self.target = target
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload or b"").digest()
+        raw = np.frombuffer((digest * ((self.feature_dim * 4) // len(digest) + 1))[: self.feature_dim * 4], dtype=np.uint32)
+        return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p.as_py()) for p in batch["payload"]]
+        tw, th = self.target
+        out = batch.drop_columns(["payload"])  # prune blobs before any shuffle
+        out = out.append_column(
+            "features", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32()))
+        )
+        out = out.append_column(
+            "resized_w", pa.array(np.full(batch.num_rows, tw, dtype=np.int32))
+        )
+        out = out.append_column(
+            "resized_h", pa.array(np.full(batch.num_rows, th, dtype=np.int32))
+        )
+        return out
+
+
+def synthesize_multimodal_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake multimodal rows for tests (no external data)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(64 + int(rng.randint(0, 192))) for _ in range(n)]
+    modality = [("image", "audio", "video")[i % 3] for i in range(n)]
+    mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "modality": pa.array(modality),
+            "mime": pa.array([mime[m] for m in modality]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array([64 if m == "image" else None for m in modality], pa.int32()),
+            "height": pa.array([48 if m == "image" else None for m in modality], pa.int32()),
+            "duration_ms": pa.array(
+                [1000 if m != "image" else None for m in modality], pa.int32()
+            ),
+        },
+        schema=MULTIMODAL_SCHEMA,
+    )
+
+
+def feature_extract(ds, feature_dim: int = 16, concurrency: int = 2, batch_size: int = 128):
+    """Actor-pool feature extraction over a multimodal Dataset."""
+    return ds.map_batches(
+        DeterministicStubCodec,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: payloads are large binaries
+        concurrency=concurrency,
+    )

@@ -1,0 +1,93 @@
+"""Multimodal stage plumbing + full-load bootstrap + actor-mode parity."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from commons_codec_ray.config import PipelineConfig
+from commons_codec_ray.envelopes import EventsToEnvelopes
+from commons_codec_ray.pipelines.cdc import CDCPipeline
+from commons_codec_ray.pipelines.oracle import replay_envelopes, sorted_canonical
+from commons_codec_ray.stages.multimodal import (
+    DeterministicStubCodec,
+    ImageDecodeStage,
+    feature_extract,
+    synthesize_multimodal_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_multimodal_feature_extract_deterministic():
+    tbl = synthesize_multimodal_table(64)
+    out1 = feature_extract(rd.from_arrow(tbl), feature_dim=8).to_pandas()
+    out2 = feature_extract(rd.from_arrow(tbl), feature_dim=8).to_pandas()
+    assert len(out1) == 64
+    assert "payload" not in out1.columns  # blobs pruned before any shuffle
+    assert all(len(f) == 8 for f in out1["features"])
+    # deterministic across runs
+    assert (
+        out1.sort_values("item_id")["features"].map(tuple).tolist()
+        == out2.sort_values("item_id")["features"].map(tuple).tolist()
+    )
+
+
+def test_image_decode_stage_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage()
+    # with an injected codec it works end-to-end
+    import numpy as np
+
+    stage = ImageDecodeStage(decode_fn=lambda b: np.frombuffer(b, dtype=np.uint8).reshape(-1, 1))
+    out = stage(synthesize_multimodal_table(4))
+    assert "pixels" in out.column_names and "shape" in out.column_names
+
+
+def test_full_load_then_cdc(tmp_path):
+    # snapshot = oracle final state of the first 500 events; CDC replays the rest
+    events = pq.read_table(f"{SF_DIR}/events.parquet")
+    env = EventsToEnvelopes(duplicates=False)(events).sort_by("lsn")
+    log = tmp_path / "env.parquet"
+    pq.write_table(env, log, row_group_size=100)
+
+    first = env.filter(pa.compute.less(env["source_offset"], 500))
+    snapshot = replay_envelopes(first)
+
+    pipe = CDCPipeline(tmp_path / "lake", PipelineConfig(num_partitions=8, epoch_size=250))
+    res = pipe.bootstrap_full_load(rd.from_arrow(snapshot))
+    assert res["rows_out"] == snapshot.num_rows
+    # re-bootstrap is a no-op (idempotent)
+    assert pipe.bootstrap_full_load(rd.from_arrow(snapshot))["skipped"] is True
+
+    # CDC from offset 0 replays everything; snapshot rows (lsn=-1) lose LWW
+    pipe.replay(str(log))
+    got = sorted_canonical(pa.Table.from_pandas(pipe.read_lake().to_pandas()))
+    want = sorted_canonical(replay_envelopes(env))
+    assert got.equals(want.cast(got.schema))
+
+
+def test_actor_mode_matches_groupby_mode(tmp_path):
+    events = pq.read_table(f"{SF_DIR}/events.parquet")
+    env = EventsToEnvelopes(duplicates=True)(events).sort_by("lsn")
+    log = tmp_path / "env"
+    log.mkdir()
+    pq.write_table(env, log / "envelopes.parquet", row_group_size=100)
+
+    pg = CDCPipeline(tmp_path / "lake_g", PipelineConfig(num_partitions=8, epoch_size=400))
+    pg.replay(str(log), mode="groupby")
+    pact = CDCPipeline(tmp_path / "lake_a", PipelineConfig(num_partitions=8, epoch_size=400))
+    ra = pact.replay(str(log), mode="actors")
+    assert len(ra) >= 2
+
+    ga = sorted_canonical(pa.Table.from_pandas(pg.read_lake().to_pandas()))
+    gb = sorted_canonical(pa.Table.from_pandas(pact.read_lake().to_pandas()))
+    assert ga.equals(gb)
+    # resume works across modes: interrupt actor-mode run, resume in groupby mode
+    lake_c = tmp_path / "lake_c"
+    p1 = CDCPipeline(lake_c, PipelineConfig(num_partitions=8, epoch_size=400))
+    p1.replay(str(log), mode="actors", max_offset=399)
+    p2 = CDCPipeline(lake_c, PipelineConfig(num_partitions=8, epoch_size=400))
+    p2.replay(str(log), mode="groupby")
+    gc = sorted_canonical(pa.Table.from_pandas(p2.read_lake().to_pandas()))
+    assert gc.equals(ga)
