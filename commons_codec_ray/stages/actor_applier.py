@@ -253,8 +253,13 @@ class ActorPoolApplyRunner:
                 if n not in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
             ]
         )
+        # fractional CPU: appliers are burst-shaped (idle while decode
+        # streams, busy on ingest/flush) — a full slot each would starve
+        # the decode tasks at low cluster sizes
         self.actors = [
-            PartitionApplier.remote(a, self.num_actors, lake_root, base_partitions, extra)
+            PartitionApplier.options(num_cpus=0.5).remote(
+                a, self.num_actors, lake_root, base_partitions, extra
+            )
             for a in range(self.num_actors)
         ]
         ray.get([a.ping.remote() for a in self.actors])
