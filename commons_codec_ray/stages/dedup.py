@@ -37,23 +37,38 @@ def add_content_hash(batch: pa.Table, column: str = "text", out: str = "_h") -> 
     return batch.append_column(out, _crc32_column(batch[column]))
 
 
-def exact_dedup(ds, column: str = "text", order_by: str = "doc_id"):
+def exact_dedup(ds, column: str = "text", order_by: str = "doc_id", num_buckets: int = 256):
     """Exact dedup: keep the min-``order_by`` row per distinct ``column``.
 
-    hash-partition (groupby on the int64 content hash) + per-group
-    keep-first; within a hash bucket, ties are broken on the actual
-    content so crc collisions stay correct.
+    The shuffle key is a COARSE bucket of the content hash
+    (``crc32(content) % num_buckets``), not the raw hash: rows with equal
+    content land in the same bucket, and the per-group UDF runs once per
+    bucket (vectorized pandas dedup inside) instead of once per distinct
+    document — per-group invocation overhead is what kills a
+    groupby-on-raw-hash at scale. Dedup compares the actual content, so
+    crc collisions stay correct.
     """
 
-    def _first(group: pa.Table) -> pa.Table:
-        df = group.sort_by([(order_by, "ascending")]).to_pandas()
-        df = df.drop_duplicates(subset=[column], keep="first")
-        return pa.Table.from_pandas(df.drop(columns=["_h"]), preserve_index=False)
+    def _bucketed_hash(t: pa.Table) -> pa.Table:
+        h = _crc32_column(t[column])
+        bucket = pc.bit_wise_and(h, num_buckets - 1) if (num_buckets & (num_buckets - 1)) == 0 else None
+        if bucket is None:
+            import numpy as np
+
+            bucket = pa.array(h.to_numpy(zero_copy_only=False) % num_buckets)
+        return t.append_column("_b", bucket)
+
+    def _first(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values(order_by)
+            .drop_duplicates(subset=[column], keep="first")
+            .drop(columns=["_b"])
+        )
 
     return (
-        ds.map_batches(lambda t: add_content_hash(t, column), batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(_first, batch_format="pyarrow")
+        ds.map_batches(_bucketed_hash, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(_first, batch_format="pandas")
     )
 
 
@@ -151,23 +166,34 @@ def minhash_candidates(ds, hasher: MinHasher | None = None, id_column: str = "do
     return exploded.groupby("band_key").map_groups(pairs, batch_format="pyarrow")
 
 
-def jaccard_pairs(ds, threshold: float = 0.7, hasher: MinHasher | None = None, id_column: str = "doc_id"):
+def jaccard_pairs(
+    ds,
+    threshold: float = 0.7,
+    hasher: MinHasher | None = None,
+    id_column: str = "doc_id",
+    num_buckets: int = 128,
+):
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
-    LSH candidates → verify with the full minhash signatures (broadcast
-    of the signature table would not scale; instead signatures ride the
-    candidate rows via a bucket-local join inside the band group).
+    LSH candidates → verify with the full minhash signatures. Signatures
+    ride the candidate rows (broadcasting the signature table would not
+    scale). The shuffle key is a COARSE bucket of the band key: the
+    per-group UDF runs once per bucket and iterates only the bands with
+    ≥2 members inside it — one groupby execution instead of one UDF call
+    per LSH bucket. A final pass drops pairs discovered by multiple
+    bands.
     """
     hasher = hasher or MinHasher()
 
     def explode_with_sig(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         parts = []
         for b in range(hasher.bands):
+            key = batch[f"band_{b}"]
             parts.append(
                 pa.table(
                     {
-                        "band_key": batch[f"band_{b}"],
+                        "band_key": key,
+                        "_b": pc.bit_wise_and(key, num_buckets - 1),
                         id_column: batch[id_column],
                         "_sig": batch["_sig"],
                     }
@@ -176,26 +202,48 @@ def jaccard_pairs(ds, threshold: float = 0.7, hasher: MinHasher | None = None, i
         return pa.concat_tables(parts)
 
     def verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        out_a, out_b, out_j = [], [], []
+        # only bands with ≥2 members generate candidates; vectorized per band
+        for _, band in group.groupby("band_key", sort=False):
+            if len(band) < 2:
+                continue
+            band = band.sort_values(id_column)
+            ids = band[id_column].to_numpy()
+            sigs = np.stack(band["_sig"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = est >= threshold
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_j.append(est[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
             )
-        group = group.sort_values(id_column)
-        ids = group[id_column].to_numpy()
-        sigs = np.stack(group["_sig"].to_numpy())
-        ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "jaccard": est[keep]})
+        df = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "jaccard": np.concatenate(out_j)}
+        )
+        # dedup within the bucket; cross-bucket dups handled downstream
+        return df.drop_duplicates(subset=["id_a", "id_b"])
 
     sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
     exploded = sigs.map_batches(explode_with_sig, batch_format="pyarrow")
-    pairs = exploded.groupby("band_key").map_groups(verified_pairs, batch_format="pandas")
+    pairs = exploded.groupby("_b").map_groups(verified_pairs, batch_format="pandas")
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def final_dedup(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(subset=["id_a", "id_b"])
 
-    return pairs.groupby("id_a").map_groups(dedup_pairs, batch_format="pandas")
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_pb", pc.bit_wise_and(t["id_a"], 63))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(final_dedup, batch_format="pandas")
+        .drop_columns(["_pb"])
+    )
 
 
 # ---------------------------------------------------------------------------
