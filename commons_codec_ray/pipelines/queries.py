@@ -214,6 +214,105 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_session_windows(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the
+    streaming-shaped pattern Ray Data lacks natively: partition by key,
+    sort by time within the group, gaps-and-islands in pandas
+    (SURVEY.md §2.8)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+            sid = gap.cumsum()
+            agg = g.groupby(sid).agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "size"),
+            )
+            agg["user_id"] = uid
+            out.append(agg.reset_index(drop=True))
+        res = pd.concat(out, ignore_index=True)
+        res["n_events"] = res["n_events"].astype("int64")
+        return res[["user_id", "session_start", "session_end", "n_events"]]
+
+    # user_id is the partition key; coarse-bucket it so one UDF call
+    # handles many users (per-group overhead), sessions computed per user
+    bucketed = ds.map_batches(
+        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], 15)),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("_b").map_groups(sessions, batch_format="pandas")
+
+
+_SESSION_WINDOWS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_embed_pairs(sf_dir: str):
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.35, id_a < id_b):
+    the whole corpus is broadcast once (small side at this scale), each
+    batch runs one float64 matmul against it. At 100 TB this becomes the
+    LSH-bucketed variant (stages/similarity.lsh_topk's bucketing) —
+    brute force here is the exactness baseline the oracle can verify."""
+    import ray as _ray
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = ds.to_pandas()
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = _ray.put({"ids": ids, "mat": mat})
+
+    class PairFinder:
+        def __init__(self):
+            d = _ray.get(ref)
+            self.ids, self.mat = d["ids"], d["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+            scores = bm @ self.mat.T
+            ii, jj = np.nonzero(scores >= 0.35)
+            keep = bid[ii] < self.ids[jj]
+            a, b = bid[ii][keep], self.ids[jj][keep]
+            s = scores[ii[keep], jj[keep]]
+            return pa.table(
+                {
+                    "id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64()),
+                    "cos": pa.array(duckdb_round(s, 4), pa.float64()),
+                }
+            )
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=1024, concurrency=2)
+
+
+_EMBED_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -526,6 +625,8 @@ QUERIES = {
     "cdc_decode_ddbstream": q_decode_ddbstream,
     "cdc_dead_letter": q_dead_letter,
     "windowed_agg": q_windowed_agg,
+    "session_windows": q_session_windows,
+    "embed_pairs": q_embed_pairs,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "text_stats": q_text_stats,
@@ -549,6 +650,8 @@ ORACLE_SQL = {
     "cdc_decode_ddbstream": _DECODE_SQL,
     "cdc_dead_letter": _DEAD_LETTER_SQL,
     "windowed_agg": _WINDOWED_AGG_SQL,
+    "session_windows": _SESSION_WINDOWS_SQL,
+    "embed_pairs": _EMBED_PAIRS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "token_count": _TOKEN_COUNT_SQL,
     "text_stats": _TEXT_STATS_SQL,
