@@ -172,6 +172,41 @@ def apply_ops_to_base(
     return out
 
 
+def apply_ops_universal(base: pa.Table | None, ops: pa.Table) -> pa.Table:
+    """LWW apply for the UNIVERSAL layout: typed key columns + full-doc
+    ``data`` JSON + ``aux`` (the reference's 3-column pk/data/aux target,
+    transform/aws_dms.py:249-347). Full-doc overwrite per key."""
+    keep = ["op", "conv_id", "turn_idx", "data", "aux", "lsn"]
+    ops = ops.select([c for c in keep if c in ops.column_names])
+    parts = [ops]
+    if base is not None and base.num_rows:
+        n = base.num_rows
+        parts.append(
+            pa.table(
+                {
+                    "op": pa.array(np.full(n, OP_UPSERT, dtype=np.int8)),
+                    "conv_id": base["conv_id"],
+                    "turn_idx": base["turn_idx"],
+                    "data": base["data"],
+                    "aux": base["aux"] if "aux" in base.column_names else pa.nulls(n, pa.string()),
+                    "lsn": base[LSN_COLUMN],
+                }
+            )
+        )
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    reduced = lww_reduce(merged)
+    alive = reduced.filter(pc.equal(reduced["op"], OP_UPSERT))
+    return pa.table(
+        {
+            "conv_id": alive["conv_id"].cast(pa.string()),
+            "turn_idx": alive["turn_idx"].cast(pa.int32()),
+            "data": alive["data"].cast(pa.string()),
+            "aux": alive["aux"].cast(pa.string()),
+            LSN_COLUMN: alive["lsn"].cast(pa.int64()),
+        }
+    )
+
+
 def final_state(out: pa.Table, with_lsn: bool = False) -> pa.Table:
     if with_lsn or LSN_COLUMN not in out.column_names:
         return out

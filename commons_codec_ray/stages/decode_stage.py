@@ -45,11 +45,42 @@ _KNOWN = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
 class DecodeEnvelopes:
-    def __init__(self, config: PipelineConfig | None = None, combine: bool = True):
+    """Envelope decode stage.
+
+    ``layout`` selects the target record layout, mirroring the
+    reference's per-table DIRECT vs UNIVERSAL mapping strategy
+    (``DMSTranslatorCrateDBRecordFactory``, reference
+    transform/aws_dms.py:86-115):
+
+    - ``"direct"`` (default): 1:1 typed columns (reference
+      transform/aws_dms.py:350-417) — ``role/text/tool/ts`` as real
+      columns, unknown fields spill to ``aux``.
+    - ``"universal"``: 3-bucket layout (reference
+      transform/aws_dms.py:249-347): typed key columns + the full
+      non-key image serialized into a ``data`` JSON column (the
+      ``OBJECT(DYNAMIC)`` analog) + ``aux`` for varied fields. The
+      direct columns stay null.
+
+    Columns registered in the column-type map as ``OBJECT``/``MAP``
+    that arrive as JSON strings are re-parsed before routing — the
+    reference's ``decode_data`` behavior (transform/aws_dms.py:207-224).
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig | None = None,
+        combine: bool = True,
+        layout: str = "direct",
+    ):
         self.config = config or PipelineConfig()
         self.combine = combine
+        self.layout = layout
         self.decoders = dict(DECODERS)
         self.loads = _loads
+        ctypes = self.config.registry.column_types.get(self.config.table, {})
+        self.object_columns = frozenset(
+            name for name, t in ctypes.items() if (t or "").upper() in ("OBJECT", "MAP")
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -65,6 +96,7 @@ class DecodeEnvelopes:
         text: list = []
         tool: list = []
         ts_raw: list = []
+        data_col: list = []
         aux: list = []
         lsn_out: list = []
         off_out: list = []
@@ -73,6 +105,8 @@ class DecodeEnvelopes:
         loads = self.loads
         decoders = self.decoders
         append = ops.append
+        universal = self.layout == "universal"
+        object_columns = self.object_columns
 
         for i in range(n):
             try:
@@ -85,6 +119,7 @@ class DecodeEnvelopes:
                 text.append(None)
                 tool.append(None)
                 ts_raw.append(None)
+                data_col.append(None)
                 aux.append(payloads[i])
                 lsn_out.append(lsns[i])
                 off_out.append(offsets[i])
@@ -96,12 +131,34 @@ class DecodeEnvelopes:
                 conv_id.append(str(cid) if cid is not None else None)
                 ti = rec.get("turn_idx")
                 turn_idx.append(int(ti) if ti is not None else None)
-                role.append(rec.get("role"))
-                text.append(rec.get("text"))
-                tool.append(rec.get("tool"))
-                ts_raw.append(rec.get("ts"))
-                spill = {k: v for k, v in rec.items() if k not in _KNOWN}
+                if object_columns:
+                    # registered MAP/OBJECT columns arriving as JSON strings
+                    # are re-parsed (ref transform/aws_dms.py:207-224)
+                    for name in object_columns:
+                        v = rec.get(name)
+                        if isinstance(v, str):
+                            try:
+                                rec[name] = loads(v)
+                            except Exception:  # noqa: BLE001 — keep raw string
+                                pass
+                if universal:
+                    role.append(None)
+                    text.append(None)
+                    tool.append(None)
+                    ts_raw.append(None)
+                    doc = {k: v for k, v in rec.items() if k not in ("conv_id", "turn_idx")}
+                    data_col.append(
+                        json.dumps(doc, default=str, sort_keys=True) if doc else None
+                    )
+                else:
+                    role.append(rec.get("role"))
+                    text.append(rec.get("text"))
+                    tool.append(rec.get("tool"))
+                    ts_raw.append(rec.get("ts"))
+                    data_col.append(None)
+                spill = None if universal else {k: v for k, v in rec.items() if k not in _KNOWN}
                 if extra:
+                    spill = dict(spill or {})
                     spill.update(extra)
                 aux.append(json.dumps(spill, default=str, sort_keys=True) if spill else None)
                 lsn_out.append(lsns[i])
@@ -111,23 +168,25 @@ class DecodeEnvelopes:
         # ISO strings → timestamp[us] via a single vectorized Arrow cast
         ts_col = pa.array(ts_raw, type=pa.string()).cast(pa.timestamp("us"))
         conv_col = pa.array(conv_id, type=pa.string())
-        tbl = pa.table(
-            {
-                "op": pa.array(ops, type=pa.int8()),
-                "conv_id": conv_col,
-                "turn_idx": pa.array(turn_idx, type=pa.int32()),
-                "role": pa.array(role, type=pa.string()),
-                "text": pa.array(text, type=pa.string()),
-                "tool": pa.array(tool, type=pa.string()),
-                "ts": ts_col,
-                "aux": pa.array(aux, type=pa.string()),
-                "lsn": pa.array(lsn_out, type=pa.int64()),
-                "source_offset": pa.array(off_out, type=pa.int64()),
-                "partition_id": partition_ids_for(conv_col, self.config.num_partitions),
-                "error": pa.array(error, type=pa.string()),
-            },
-            schema=OPS_SCHEMA,
-        )
+        cols = {
+            "op": pa.array(ops, type=pa.int8()),
+            "conv_id": conv_col,
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": ts_col,
+            "aux": pa.array(aux, type=pa.string()),
+            "lsn": pa.array(lsn_out, type=pa.int64()),
+            "source_offset": pa.array(off_out, type=pa.int64()),
+            "partition_id": partition_ids_for(conv_col, self.config.num_partitions),
+            "error": pa.array(error, type=pa.string()),
+        }
+        if universal:
+            cols["data"] = pa.array(data_col, type=pa.string())
+            tbl = pa.table(cols)
+        else:
+            tbl = pa.table(cols, schema=OPS_SCHEMA)
         if self.combine:
             tbl = lww_combine_batch(tbl)
         return tbl
