@@ -410,8 +410,15 @@ class CDCPipeline:
         return results
 
     # ------------------------------------------------------------------ reads
-    def read_lake(self, with_lsn: bool = False):
-        files = self.store.current_files()
+    def read_lake(self, with_lsn: bool = False, epoch: int | None = None):
+        """Dataset over the lake's current state — or, with ``epoch=E``,
+        its state as of committed epoch E (time travel): the manifests
+        record every epoch's partition files, so any committed snapshot
+        is reconstructible until :meth:`vacuum` removes it."""
+        if epoch is None:
+            files = self.store.current_files()
+        else:
+            files = [str(self.store.root / rel) for rel in self._partitions_at(epoch).values()]
         if not files:
             raise FileNotFoundError(f"empty lake at {self.store.root}")
         ds = rd.read_parquet(files)
@@ -420,6 +427,91 @@ class CDCPipeline:
                 lambda t: final_state(t, with_lsn=False), batch_format="pyarrow"
             )
         return ds
+
+    def _partitions_at(self, epoch: int) -> dict[str, str]:
+        """partition → file mapping as of committed epoch ``epoch``."""
+        ckpt = self.store.read_checkpoint()
+        if epoch > ckpt.last_epoch:
+            raise ValueError(f"epoch {epoch} not committed (last={ckpt.last_epoch})")
+        partitions: dict[str, str] = {}
+        for e in range(0, epoch + 1):
+            try:
+                manifest = self.store.read_manifest(e)
+            except FileNotFoundError:
+                continue
+            for pid, info in manifest["files"].items():
+                partitions[pid] = info["path"]
+        return partitions
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Garbage-collect partition files superseded for more than
+        ``keep_last`` committed epochs (bounds time-travel history).
+        Never touches the current checkpoint's files. Returns removed
+        paths."""
+        import os
+
+        ckpt = self.store.read_checkpoint()
+        horizon = ckpt.last_epoch - keep_last
+        live = set(ckpt.partitions.values())
+        # everything still referenced by a retained snapshot stays
+        for e in range(max(0, horizon), ckpt.last_epoch + 1):
+            try:
+                live.update(self._partitions_at(e).values())
+            except ValueError:
+                continue
+        removed = []
+        epochs_dir = self.store.root / "epochs"
+        if epochs_dir.exists():
+            for f in epochs_dir.rglob("part-*.parquet"):
+                rel = str(f.relative_to(self.store.root))
+                if rel not in live:
+                    os.unlink(f)
+                    removed.append(rel)
+        return removed
+
+    def metrics(self) -> dict[str, Any]:
+        """Aggregated throughput / lag counters from the epoch manifests
+        (the north star's per-partition lineage + metrics surface)."""
+        ckpt = self.store.read_checkpoint()
+        out: dict[str, Any] = {
+            "last_epoch": ckpt.last_epoch,
+            "next_offset": ckpt.next_offset,
+            "partitions": len(ckpt.partitions),
+            "events_total": 0,
+            "dead_letters_total": 0,
+            "schema_events_total": 0,
+            "wall_s_total": 0.0,
+            "epochs": [],
+        }
+        for e in range(0, ckpt.last_epoch + 1):
+            try:
+                m = self.store.read_manifest(e)
+            except FileNotFoundError:
+                continue
+            met = m.get("metrics", {})
+            out["events_total"] += met.get("events", 0)
+            out["dead_letters_total"] += met.get("dead_letters", 0)
+            out["schema_events_total"] += met.get("schema_events", 0)
+            out["wall_s_total"] += met.get("duration_s", 0.0)
+            out["epochs"].append(
+                {
+                    "epoch": e,
+                    "offset_range": m.get("offset_range"),
+                    "events": met.get("events", 0),
+                    "events_per_s": round(
+                        met.get("events", 0) / met["duration_s"], 1
+                    )
+                    if met.get("duration_s")
+                    else None,
+                }
+            )
+        if out["wall_s_total"]:
+            out["events_per_s_overall"] = round(out["events_total"] / out["wall_s_total"], 1)
+        return out
+
+    def lag(self, source_max_offset: int) -> int:
+        """Ingest lag: offsets not yet committed, given the source head."""
+        return max(0, source_max_offset - self.store.read_checkpoint().next_offset)
 
     def checkpoint(self) -> Checkpoint:
         return self.store.read_checkpoint()
