@@ -8,6 +8,15 @@ heterogeneous JSON — the analog of the reference's per-event ``to_sql``);
 everything around it (timestamp parsing, partition assignment, LWW
 combine) is vectorized Arrow/numpy.
 
+Why not ``pyarrow.json.read_json`` for the parse? Measured on this
+workload (small ~350 B nested envelopes): newline-join + C++ parse with
+an explicit tri-dialect schema costs ~6.0 µs/event BEFORE field
+extraction, while the whole orjson row loop (parse + dispatch + coerce +
+spill) runs at ~8.2 µs/event — the vectorized path would save <20% on
+clean input and needs a per-row fallback for control events, varied
+lists and evolved columns. Not worth the complexity; revisit if envelope
+sizes grow.
+
 Dead letters: undecodable envelopes become OP_DEAD rows carrying the
 error and raw payload (in ``aux``) instead of failing the task —
 downstream they are split off to a dead-letter sink. The reference
