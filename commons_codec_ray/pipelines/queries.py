@@ -343,6 +343,38 @@ FROM documents
 """
 
 
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish token counting: GPT-2-style pre-tokenizer restricted to
+    RE2 syntax, counted with Arrow's regex kernel; DuckDB (also RE2)
+    counts the identical pattern — byte-identical by construction."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(text_stage.bpe_token_count, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+_BPE_TOKEN_SQL = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+    ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
+def q_near_dedup(sf_dir: str):
+    """End-to-end near-duplicate removal: corpus + perturbed re-crawl →
+    MinHash+LSH pairs → connected components → keep min-id per cluster.
+    Survivors should be exactly the original corpus (each perturbed copy
+    clusters with its source)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = pc.add(t["doc_id"], 1_000_000)
+        texts = pa.array([f"{x} PERTURBED COPY" if x else x for x in t["text"].to_pylist()])
+        return pa.table({"doc_id": ids, "text": texts})
+
+    corpus = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
+    return dedup_stage.near_dedup(corpus, threshold=0.7)
+
+
 def q_text_stats(sf_dir: str):
     """Per-language corpus stats via partial-aggregate + small groupby."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
@@ -628,7 +660,9 @@ QUERIES = {
     "session_windows": q_session_windows,
     "embed_pairs": q_embed_pairs,
     "exact_dedup": q_exact_dedup,
+    "near_dedup": q_near_dedup,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
     "json_flatten": q_json_flatten,
@@ -653,7 +687,12 @@ ORACLE_SQL = {
     "session_windows": _SESSION_WINDOWS_SQL,
     "embed_pairs": _EMBED_PAIRS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
+    # near_dedup is rows-only: the synthetic corpus contains GENUINE
+    # near-duplicate original pairs (shared tiny vocabulary), so the
+    # survivor set depends on clustering, not expressible in SQL;
+    # invariants asserted in tests/test_near_dedup.py instead
     "token_count": _TOKEN_COUNT_SQL,
+    "bpe_token_count": _BPE_TOKEN_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "ann_topk": _ANN_TOPK_SQL,
     "json_flatten": _JSON_FLATTEN_SQL,

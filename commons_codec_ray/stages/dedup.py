@@ -251,6 +251,50 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def dedup_clusters(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Driver-side union-find, justified because the LSH pair set is tiny
+    relative to the corpus (pairs ≈ true near-dups; the all-pairs blowup
+    never materializes). If the pair set ever rivals the corpus size,
+    switch to iterative min-label propagation with groupby (guide
+    pattern); the output contract stays the same.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df[id_a].to_numpy(), pairs_df[id_b].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((int(node), find(int(node))) for node in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype("int64")
+
+
+def near_dedup(ds, threshold: float = 0.7, hasher: MinHasher | None = None, id_column: str = "doc_id"):
+    """Near-duplicate removal: MinHash+LSH pairs → clusters → keep the
+    min-id member of each cluster. Returns the surviving Dataset."""
+    import ray
+
+    pairs = jaccard_pairs(ds, threshold=threshold, hasher=hasher, id_column=id_column).to_pandas()
+    clusters = dedup_clusters(pairs)
+    losers = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
+    )
+    if not losers:
+        return ds
+    loser_arr = pa.array(sorted(losers), type=pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[id_column], value_set=loser_arr))),
+        batch_format="pyarrow",
+    )
+
+
 class SimHasher:
     """64-bit SimHash over token crc32-derived hashes; vectorized per batch."""
 

@@ -18,9 +18,21 @@ import pyarrow.compute as pc
 # number of \S+ runs == len(text.split()) for any whitespace
 _TOKEN_RUN = r"\S+"
 
+# GPT-2-style pre-tokenizer, restricted to RE2 syntax (no lookahead) so the
+# SAME pattern runs in Arrow's count_substring_regex AND DuckDB's
+# regexp_extract_all (both RE2) — byte-identical counts by construction.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
 
 def token_count(batch: pa.Table, column: str = "text", out: str = "n_tokens") -> pa.Table:
     n = pc.count_substring_regex(batch[column], _TOKEN_RUN)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def bpe_token_count(batch: pa.Table, column: str = "text", out: str = "n_bpe_tokens") -> pa.Table:
+    """Approximate BPE token count: number of pre-tokenizer matches (each
+    pre-token maps to ≥1 BPE token; this is the standard cheap proxy)."""
+    n = pc.count_substring_regex(batch[column], BPE_PRETOKEN_RE)
     return batch.append_column(out, n.cast(pa.int64()))
 
 

@@ -1,0 +1,41 @@
+"""Near-duplicate removal invariants (clustering is data-dependent, so
+these are property checks rather than a SQL oracle)."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from commons_codec_ray.stages.dedup import dedup_clusters, near_dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dedup_clusters_union_find():
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 11], "id_b": [2, 3, 11, 12]})
+    out = dedup_clusters(pairs)
+    by_doc = dict(zip(out.doc_id, out.cluster_id))
+    assert by_doc[1] == by_doc[2] == by_doc[3] == 1
+    assert by_doc[10] == by_doc[11] == by_doc[12] == 10
+
+
+def test_near_dedup_removes_planted_copies():
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = pc.add(t["doc_id"], 1_000_000)
+        texts = pa.array([f"{x} PERTURBED COPY" for x in t["text"].to_pylist()])
+        return pa.table({"doc_id": ids, "text": texts})
+
+    n_orig = docs.count()
+    corpus = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
+    survivors = near_dedup(corpus, threshold=0.7).to_pandas()
+    ids = set(survivors.doc_id)
+    # planted copies sit at true Jaccard ≈ 0.85; the 64-perm estimator has
+    # σ ≈ 0.045, so a 0.7 verify threshold catches essentially all of them
+    surviving_copies = sum(1 for i in ids if i >= 1_000_000)
+    assert surviving_copies <= 0.02 * n_orig
+    # most originals survive (a few are genuine near-dups of each other —
+    # merging those is correct behavior, not a bug)
+    originals = [i for i in ids if i < 1_000_000]
+    assert len(originals) > 0.85 * n_orig

@@ -1,0 +1,64 @@
+"""Skew handling: hot conversations and partition balance (SURVEY §4.2).
+
+A hot conversation cannot be salted across partitions (per-key ordering
+requires co-location), so the defenses are (1) the within-batch LWW
+combiner, which collapses a hot key's updates to at most one row per
+(conv_id, turn_idx) per decode batch BEFORE the shuffle, and (2) a fixed
+key space far wider than the worker count so non-hot keys spread evenly.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from commons_codec_ray.config import PipelineConfig
+from commons_codec_ray.envelopes import EventsToEnvelopes
+from commons_codec_ray.hashing import partition_ids_for
+from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
+
+
+def _events_table(event_ids, user_ids):
+    n = len(event_ids)
+    return pa.table(
+        {
+            "event_id": pa.array(event_ids, pa.int64()),
+            "ts": pa.array(np.full(n, 1_700_000_000_000_000), pa.timestamp("us")),
+            "user_id": pa.array(user_ids, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(np.full(n, 1.0), pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n, pa.string()),
+        }
+    )
+
+
+def test_combiner_collapses_hot_conversation_before_shuffle():
+    # 50k updates to ONE conversation (user 7) in a single decode batch:
+    # only ≤ 40 distinct (conv, turn) keys may leave the batch
+    n_hot = 50_000
+    events = _events_table(np.arange(n_hot), np.full(n_hot, 7))
+    env = EventsToEnvelopes(duplicates=False)(events)
+    ops = DecodeEnvelopes(PipelineConfig(), combine=True)(env)
+    assert ops.num_rows <= 40  # turn_idx = event_id % 40
+    # without the combiner the full update storm would hit the exchange
+    raw = DecodeEnvelopes(PipelineConfig(), combine=False)(env)
+    assert raw.num_rows >= n_hot * 0.9  # deletes removed only
+
+
+def test_partition_balance_many_conversations():
+    conv_ids = pa.array([f"c-{i}" for i in range(20_000)])
+    pids = partition_ids_for(conv_ids, 64).to_numpy(zero_copy_only=False)
+    counts = np.bincount(pids, minlength=64)
+    assert counts.min() > 0
+    # crc32 spreads uniformly: no partition more than 1.5× the mean
+    assert counts.max() < 1.5 * counts.mean()
+
+
+def test_hot_partition_rows_bounded_by_key_count():
+    # mixed: one hot user + many cold users in one batch — the hot
+    # partition's post-combine row count is bounded by its distinct keys
+    ids = np.arange(30_000)
+    users = np.where(ids % 3 == 0, 7, ids % 500)  # a third of traffic is user 7
+    env = EventsToEnvelopes(duplicates=False)(_events_table(ids, users))
+    ops = DecodeEnvelopes(PipelineConfig(), combine=True)(env)
+    df = ops.to_pandas()
+    per_key = df.groupby(["conv_id", "turn_idx"]).size()
+    assert per_key.max() == 1  # at most one surviving op per key per batch
