@@ -174,8 +174,12 @@ class DecodeEnvelopes:
                 off_out.append(offsets[i])
                 error.append(None)
 
-        # ISO strings → timestamp[us] via a single vectorized Arrow cast
-        ts_col = pa.array(ts_raw, type=pa.string()).cast(pa.timestamp("us"))
+        # ISO strings → timestamp[us] via a single vectorized Arrow cast;
+        # if ANY string is malformed/out-of-range the cast throws, so fall
+        # back to per-row parsing with clamp-to-epoch-0 semantics
+        # (mirroring the reference's out-of-range date clamping,
+        # transform/mongodb.py:130-134) — the rare path by construction.
+        ts_col = _cast_timestamps(ts_raw)
         conv_col = pa.array(conv_id, type=pa.string())
         cols = {
             "op": pa.array(ops, type=pa.int8()),
@@ -199,6 +203,31 @@ class DecodeEnvelopes:
         if self.combine:
             tbl = lww_combine_batch(tbl)
         return tbl
+
+
+def _cast_timestamps(ts_raw: list) -> pa.Array:
+    arr = pa.array(ts_raw, type=pa.string())
+    try:
+        return arr.cast(pa.timestamp("us"))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        import datetime as dt
+
+        epoch0 = dt.datetime(1970, 1, 1)
+        out = []
+        for s in ts_raw:
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                t = dt.datetime.fromisoformat(str(s).replace("Z", "+00:00"))
+                if t.tzinfo is not None:
+                    t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                if not (dt.MINYEAR < t.year < 2300):
+                    t = epoch0  # clamp absurd-but-parseable dates
+                out.append(t)
+            except ValueError:
+                out.append(epoch0)  # unparseable → clamp to epoch 0
+        return pa.array(out, type=pa.timestamp("us"))
 
 
 def split_dead_letters(ops: pa.Table) -> tuple[pa.Table, pa.Table]:
