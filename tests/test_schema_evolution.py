@@ -64,6 +64,31 @@ def test_added_column_materializes_and_backfills_null(tmp_path):
     assert df.loc[df.turn_idx == 0, "rating"].isna().all()  # old rows null-filled
 
 
+def test_added_column_actor_mode(tmp_path):
+    """Schema evolution must behave identically through the actor-pool
+    apply path (control prescan → registry → refresh_extra_columns)."""
+    log = tmp_path / "env.parquet"
+    write_log(
+        log,
+        [
+            data_envelope(0, "a", 0, "old-row"),
+            control_envelope(2, {
+                "conv_id": {"type": "STRING"}, "turn_idx": {"type": "INT32"},
+                "role": {"type": "STRING"}, "text": {"type": "STRING"},
+                "tool": {"type": "STRING"}, "ts": {"type": "TIMESTAMP"},
+                "rating": {"type": "INT32"},
+            }),
+            data_envelope(3, "a", 1, "new-row", extra={"rating": 5}),
+        ],
+    )
+    pipe = CDCPipeline(tmp_path / "lake", PipelineConfig(num_partitions=4, epoch_size=2))
+    pipe.replay(str(log), mode="actors", epoch_size=2)
+    df = pipe.read_lake().to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    assert "rating" in df.columns
+    assert df.loc[df.turn_idx == 1, "rating"].iloc[0] == 5
+    assert df.loc[df.turn_idx == 0, "rating"].isna().all()
+
+
 def test_registry_snapshot_survives_restart(tmp_path):
     log = tmp_path / "env.parquet"
     write_log(
