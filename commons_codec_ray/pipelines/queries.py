@@ -263,6 +263,53 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Per-event sliding 1-hour aggregate (count + sum over the trailing
+    hour, RANGE-frame semantics): partition by user, sort by ts within
+    the group, two-pointer + prefix sums — O(n) per key, vectorized."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def sliding(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        hour = np.timedelta64(1, "h")
+        for uid, g in group.groupby("user_id", sort=False):
+            g = g.sort_values("ts")
+            ts = g["ts"].to_numpy()
+            vals = g["value"].to_numpy()
+            # RANGE BETWEEN 1h PRECEDING AND CURRENT ROW: all rows with
+            # ts in [ts_i - 1h, ts_i], ties included on both ends
+            left = np.searchsorted(ts, ts - hour, side="left")
+            right = np.searchsorted(ts, ts, side="right")
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "n_1h": (right - left).astype("int64"),
+                        "sum_1h": duckdb_round(csum[right] - csum[left], 2),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    bucketed = ds.map_batches(
+        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], 15)),
+        batch_format="pyarrow",
+    )
+    res = bucketed.groupby("_b").map_groups(sliding, batch_format="pandas")
+    return res
+
+
+_SLIDING_WINDOW_SQL = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_embed_pairs(sf_dir: str):
     """Exact embedding near-duplicate pairs (cosine ≥ 0.35, id_a < id_b):
     the whole corpus is broadcast once (small side at this scale), each
@@ -658,6 +705,7 @@ QUERIES = {
     "cdc_dead_letter": q_dead_letter,
     "windowed_agg": q_windowed_agg,
     "session_windows": q_session_windows,
+    "sliding_window": q_sliding_window,
     "embed_pairs": q_embed_pairs,
     "exact_dedup": q_exact_dedup,
     "near_dedup": q_near_dedup,
@@ -685,6 +733,7 @@ ORACLE_SQL = {
     "cdc_dead_letter": _DEAD_LETTER_SQL,
     "windowed_agg": _WINDOWED_AGG_SQL,
     "session_windows": _SESSION_WINDOWS_SQL,
+    "sliding_window": _SLIDING_WINDOW_SQL,
     "embed_pairs": _EMBED_PAIRS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     # near_dedup is rows-only: the synthetic corpus contains GENUINE
