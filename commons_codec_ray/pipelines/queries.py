@@ -634,6 +634,69 @@ GROUP BY 1
 """
 
 
+def q_top_orders(sf_dir: str):
+    """Top-20 orders by total price with customer name: broadcast lookup
+    + distributed sort + limit (small result materialization only)."""
+    import ray as _ray
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
+    lookup = cust.set_index("c_custkey")["c_name"]
+    ref = _ray.put(lookup)
+
+    class AddName:
+        def __init__(self):
+            self.lookup = _ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["c_name"] = b["o_custkey"].map(self.lookup)
+            return b
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    top = (
+        orders.map_batches(AddName, batch_format="pandas", concurrency=2)
+        .sort("o_totalprice", descending=True)
+        .limit(20)
+    )
+    return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+
+_TOP_ORDERS_SQL = """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC LIMIT 20
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    """Distinct values of a column (ds.unique — a shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def q_approx_distinct(sf_dir: str):
+    """Mergeable-sketch distinct count (KMV, k=1024): one sketch per
+    batch, kilobyte merge — the 100 TB pattern for COUNT(DISTINCT).
+    k=1024 > distinct users at every sf, so the estimate is EXACT here
+    and the SQL oracle can verify it."""
+    from commons_codec_ray.stages.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", k=1024)
+    return pa.table({"n_users": pa.array([int(round(est))], pa.int64())})
+
+
+_APPROX_DISTINCT_SQL = (
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events"
+)
+
+
 # --- rows-only checks (no exact SQL equivalent; driver verifies rows>=0) ---
 
 
@@ -716,6 +779,9 @@ QUERIES = {
     "json_flatten": q_json_flatten,
     "ext_json_roundtrip": q_ext_json_roundtrip,
     "bcast_join_agg": q_bcast_join_agg,
+    "top_orders": q_top_orders,
+    "distinct_event_types": q_distinct_event_types,
+    "approx_distinct": q_approx_distinct,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "langid": q_langid,
@@ -747,4 +813,7 @@ ORACLE_SQL = {
     "json_flatten": _JSON_FLATTEN_SQL,
     "ext_json_roundtrip": _EXT_JSON_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
+    "top_orders": _TOP_ORDERS_SQL,
+    "distinct_event_types": _DISTINCT_SQL,
+    "approx_distinct": _APPROX_DISTINCT_SQL,
 }

@@ -1,0 +1,79 @@
+"""Mergeable sketches for distributed approximate aggregates.
+
+The scalable aggregation pattern for distinct-count-like questions at
+100 TB: each ``map_batches`` task emits ONE serialized sketch per batch,
+and a tiny second stage merges them — sketches are designed to be
+mergeable, so the shuffle carries kilobytes instead of the key universe.
+
+KMV (k-minimum-values) estimator: keep the k smallest 64-bit hashes seen;
+the (k-1)-th smallest value m estimates distinct count as (k-1)/m (hashes
+uniform on [0,1)). Deterministic given the hash function — two runs over
+the same data produce the identical estimate — and union-mergeable by
+keeping the k smallest of the union.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_MAX64 = float(1 << 64)
+
+
+class KMVSketch:
+    def __init__(self, k: int = 1024, values: np.ndarray | None = None):
+        self.k = k
+        self.values = np.array([], dtype=np.uint64) if values is None else values
+
+    @staticmethod
+    def _hash(arr) -> np.ndarray:
+        out = np.empty(len(arr), dtype=np.uint64)
+        for i, v in enumerate(arr):
+            h = zlib.crc32(str(v).encode())
+            # expand 32→64 bits with a splitmix-style multiply for spread
+            out[i] = (np.uint64(h) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
+        return out
+
+    def update(self, arr) -> "KMVSketch":
+        h = np.unique(self._hash(arr))
+        merged = np.unique(np.concatenate([self.values, h]))
+        self.values = merged[: self.k]
+        return self
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        merged = np.unique(np.concatenate([self.values, other.values]))
+        return KMVSketch(self.k, merged[: self.k])
+
+    def estimate(self) -> float:
+        n = len(self.values)
+        if n < self.k:
+            return float(n)  # exact below k
+        m = self.values[self.k - 1] / _MAX64
+        return (self.k - 1) / m
+
+    def serialize(self) -> bytes:
+        return self.values.tobytes()
+
+    @classmethod
+    def deserialize(cls, k: int, data: bytes) -> "KMVSketch":
+        return cls(k, np.frombuffer(data, dtype=np.uint64))
+
+
+def approx_distinct(ds, column: str, k: int = 1024) -> float:
+    """Distributed distinct-count estimate: one sketch per batch → merge.
+
+    The partial stage emits one (serialized-sketch) row per batch; the
+    merge happens on the driver over those few rows (bytes, not data).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = KMVSketch(k).update(batch[column].to_pylist())
+        return pa.table({"sketch": pa.array([sk.serialize()], type=pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = KMVSketch(k)
+    for row in parts:
+        acc = acc.merge(KMVSketch.deserialize(k, row["sketch"]))
+    return acc.estimate()
