@@ -45,13 +45,22 @@ def _extra_columns(registry: SchemaRegistry, table: str) -> list[tuple[str, pa.D
     return [(n, resolve_logical_type(t)) for n, t in cols.items() if n not in _STATIC_COLUMNS]
 
 
+def partition_key(table: str, pid: int) -> str:
+    """Checkpoint/manifest key for a (table, partition) pair."""
+    return f"{table}#{pid}"
+
+
+def safe_table_dir(table: str) -> str:
+    return table.replace("/", "_").replace("..", "_")
+
+
 def _make_apply_fn(
     lake_root: str,
     epoch: int,
-    base_partitions: dict[int, str],
+    base_partitions: dict[str, str],
     extra_columns: list[tuple[str, pa.DataType]],
 ):
-    """Per-partition applier run inside map_groups tasks.
+    """Per-(table, partition) applier run inside map_groups tasks.
 
     Writes the new partition file via tmp + atomic rename (safe under
     Ray task retries — a retried task rewrites identical bytes), writes
@@ -63,6 +72,11 @@ def _make_apply_fn(
         import os
 
         pid = group["partition_id"][0].as_py()
+        table = (
+            group["table_name"][0].as_py()
+            if "table_name" in group.column_names
+            else "transcripts"
+        ) or "transcripts"
         # split off dead letters / control rows riding the same shuffle
         special_mask = pc.greater_equal(group["op"], pa.scalar(OP_SCHEMA, pa.int8()))
         n_dead = 0
@@ -80,11 +94,11 @@ def _make_apply_fn(
             group = group.filter(pc.invert(special_mask))
 
         base = None
-        rel = base_partitions.get(pid)
+        rel = base_partitions.get(partition_key(table, pid))
         if rel is not None:
             base = pq.read_table(Path(lake_root) / rel)
         out = apply_ops_to_base(base, group, extra_columns)
-        epoch_dir = Path(lake_root) / "epochs" / f"epoch-{epoch:08d}"
+        epoch_dir = Path(lake_root) / "epochs" / f"epoch-{epoch:08d}" / safe_table_dir(table)
         epoch_dir.mkdir(parents=True, exist_ok=True)
         path = epoch_dir / f"part-{pid:04d}.parquet"
         tmp = path.with_suffix(f".tmp-{os.getpid()}")
@@ -94,6 +108,7 @@ def _make_apply_fn(
         rel_path = str(path.relative_to(lake_root))
         return pa.table(
             {
+                "table": pa.array([table], pa.string()),
                 "partition_id": pa.array([pid], pa.int32()),
                 "path": pa.array([rel_path], pa.string()),
                 "rows": pa.array([out.num_rows], pa.int64()),
@@ -142,6 +157,7 @@ class CDCPipeline:
             return pa.table(
                 {
                     "op": pa.array(np.full(n, OP_UPSERT, dtype=np.int8)),
+                    "table_name": pa.array([cfg.table] * n, pa.string()),
                     "conv_id": conv,
                     "turn_idx": t["turn_idx"].cast(pa.int32()),
                     "role": t["role"].cast(pa.string()),
@@ -161,7 +177,9 @@ class CDCPipeline:
         )
         self.store.ensure_dirs(0)
         lineage = (
-            ops.groupby("partition_id").map_groups(apply_fn, batch_format="pyarrow").take_all()
+            ops.groupby(["table_name", "partition_id"])
+            .map_groups(apply_fn, batch_format="pyarrow")
+            .take_all()
         )
         metrics = {
             "events": sum(r["ops_applied"] for r in lineage),
@@ -210,16 +228,17 @@ class CDCPipeline:
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         ).materialize()
-        base_partitions = {int(k): v for k, v in ckpt.partitions.items()}
         apply_fn = _make_apply_fn(
             str(self.store.root),
             epoch,
-            base_partitions,
+            dict(ckpt.partitions),
             _extra_columns(cfg.registry, cfg.table),
         )
         self.store.ensure_dirs(epoch)
         lineage = (
-            ops.groupby("partition_id").map_groups(apply_fn, batch_format="pyarrow").take_all()
+            ops.groupby(["table_name", "partition_id"])
+            .map_groups(apply_fn, batch_format="pyarrow")
+            .take_all()
         )
 
         n_dead = sum(r["n_dead"] for r in lineage)
@@ -368,7 +387,7 @@ class CDCPipeline:
         runner = ActorPoolApplyRunner(
             str(self.store.root),
             cfg,
-            {int(k): v for k, v in ckpt.partitions.items()},
+            dict(ckpt.partitions),
         )
         results = []
         try:
@@ -410,15 +429,22 @@ class CDCPipeline:
         return results
 
     # ------------------------------------------------------------------ reads
-    def read_lake(self, with_lsn: bool = False, epoch: int | None = None):
+    def read_lake(self, with_lsn: bool = False, epoch: int | None = None, table: str | None = None):
         """Dataset over the lake's current state — or, with ``epoch=E``,
         its state as of committed epoch E (time travel): the manifests
         record every epoch's partition files, so any committed snapshot
-        is reconstructible until :meth:`vacuum` removes it."""
+        is reconstructible until :meth:`vacuum` removes it. ``table``
+        selects one logical table (default: the config's table)."""
+        table = table or self.config.table
         if epoch is None:
-            files = self.store.current_files()
+            partitions = self.store.read_checkpoint().partitions
         else:
-            files = [str(self.store.root / rel) for rel in self._partitions_at(epoch).values()]
+            partitions = self._partitions_at(epoch)
+        files = [
+            str(self.store.root / rel)
+            for key, rel in partitions.items()
+            if key.split("#", 1)[0] == table
+        ]
         if not files:
             raise FileNotFoundError(f"empty lake at {self.store.root}")
         ds = rd.read_parquet(files)

@@ -52,6 +52,7 @@ TRANSCRIPT_SCHEMA = pa.schema(
 OPS_SCHEMA = pa.schema(
     [
         pa.field("op", pa.int8()),
+        pa.field("table_name", pa.string()),
         pa.field("conv_id", pa.string()),
         pa.field("turn_idx", pa.int32()),
         pa.field("role", pa.string()),

@@ -122,7 +122,7 @@ class LakeManifestStore:
         if epoch <= prev.last_epoch:
             return prev  # already committed (idempotent re-commit)
         files = {
-            str(r["partition_id"]): {
+            f"{r.get('table', 'transcripts')}#{r['partition_id']}": {
                 "path": r["path"],
                 "rows": int(r["rows"]),
                 "max_lsn": int(r["max_lsn"]),

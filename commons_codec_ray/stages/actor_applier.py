@@ -102,7 +102,7 @@ class PartitionApplier:
         actor_id: int,
         num_actors: int,
         lake_root: str,
-        base_partitions: dict[int, str],
+        base_partitions: dict[str, str],
         extra_columns_json: str,
     ):
         self.actor_id = actor_id
@@ -113,11 +113,13 @@ class PartitionApplier:
         self.extra_columns = [
             (n, _type_from_str(t)) for n, t in json.loads(extra_columns_json)
         ]
-        # load base state for owned partitions ONCE (from last checkpoint)
-        self.state: dict[int, pa.Table] = {}
-        for pid, rel in base_partitions.items():
+        # load base state for owned (table, partition) pairs ONCE
+        self.state: dict[tuple[str, int], pa.Table] = {}
+        for key, rel in base_partitions.items():
+            table, _, pid_s = key.partition("#")
+            pid = int(pid_s)
             if pid % num_actors == actor_id:
-                self.state[pid] = pq.read_table(self.lake_root / rel)
+                self.state[(table, pid)] = pq.read_table(self.lake_root / rel)
 
     def set_extra_columns(self, extra_columns_json: str) -> None:
         self.extra_columns = [
@@ -159,24 +161,42 @@ class PartitionApplier:
         return self._apply(epoch, ops)
 
     def _apply(self, epoch: int, ops: pa.Table | None) -> list[dict[str, Any]]:
-        epoch_dir = self.lake_root / "epochs" / f"epoch-{epoch:08d}"
-        epoch_dir.mkdir(parents=True, exist_ok=True)
+        from commons_codec_ray.pipelines.cdc import safe_table_dir
+
         lineage: list[dict[str, Any]] = []
         if ops is None or ops.num_rows == 0:
             return lineage
-        pids = np.unique(ops["partition_id"].to_numpy(zero_copy_only=False))
-        for pid in pids:
-            pid = int(pid)
-            group = ops.filter(pc.equal(ops["partition_id"], pa.scalar(pid, pa.int32())))
-            base = self.state.get(pid)
+        if "table_name" not in ops.column_names:
+            ops = ops.append_column(
+                "table_name", pa.array(["transcripts"] * ops.num_rows, pa.string())
+            )
+        pairs = (
+            ops.select(["table_name", "partition_id"])
+            .group_by(["table_name", "partition_id"])
+            .aggregate([])
+            .to_pylist()
+        )
+        for pair in pairs:
+            table, pid = pair["table_name"] or "transcripts", int(pair["partition_id"])
+            mask = pc.and_(
+                pc.equal(ops["table_name"], table),
+                pc.equal(ops["partition_id"], pa.scalar(pid, pa.int32())),
+            )
+            group = ops.filter(mask)
+            base = self.state.get((table, pid))
             out = apply_ops_to_base(base, group, self.extra_columns)
-            self.state[pid] = out
+            self.state[(table, pid)] = out
+            epoch_dir = (
+                self.lake_root / "epochs" / f"epoch-{epoch:08d}" / safe_table_dir(table)
+            )
+            epoch_dir.mkdir(parents=True, exist_ok=True)
             path = epoch_dir / f"part-{pid:04d}.parquet"
             tmp = path.with_suffix(f".tmp-{os.getpid()}")
             pq.write_table(out, tmp)
             os.replace(tmp, path)
             lineage.append(
                 {
+                    "table": table,
                     "partition_id": pid,
                     "path": str(path.relative_to(self.lake_root)),
                     "rows": out.num_rows,

@@ -53,6 +53,29 @@ from commons_codec_ray.stages.applier import lww_combine_batch
 _KNOWN = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _extract_table(payload: dict, default: str) -> str:
+    """Table address from the envelope — the reference's ``TableAddress``
+    derivation (model.py:20-29): Debezium-style ``metadata.schema-name``/
+    ``table-name`` (with the awsdms_* control tables diverted to the
+    ``dms`` schema, transform/aws_dms.py:47-55), binlog-style
+    ``table.{schema,name}``; the ``public`` schema is elided."""
+    m = payload.get("metadata")
+    if isinstance(m, dict):
+        t = m.get("table-name")
+        if t:
+            s = m.get("schema-name") or "public"
+            if t.startswith("awsdms_"):
+                s = "dms"
+            return t if s == "public" else f"{s}.{t}"
+    t = payload.get("table")
+    if isinstance(t, dict):
+        name = t.get("name")
+        if name:
+            s = t.get("schema") or "public"
+            return name if s == "public" else f"{s}.{name}"
+    return default
+
+
 class DecodeEnvelopes:
     """Envelope decode stage.
 
@@ -99,6 +122,7 @@ class DecodeEnvelopes:
         n = len(payloads)
 
         ops: list[int] = []
+        table_col: list = []
         conv_id: list = []
         turn_idx: list = []
         role: list = []
@@ -117,11 +141,15 @@ class DecodeEnvelopes:
         universal = self.layout == "universal"
         object_columns = self.object_columns
 
+        default_table = self.config.table
         for i in range(n):
             try:
-                decoded = decoders[dialects[i]](loads(payloads[i]))
+                parsed = loads(payloads[i])
+                decoded = decoders[dialects[i]](parsed)
+                tname = _extract_table(parsed, default_table)
             except Exception as exc:  # noqa: BLE001 — any poison envelope → dead letter
                 append(OP_DEAD)
+                table_col.append(default_table)
                 conv_id.append(None)
                 turn_idx.append(None)
                 role.append(None)
@@ -136,6 +164,7 @@ class DecodeEnvelopes:
                 continue
             for op, rec, extra in decoded:
                 append(op)
+                table_col.append(tname)
                 cid = rec.get("conv_id")
                 conv_id.append(str(cid) if cid is not None else None)
                 ti = rec.get("turn_idx")
@@ -183,6 +212,7 @@ class DecodeEnvelopes:
         conv_col = pa.array(conv_id, type=pa.string())
         cols = {
             "op": pa.array(ops, type=pa.int8()),
+            "table_name": pa.array(table_col, type=pa.string()),
             "conv_id": conv_col,
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),

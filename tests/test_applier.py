@@ -119,6 +119,7 @@ def test_lww_combine_batch_passthrough_special():
     tbl = pa.table(
         {
             "op": pa.array([OP_UPSERT, OP_UPSERT, OP_DEAD], pa.int8()),
+            "table_name": pa.array(["transcripts"] * 3, pa.string()),
             "conv_id": pa.array(["a", "a", None], pa.string()),
             "turn_idx": pa.array([0, 0, None], pa.int32()),
             "role": pa.array([None] * 3, pa.string()),

@@ -1,0 +1,82 @@
+"""Multi-table lake routing: envelopes carry table addresses; each table
+gets its own partition space and files (reference TableAddress semantics,
+model.py:20-29, incl. the awsdms_* → dms-schema diversion,
+transform/aws_dms.py:47-55)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from commons_codec_ray.config import PipelineConfig
+from commons_codec_ray.pipelines.cdc import CDCPipeline
+from commons_codec_ray.stages.decode_stage import DecodeEnvelopes, _extract_table
+
+
+def envelope(lsn, conv, turn, text, table="transcripts", schema="public"):
+    payload = {
+        "data": {"conv_id": conv, "turn_idx": turn, "role": "user", "text": text,
+                 "tool": None, "ts": "2024-01-01T00:00:00"},
+        "before-image": {},
+        "metadata": {"operation": "insert", "record-type": "data",
+                     "schema-name": schema, "table-name": table},
+    }
+    return {"lsn": lsn, "source_offset": lsn, "dialect": "debezium",
+            "payload": json.dumps(payload), "conv_id": conv}
+
+
+def test_extract_table_rules():
+    assert _extract_table({"metadata": {"table-name": "t", "schema-name": "public"}}, "d") == "t"
+    assert _extract_table({"metadata": {"table-name": "t", "schema-name": "s"}}, "d") == "s.t"
+    # awsdms_* control tables divert to the dms schema
+    assert (
+        _extract_table({"metadata": {"table-name": "awsdms_status", "schema-name": "public"}}, "d")
+        == "dms.awsdms_status"
+    )
+    assert _extract_table({"table": {"name": "t", "schema": "public"}}, "d") == "t"
+    assert _extract_table({"table": {"name": "t", "schema": "s"}}, "d") == "s.t"
+    assert _extract_table({}, "default_t") == "default_t"
+
+
+def test_decode_routes_tables():
+    rows = [
+        envelope(0, "a", 0, "to-transcripts"),
+        envelope(1, "a", 0, "to-notes", table="notes"),
+        envelope(2, "a", 0, "to-dms", table="awsdms_status"),
+    ]
+    env = pa.Table.from_pylist(rows)
+    ops = DecodeEnvelopes(PipelineConfig(), combine=False)(env)
+    tables = ops["table_name"].to_pylist()
+    assert tables == ["transcripts", "notes", "dms.awsdms_status"]
+
+
+@pytest.mark.parametrize("mode", ["groupby", "actors"])
+def test_multi_table_replay_and_read(tmp_path, mode):
+    rows = [
+        envelope(0, "a", 0, "t-row-1"),
+        envelope(1, "b", 0, "t-row-2"),
+        envelope(2, "a", 0, "n-row-1", table="notes"),
+        # epoch boundary
+        envelope(3, "a", 1, "t-row-3"),
+        envelope(4, "b", 0, "n-row-2", table="notes"),
+        envelope(5, "a", 0, "t-row-1-updated"),  # LWW update in transcripts only
+    ]
+    log = tmp_path / "env.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), log)
+    lake = tmp_path / f"lake_{mode}"
+    pipe = CDCPipeline(lake, PipelineConfig(num_partitions=4, epoch_size=3))
+    pipe.replay(str(log), mode=mode, epoch_size=3)
+
+    tdf = pipe.read_lake(table="transcripts").to_pandas().sort_values(["conv_id", "turn_idx"])
+    ndf = pipe.read_lake(table="notes").to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert tdf["text"].tolist() == ["t-row-1-updated", "t-row-3", "t-row-2"]
+    assert ndf["text"].tolist() == ["n-row-1", "n-row-2"]
+    # partition files live under per-table directories
+    files = {str(p.relative_to(lake)) for p in lake.rglob("part-*.parquet")}
+    assert any("/notes/" in f for f in files)
+    assert any("/transcripts/" in f for f in files)
+    # checkpoint keys are table-scoped
+    keys = set(pipe.checkpoint().partitions)
+    assert any(k.startswith("notes#") for k in keys)
+    assert any(k.startswith("transcripts#") for k in keys)
