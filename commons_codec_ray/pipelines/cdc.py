@@ -346,7 +346,9 @@ class CDCPipeline:
             )
         )
         while lo <= max_offset:
-            hi = lo + epoch_size
+            # clamp to the known head: committing past it would skip
+            # offsets that arrive later within the same range (tail mode)
+            hi = min(lo + epoch_size, max_offset + 1)
             env = rd.read_parquet(
                 envelopes_path,
                 filter=(pc.field("source_offset") >= lo) & (pc.field("source_offset") < hi),
@@ -393,7 +395,7 @@ class CDCPipeline:
         try:
             lo = start
             while lo <= max_offset:
-                hi = lo + epoch_size
+                hi = min(lo + epoch_size, max_offset + 1)
                 t0 = time.time()
                 epoch_controls = [
                     r for r in all_controls if lo <= r["source_offset"] < hi
@@ -427,6 +429,45 @@ class CDCPipeline:
         finally:
             runner.shutdown()
         return results
+
+    # ------------------------------------------------------------------ tail
+    def poll(self, envelopes_path: str, mode: str = "groupby") -> int:
+        """One tail step: discover offsets beyond the checkpoint and
+        ingest them; returns the number of NEW offsets committed.
+
+        The distributed analog of the reference's blocking change-stream
+        relay (examples/mongodb_cdc_cratedb.py:50-61): the "stream" is an
+        append-only envelope log (files keep arriving); resumption comes
+        free from the checkpoint — no extra state."""
+        ckpt = self.store.read_checkpoint()
+        head = _max_column_value(envelopes_path, "source_offset")
+        if head < ckpt.next_offset:
+            return 0
+        self.replay(envelopes_path, max_offset=head, mode=mode)
+        return self.store.read_checkpoint().next_offset - ckpt.next_offset
+
+    def watch(
+        self,
+        envelopes_path: str,
+        poll_interval_s: float = 1.0,
+        max_idle_polls: int | None = 3,
+        mode: str = "groupby",
+    ) -> dict[str, Any]:
+        """Continuous tail: poll the log until ``max_idle_polls``
+        consecutive polls find nothing new (None → forever)."""
+        idle = 0
+        polls = 0
+        ingested = 0
+        while max_idle_polls is None or idle < max_idle_polls:
+            got = self.poll(envelopes_path, mode=mode)
+            polls += 1
+            if got > 0:
+                ingested += got
+                idle = 0
+            else:
+                idle += 1
+                time.sleep(poll_interval_s)
+        return {"polls": polls, "offsets_ingested": ingested}
 
     # ------------------------------------------------------------------ reads
     def read_lake(self, with_lsn: bool = False, epoch: int | None = None, table: str | None = None):
