@@ -115,6 +115,17 @@ class PipelineConfig:
     decode_batch_size: int = 16384
     # events per epoch (checkpoint granularity) for the epoch loop
     epoch_size: int = 2_000_000
+    # sink mode: "rewrite" = full partition rewrite per touched epoch
+    # (merge-on-write, simplest reads); "delta" = write per-epoch delta
+    # files with delete tombstones, merge on read, compact automatically
+    # — the low-write-amplification mode for small epochs over big
+    # partitions
+    sink_mode: str = "rewrite"
+    # delta sink compaction triggers: fold deltas into a new base when
+    # either accumulated delta rows exceed ratio × base rows or the
+    # delta-file count exceeds max_deltas
+    compact_ratio: float = 0.5
+    compact_max_deltas: int = 8
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
 
     def __post_init__(self) -> None:

@@ -57,8 +57,11 @@ def safe_table_dir(table: str) -> str:
 def _make_apply_fn(
     lake_root: str,
     epoch: int,
-    base_partitions: dict[str, str],
+    base_partitions: dict[str, Any],
     extra_columns: list[tuple[str, pa.DataType]],
+    sink_mode: str = "rewrite",
+    compact_ratio: float = 0.5,
+    compact_max_deltas: int = 8,
 ):
     """Per-(table, partition) applier run inside map_groups tasks.
 
@@ -93,14 +96,43 @@ def _make_apply_fn(
                 os.replace(dtmp, dpath)
             group = group.filter(pc.invert(special_mask))
 
-        base = None
-        rel = base_partitions.get(partition_key(table, pid))
-        if rel is not None:
-            base = pq.read_table(Path(lake_root) / rel)
-        out = apply_ops_to_base(base, group, extra_columns)
+        from commons_codec_ray.sink.manifest import entry_files
+        from commons_codec_ray.stages.applier import epoch_delta, merge_base_with_deltas
+
+        entry = base_partitions.get(partition_key(table, pid))
+        base_rel, delta_rels = entry_files(entry)
         epoch_dir = Path(lake_root) / "epochs" / f"epoch-{epoch:08d}" / safe_table_dir(table)
         epoch_dir.mkdir(parents=True, exist_ok=True)
-        path = epoch_dir / f"part-{pid:04d}.parquet"
+
+        kind = "full"
+        if sink_mode == "delta" and (base_rel or delta_rels):
+            new_delta = epoch_delta(group)
+            base_rows = (
+                pq.read_metadata(Path(lake_root) / base_rel).num_rows if base_rel else 0
+            )
+            delta_rows = sum(
+                pq.read_metadata(Path(lake_root) / d).num_rows for d in delta_rels
+            )
+            compact = (
+                len(delta_rels) + 1 > compact_max_deltas
+                or (delta_rows + new_delta.num_rows) > compact_ratio * max(base_rows, 1)
+            )
+            if compact:
+                base = pq.read_table(Path(lake_root) / base_rel) if base_rel else None
+                deltas = [pq.read_table(Path(lake_root) / d) for d in delta_rels]
+                out = merge_base_with_deltas(base, deltas + [new_delta], extra_columns)
+            else:
+                kind = "delta"
+                out = new_delta
+        else:
+            base = pq.read_table(Path(lake_root) / base_rel) if base_rel else None
+            if delta_rels:  # entering rewrite mode over a delta lake
+                deltas = [pq.read_table(Path(lake_root) / d) for d in delta_rels]
+                base = merge_base_with_deltas(base, deltas, extra_columns)
+            out = apply_ops_to_base(base, group, extra_columns)
+
+        suffix = "delta" if kind == "delta" else "parquet"
+        path = epoch_dir / f"part-{pid:04d}.{suffix}.parquet" if kind == "delta" else epoch_dir / f"part-{pid:04d}.parquet"
         tmp = path.with_suffix(f".tmp-{os.getpid()}")
         pq.write_table(out, tmp)
         os.replace(tmp, path)
@@ -115,6 +147,7 @@ def _make_apply_fn(
                 "max_lsn": pa.array([max_lsn if max_lsn is not None else -1], pa.int64()),
                 "ops_applied": pa.array([group.num_rows], pa.int64()),
                 "n_dead": pa.array([n_dead], pa.int64()),
+                "kind": pa.array([kind], pa.string()),
             }
         )
 
@@ -233,6 +266,9 @@ class CDCPipeline:
             epoch,
             dict(ckpt.partitions),
             _extra_columns(cfg.registry, cfg.table),
+            sink_mode=cfg.sink_mode,
+            compact_ratio=cfg.compact_ratio,
+            compact_max_deltas=cfg.compact_max_deltas,
         )
         self.store.ensure_dirs(epoch)
         lineage = (
@@ -476,19 +512,44 @@ class CDCPipeline:
         record every epoch's partition files, so any committed snapshot
         is reconstructible until :meth:`vacuum` removes it. ``table``
         selects one logical table (default: the config's table)."""
+        from commons_codec_ray.sink.manifest import entry_files
+
         table = table or self.config.table
         if epoch is None:
             partitions = self.store.read_checkpoint().partitions
         else:
             partitions = self._partitions_at(epoch)
-        files = [
-            str(self.store.root / rel)
-            for key, rel in partitions.items()
+        entries = [
+            entry_files(entry)
+            for key, entry in partitions.items()
             if key.split("#", 1)[0] == table
         ]
-        if not files:
+        if not entries:
             raise FileNotFoundError(f"empty lake at {self.store.root}")
-        ds = rd.read_parquet(files)
+        root = self.store.root
+        if not any(deltas for _, deltas in entries):
+            ds = rd.read_parquet([str(root / base) for base, _ in entries if base])
+        else:
+            # delta sink: one merge task per partition (base + deltas → LWW)
+            items = [
+                {"base": str(root / base) if base else "", "deltas": [str(root / d) for d in deltas]}
+                for base, deltas in entries
+            ]
+            extra = _extra_columns(self.config.registry, table)
+
+            def merge_partition(df) -> pa.Table:
+                from commons_codec_ray.stages.applier import merge_base_with_deltas
+
+                outs = []
+                for _, row in df.iterrows():
+                    base = pq.read_table(row["base"]) if row["base"] else None
+                    deltas = [pq.read_table(d) for d in row["deltas"]]
+                    outs.append(merge_base_with_deltas(base, deltas, extra))
+                return pa.concat_tables(outs, promote_options="permissive")
+
+            ds = rd.from_items(items).map_batches(
+                merge_partition, batch_format="pandas", batch_size=1
+            )
         if not with_lsn:
             ds = ds.map_batches(
                 lambda t: final_state(t, with_lsn=False), batch_format="pyarrow"
@@ -500,14 +561,18 @@ class CDCPipeline:
         ckpt = self.store.read_checkpoint()
         if epoch > ckpt.last_epoch:
             raise ValueError(f"epoch {epoch} not committed (last={ckpt.last_epoch})")
-        partitions: dict[str, str] = {}
+        from commons_codec_ray.sink.manifest import fold_entry
+
+        partitions: dict[str, Any] = {}
         for e in range(0, epoch + 1):
             try:
                 manifest = self.store.read_manifest(e)
             except FileNotFoundError:
                 continue
             for pid, info in manifest["files"].items():
-                partitions[pid] = info["path"]
+                partitions[pid] = fold_entry(
+                    partitions.get(pid), info["path"], info.get("kind", "full")
+                )
         return partitions
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -517,13 +582,25 @@ class CDCPipeline:
         paths."""
         import os
 
+        from commons_codec_ray.sink.manifest import entry_files
+
         ckpt = self.store.read_checkpoint()
         horizon = ckpt.last_epoch - keep_last
-        live = set(ckpt.partitions.values())
+
+        def paths_of(entries) -> set[str]:
+            out: set[str] = set()
+            for entry in entries:
+                base, deltas = entry_files(entry)
+                if base:
+                    out.add(base)
+                out.update(deltas)
+            return out
+
+        live = paths_of(ckpt.partitions.values())
         # everything still referenced by a retained snapshot stays
         for e in range(max(0, horizon), ckpt.last_epoch + 1):
             try:
-                live.update(self._partitions_at(e).values())
+                live.update(paths_of(self._partitions_at(e).values()))
             except ValueError:
                 continue
         removed = []

@@ -41,6 +41,26 @@ from typing import Any
 CHECKPOINT = "CHECKPOINT.json"
 
 
+def entry_files(entry) -> tuple[str | None, list[str]]:
+    """A checkpoint partition entry is either a plain path (full
+    partition file, rewrite sink) or ``{"base": path|None, "deltas":
+    [paths]}`` (delta sink). Returns (base, deltas)."""
+    if entry is None:
+        return None, []
+    if isinstance(entry, str):
+        return entry, []
+    return entry.get("base"), list(entry.get("deltas", []))
+
+
+def fold_entry(prev, path: str, kind: str):
+    """Next checkpoint entry after committing a file of ``kind``
+    ('full' replaces everything; 'delta' appends)."""
+    if kind == "delta":
+        base, deltas = entry_files(prev)
+        return {"base": base, "deltas": deltas + [path]}
+    return path
+
+
 @dataclass
 class Checkpoint:
     last_epoch: int = -1
@@ -126,6 +146,7 @@ class LakeManifestStore:
                 "path": r["path"],
                 "rows": int(r["rows"]),
                 "max_lsn": int(r["max_lsn"]),
+                "kind": r.get("kind", "full"),
             }
             for r in lineage
         }
@@ -140,7 +161,7 @@ class LakeManifestStore:
         )
         partitions = dict(prev.partitions)
         for pid, info in files.items():
-            partitions[pid] = info["path"]
+            partitions[pid] = fold_entry(partitions.get(pid), info["path"], info["kind"])
         ckpt = Checkpoint(
             last_epoch=epoch,
             partitions=partitions,
@@ -152,4 +173,10 @@ class LakeManifestStore:
 
     def current_files(self) -> list[str]:
         ckpt = self.read_checkpoint()
-        return [str(self.root / rel) for rel in ckpt.partitions.values()]
+        out = []
+        for entry in ckpt.partitions.values():
+            base, deltas = entry_files(entry)
+            if base:
+                out.append(str(self.root / base))
+            out.extend(str(self.root / d) for d in deltas)
+        return out

@@ -102,24 +102,44 @@ class PartitionApplier:
         actor_id: int,
         num_actors: int,
         lake_root: str,
-        base_partitions: dict[str, str],
+        base_partitions: dict[str, Any],
         extra_columns_json: str,
+        sink_mode: str = "rewrite",
+        compact_ratio: float = 0.5,
+        compact_max_deltas: int = 8,
     ):
+        from commons_codec_ray.sink.manifest import entry_files
+        from commons_codec_ray.stages.applier import merge_base_with_deltas
+
         self.actor_id = actor_id
         self.num_actors = num_actors
         self.lake_root = Path(lake_root)
         self._pending: list[pa.Table] = []
         self._pending_rows = 0
+        self.sink_mode = sink_mode
+        self.compact_ratio = compact_ratio
+        self.compact_max_deltas = compact_max_deltas
         self.extra_columns = [
             (n, _type_from_str(t)) for n, t in json.loads(extra_columns_json)
         ]
-        # load base state for owned (table, partition) pairs ONCE
+        # load base state for owned (table, partition) pairs ONCE;
+        # delta-sink entries are merged into memory at load time
         self.state: dict[tuple[str, int], pa.Table] = {}
-        for key, rel in base_partitions.items():
+        self.delta_info: dict[tuple[str, int], list[int]] = {}  # [n_deltas, delta_rows]
+        for key, entry in base_partitions.items():
             table, _, pid_s = key.partition("#")
             pid = int(pid_s)
-            if pid % num_actors == actor_id:
-                self.state[(table, pid)] = pq.read_table(self.lake_root / rel)
+            if pid % num_actors != actor_id:
+                continue
+            base_rel, delta_rels = entry_files(entry)
+            base = pq.read_table(self.lake_root / base_rel) if base_rel else None
+            if delta_rels:
+                deltas = [pq.read_table(self.lake_root / d) for d in delta_rels]
+                drows = sum(d.num_rows for d in deltas)
+                self.state[(table, pid)] = merge_base_with_deltas(base, deltas, self.extra_columns)
+                self.delta_info[(table, pid)] = [len(delta_rels), drows]
+            elif base is not None:
+                self.state[(table, pid)] = base
 
     def set_extra_columns(self, extra_columns_json: str) -> None:
         self.extra_columns = [
@@ -176,6 +196,8 @@ class PartitionApplier:
             .aggregate([])
             .to_pylist()
         )
+        from commons_codec_ray.stages.applier import epoch_delta
+
         for pair in pairs:
             table, pid = pair["table_name"] or "transcripts", int(pair["partition_id"])
             mask = pc.and_(
@@ -186,23 +208,44 @@ class PartitionApplier:
             base = self.state.get((table, pid))
             out = apply_ops_to_base(base, group, self.extra_columns)
             self.state[(table, pid)] = out
+
+            # choose what to WRITE: full state, or just this epoch's delta
+            kind = "full"
+            write_tbl = out
+            if self.sink_mode == "delta" and base is not None:
+                n_deltas, drows = self.delta_info.get((table, pid), [0, 0])
+                delta_tbl = epoch_delta(group)
+                compact = (
+                    n_deltas + 1 > self.compact_max_deltas
+                    or (drows + delta_tbl.num_rows)
+                    > self.compact_ratio * max(base.num_rows, 1)
+                )
+                if not compact:
+                    kind = "delta"
+                    write_tbl = delta_tbl
+                    self.delta_info[(table, pid)] = [n_deltas + 1, drows + delta_tbl.num_rows]
+                else:
+                    self.delta_info[(table, pid)] = [0, 0]
+
             epoch_dir = (
                 self.lake_root / "epochs" / f"epoch-{epoch:08d}" / safe_table_dir(table)
             )
             epoch_dir.mkdir(parents=True, exist_ok=True)
-            path = epoch_dir / f"part-{pid:04d}.parquet"
+            name = f"part-{pid:04d}.delta.parquet" if kind == "delta" else f"part-{pid:04d}.parquet"
+            path = epoch_dir / name
             tmp = path.with_suffix(f".tmp-{os.getpid()}")
-            pq.write_table(out, tmp)
+            pq.write_table(write_tbl, tmp)
             os.replace(tmp, path)
             lineage.append(
                 {
                     "table": table,
                     "partition_id": pid,
                     "path": str(path.relative_to(self.lake_root)),
-                    "rows": out.num_rows,
+                    "rows": write_tbl.num_rows,
                     "max_lsn": int(pc.max(group["lsn"]).as_py()),
                     "ops_applied": group.num_rows,
                     "n_dead": 0,
+                    "kind": kind,
                 }
             )
         return lineage
@@ -278,7 +321,14 @@ class ActorPoolApplyRunner:
         # the decode tasks at low cluster sizes
         self.actors = [
             PartitionApplier.options(num_cpus=0.5).remote(
-                a, self.num_actors, lake_root, base_partitions, extra
+                a,
+                self.num_actors,
+                lake_root,
+                base_partitions,
+                extra,
+                config.sink_mode,
+                config.compact_ratio,
+                config.compact_max_deltas,
             )
             for a in range(self.num_actors)
         ]

@@ -172,6 +172,74 @@ def apply_ops_to_base(
     return out
 
 
+def epoch_delta(ops: pa.Table) -> pa.Table:
+    """LWW-reduced epoch ops in DELTA-file layout: ``op`` (incl. DELETE
+    tombstones) + transcript columns + ``_lsn``. The delta sink writes
+    these instead of rewriting the whole partition (merge-on-read)."""
+    keep = [c for c in _OP_COLUMNS if c in ops.column_names]
+    red = lww_reduce(ops.select(keep))
+    cols = {
+        "op": red["op"].cast(pa.int8()),
+        "conv_id": red["conv_id"].cast(pa.string()),
+        "turn_idx": red["turn_idx"].cast(pa.int32()),
+        "role": red["role"].cast(pa.string()),
+        "text": red["text"].cast(pa.string()),
+        "tool": red["tool"].cast(pa.string()),
+        "ts": red["ts"].cast(pa.timestamp("us")),
+        LSN_COLUMN: red["lsn"].cast(pa.int64()),
+    }
+    out = pa.table(cols)
+    for c in red.column_names:
+        if c not in _OP_COLUMNS:
+            out = out.append_column(c, red[c])
+    return out
+
+
+def _delta_as_ops(delta: pa.Table) -> pa.Table:
+    cols = {"op": delta["op"]}
+    for c in delta.column_names:
+        if c in ("op",):
+            continue
+        cols["lsn" if c == LSN_COLUMN else c] = delta[c]
+    return pa.table(cols)
+
+
+def merge_base_with_deltas(
+    base: pa.Table | None,
+    deltas: list[pa.Table],
+    extra_columns: list[tuple[str, pa.DataType]] | None = None,
+) -> pa.Table:
+    """Merge-on-read / compaction kernel: base state + delta files (with
+    tombstones) → current partition state, via the same LWW reduce."""
+    parts = [_delta_as_ops(d) for d in deltas if d.num_rows]
+    if base is not None and base.num_rows:
+        parts.append(base_as_ops(base))
+    if not parts:
+        return TRANSCRIPT_SCHEMA.empty_table().append_column(
+            LSN_COLUMN, pa.array([], pa.int64())
+        )
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    reduced = lww_reduce(merged)
+    alive = reduced.filter(pc.equal(reduced["op"], OP_UPSERT))
+    cols = {
+        "conv_id": alive["conv_id"].cast(pa.string()),
+        "turn_idx": alive["turn_idx"].cast(pa.int32()),
+        "role": alive["role"].cast(pa.string()),
+        "text": alive["text"].cast(pa.string()),
+        "tool": alive["tool"].cast(pa.string()),
+        "ts": alive["ts"].cast(pa.timestamp("us")),
+        LSN_COLUMN: alive["lsn"].cast(pa.int64()),
+    }
+    out = pa.table(cols)
+    types = dict(extra_columns or [])
+    for name, typ in types.items():
+        if name in alive.column_names:
+            out = out.append_column(name, alive[name].cast(typ))
+        else:
+            out = out.append_column(name, pa.nulls(out.num_rows, typ))
+    return out
+
+
 def apply_ops_universal(base: pa.Table | None, ops: pa.Table) -> pa.Table:
     """LWW apply for the UNIVERSAL layout: typed key columns + full-doc
     ``data`` JSON + ``aux`` (the reference's 3-column pk/data/aux target,
