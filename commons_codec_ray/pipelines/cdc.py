@@ -34,7 +34,7 @@ import ray.data as rd
 from commons_codec_ray.config import PipelineConfig, SchemaRegistry, resolve_logical_type
 from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA, OP_UPSERT
 from commons_codec_ray.sink.manifest import Checkpoint, LakeManifestStore
-from commons_codec_ray.stages.applier import LSN_COLUMN, apply_ops_to_base, final_state
+from commons_codec_ray.stages.applier import apply_ops_to_base, final_state
 from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 
 _STATIC_COLUMNS = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.envelopes import EventsToEnvelopes

@@ -38,7 +38,7 @@ import os
 from pathlib import Path
 from typing import Any
 
-import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -47,7 +47,7 @@ import ray
 
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA
-from commons_codec_ray.stages.applier import LSN_COLUMN, apply_ops_to_base
+from commons_codec_ray.stages.applier import apply_ops_to_base
 from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 
 

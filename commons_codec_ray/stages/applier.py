@@ -26,13 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from commons_codec_ray.schemas import (
-    IMAGE_COLUMNS,
-    OP_DELETE,
-    OP_SCHEMA,
-    OP_UPSERT,
-    TRANSCRIPT_SCHEMA,
-)
+from commons_codec_ray.schemas import OP_SCHEMA, OP_UPSERT, TRANSCRIPT_SCHEMA
 
 # internal lake column holding the winning op's lsn per row
 LSN_COLUMN = "_lsn"

@@ -254,7 +254,7 @@ def jaccard_pairs(
 def dedup_clusters(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
-    Driver-side union-find, justified because the LSH pair set is tiny
+    Driver-side union-find — justified because the LSH pair set is tiny
     relative to the corpus (pairs ≈ true near-dups; the all-pairs blowup
     never materializes). If the pair set ever rivals the corpus size,
     switch to iterative min-label propagation with groupby (guide
@@ -279,7 +279,6 @@ def dedup_clusters(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b
 def near_dedup(ds, threshold: float = 0.7, hasher: MinHasher | None = None, id_column: str = "doc_id"):
     """Near-duplicate removal: MinHash+LSH pairs → clusters → keep the
     min-id member of each cluster. Returns the surviving Dataset."""
-    import ray
 
     pairs = jaccard_pairs(ds, threshold=threshold, hasher=hasher, id_column=id_column).to_pandas()
     clusters = dedup_clusters(pairs)
