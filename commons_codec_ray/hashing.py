@@ -27,6 +27,37 @@ def stable_hash_str(s: str) -> int:
     return zlib.crc32(s.encode("utf-8"))
 
 
+def shuffle_keys_for(
+    tables: pa.ChunkedArray | pa.Array, partition_ids: pa.ChunkedArray | pa.Array
+) -> pa.Array:
+    """Single int64 exchange key packing (table, partition):
+    ``(crc32(table) & 0x7FFFFFFF) << 32 | partition_id``.
+
+    Shuffling on a packed int instead of a (string, int) pair keeps the
+    sort-based exchange integer-only (a string sort key measurably slows
+    the 2M-row shuffle). crc collisions between table names are handled
+    by the applier (it splits a group by actual table name), so they
+    cost locality, never correctness.
+    """
+    if isinstance(tables, pa.ChunkedArray):
+        tables = tables.combine_chunks()
+    d = tables if pa.types.is_dictionary(tables.type) else tables.dictionary_encode()
+    lut = np.array(
+        [
+            (zlib.crc32(t.encode("utf-8")) & 0x7FFFFFFF) if t is not None else 0
+            for t in d.dictionary.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    idx = d.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if isinstance(partition_ids, pa.ChunkedArray):
+        partition_ids = partition_ids.combine_chunks()
+    pid = partition_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(lut) == 0:
+        return pa.array(pid)
+    return pa.array((lut[idx] << 32) | pid)
+
+
 def partition_ids_for(conv_ids: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
     """Vectorized-ish partition id for a string column.
 

@@ -72,14 +72,26 @@ def _make_apply_fn(
     """
 
     def _apply(group: pa.Table) -> pa.Table:
+        # one group per shuffle_key; a crc collision between table names
+        # can put two tables in one group — split by actual name
+        if "table_name" in group.column_names:
+            tables = sorted(set(group["table_name"].to_pylist()))
+        else:
+            tables = [None]
+        if len(tables) == 1:
+            return _apply_one(group, tables[0] or "transcripts")
+        tn = group["table_name"].cast(pa.string())
+        return pa.concat_tables(
+            [
+                _apply_one(group.filter(pc.equal(tn, t)), t or "transcripts")
+                for t in tables
+            ]
+        )
+
+    def _apply_one(group: pa.Table, table: str) -> pa.Table:
         import os
 
         pid = group["partition_id"][0].as_py()
-        table = (
-            group["table_name"][0].as_py()
-            if "table_name" in group.column_names
-            else "transcripts"
-        ) or "transcripts"
         # split off dead letters / control rows riding the same shuffle
         special_mask = pc.greater_equal(group["op"], pa.scalar(OP_SCHEMA, pa.int8()))
         n_dead = 0
@@ -90,7 +102,7 @@ def _make_apply_fn(
             if n_dead:
                 dl_dir = Path(lake_root) / "dead_letters" / f"epoch-{epoch:08d}"
                 dl_dir.mkdir(parents=True, exist_ok=True)
-                dpath = dl_dir / f"dead-{pid:04d}.parquet"
+                dpath = dl_dir / f"dead-{safe_table_dir(table)}-{pid:04d}.parquet"
                 dtmp = dpath.with_suffix(f".tmp-{os.getpid()}")
                 pq.write_table(dead.select(["lsn", "source_offset", "aux", "error"]), dtmp)
                 os.replace(dtmp, dpath)
@@ -185,12 +197,16 @@ class CDCPipeline:
         def to_ops(t: pa.Table) -> pa.Table:
             import numpy as np
 
+            from commons_codec_ray.hashing import shuffle_keys_for
+
             n = t.num_rows
             conv = t["conv_id"].cast(pa.string())
+            table_arr = pa.array([cfg.table] * n, pa.string())
+            pid_arr = partition_ids_for(conv.combine_chunks(), cfg.num_partitions)
             return pa.table(
                 {
                     "op": pa.array(np.full(n, OP_UPSERT, dtype=np.int8)),
-                    "table_name": pa.array([cfg.table] * n, pa.string()),
+                    "table_name": table_arr,
                     "conv_id": conv,
                     "turn_idx": t["turn_idx"].cast(pa.int32()),
                     "role": t["role"].cast(pa.string()),
@@ -198,9 +214,8 @@ class CDCPipeline:
                     "tool": t["tool"].cast(pa.string()),
                     "ts": t["ts"].cast(pa.timestamp("us")),
                     "lsn": pa.array(np.full(n, lsn, dtype=np.int64)),
-                    "partition_id": partition_ids_for(
-                        conv.combine_chunks(), cfg.num_partitions
-                    ),
+                    "partition_id": pid_arr,
+                    "shuffle_key": shuffle_keys_for(table_arr, pid_arr),
                 }
             )
 
@@ -210,7 +225,7 @@ class CDCPipeline:
         )
         self.store.ensure_dirs(0)
         lineage = (
-            ops.groupby(["table_name", "partition_id"])
+            ops.groupby("shuffle_key")
             .map_groups(apply_fn, batch_format="pyarrow")
             .take_all()
         )
@@ -272,7 +287,7 @@ class CDCPipeline:
         )
         self.store.ensure_dirs(epoch)
         lineage = (
-            ops.groupby(["table_name", "partition_id"])
+            ops.groupby("shuffle_key")
             .map_groups(apply_fn, batch_format="pyarrow")
             .take_all()
         )

@@ -52,7 +52,9 @@ TRANSCRIPT_SCHEMA = pa.schema(
 OPS_SCHEMA = pa.schema(
     [
         pa.field("op", pa.int8()),
-        pa.field("table_name", pa.string()),
+        # dictionary-encoded: one distinct value per stream is the norm,
+        # so the exchange moves int8 indices instead of a string per row
+        pa.field("table_name", pa.dictionary(pa.int8(), pa.string())),
         pa.field("conv_id", pa.string()),
         pa.field("turn_idx", pa.int32()),
         pa.field("role", pa.string()),
@@ -63,6 +65,7 @@ OPS_SCHEMA = pa.schema(
         pa.field("lsn", pa.int64()),
         pa.field("source_offset", pa.int64()),
         pa.field("partition_id", pa.int32()),
+        pa.field("shuffle_key", pa.int64()),
         pa.field("error", pa.string()),
     ]
 )

@@ -186,25 +186,26 @@ class PartitionApplier:
         lineage: list[dict[str, Any]] = []
         if ops is None or ops.num_rows == 0:
             return lineage
+        import numpy as np
+
         if "table_name" not in ops.column_names:
             ops = ops.append_column(
                 "table_name", pa.array(["transcripts"] * ops.num_rows, pa.string())
             )
-        pairs = (
-            ops.select(["table_name", "partition_id"])
-            .group_by(["table_name", "partition_id"])
-            .aggregate([])
-            .to_pylist()
-        )
         from commons_codec_ray.stages.applier import epoch_delta
 
-        for pair in pairs:
-            table, pid = pair["table_name"] or "transcripts", int(pair["partition_id"])
-            mask = pc.and_(
-                pc.equal(ops["table_name"], table),
-                pc.equal(ops["partition_id"], pa.scalar(pid, pa.int32())),
-            )
-            group = ops.filter(mask)
+        # integer-coded (table, pid) split: dictionary codes + numpy masks —
+        # per-pair string-equality scans measurably slow large epochs
+        tcol = ops["table_name"].combine_chunks()
+        tdict = tcol if pa.types.is_dictionary(tcol.type) else tcol.dictionary_encode()
+        tcodes = tdict.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tnames = tdict.dictionary.to_pylist()
+        pid_np = ops["partition_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        combo = (tcodes << 32) | pid_np
+        for key in np.unique(combo):
+            code, pid = int(key >> 32), int(key & 0xFFFFFFFF)
+            table = tnames[code] or "transcripts"
+            group = ops.filter(pa.array(combo == key))
             base = self.state.get((table, pid))
             out = apply_ops_to_base(base, group, self.extra_columns)
             self.state[(table, pid)] = out

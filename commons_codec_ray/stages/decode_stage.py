@@ -46,7 +46,7 @@ except ImportError:  # pragma: no cover
 
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.decode.dialects import DECODERS
-from commons_codec_ray.hashing import partition_ids_for
+from commons_codec_ray.hashing import partition_ids_for, shuffle_keys_for
 from commons_codec_ray.schemas import OP_DEAD, OPS_SCHEMA
 from commons_codec_ray.stages.applier import lww_combine_batch
 
@@ -210,9 +210,13 @@ class DecodeEnvelopes:
         # transform/mongodb.py:130-134) — the rare path by construction.
         ts_col = _cast_timestamps(ts_raw)
         conv_col = pa.array(conv_id, type=pa.string())
+        # dictionary-encoded: usually one distinct table per stream — the
+        # exchange then carries int8 indices, not a string per row
+        table_arr = pa.array(table_col, type=pa.string()).dictionary_encode()
+        pid_arr = partition_ids_for(conv_col, self.config.num_partitions)
         cols = {
             "op": pa.array(ops, type=pa.int8()),
-            "table_name": pa.array(table_col, type=pa.string()),
+            "table_name": table_arr,
             "conv_id": conv_col,
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
@@ -222,7 +226,10 @@ class DecodeEnvelopes:
             "aux": pa.array(aux, type=pa.string()),
             "lsn": pa.array(lsn_out, type=pa.int64()),
             "source_offset": pa.array(off_out, type=pa.int64()),
-            "partition_id": partition_ids_for(conv_col, self.config.num_partitions),
+            "partition_id": pid_arr,
+            # packed int exchange key — shuffling on (string, int) pairs
+            # costs a string sort; see hashing.shuffle_keys_for
+            "shuffle_key": shuffle_keys_for(table_arr, pid_arr),
             "error": pa.array(error, type=pa.string()),
         }
         if universal:

@@ -119,7 +119,7 @@ def test_lww_combine_batch_passthrough_special():
     tbl = pa.table(
         {
             "op": pa.array([OP_UPSERT, OP_UPSERT, OP_DEAD], pa.int8()),
-            "table_name": pa.array(["transcripts"] * 3, pa.string()),
+            "table_name": pa.array(["transcripts"] * 3, pa.string()).dictionary_encode(),
             "conv_id": pa.array(["a", "a", None], pa.string()),
             "turn_idx": pa.array([0, 0, None], pa.int32()),
             "role": pa.array([None] * 3, pa.string()),
@@ -130,6 +130,7 @@ def test_lww_combine_batch_passthrough_special():
             "lsn": pa.array([1, 2, 3], pa.int64()),
             "source_offset": pa.array([1, 2, 3], pa.int64()),
             "partition_id": pa.array([0, 0, 0], pa.int32()),
+            "shuffle_key": pa.array([0, 0, 0], pa.int64()),
             "error": pa.array([None, None, "boom"], pa.string()),
         },
         schema=OPS_SCHEMA,
