@@ -373,7 +373,12 @@ def q_exact_dedup(sf_dir: str):
     return dedup_stage.exact_dedup(doubled, column="text", order_by="doc_id")
 
 
-_EXACT_DEDUP_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+# keep-first semantics: the min-doc_id row per distinct text (larger SFs
+# contain genuine duplicate texts, so a bare SELECT * is not equivalent)
+_EXACT_DEDUP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
 
 
 def q_token_count(sf_dir: str):
@@ -681,14 +686,15 @@ _DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
 
 
 def q_approx_distinct(sf_dir: str):
-    """Mergeable-sketch distinct count (KMV, k=1024): one sketch per
-    batch, kilobyte merge — the 100 TB pattern for COUNT(DISTINCT).
-    k=1024 > distinct users at every sf, so the estimate is EXACT here
-    and the SQL oracle can verify it."""
+    """Mergeable-sketch distinct count (KMV): one sketch per batch,
+    kilobyte merge — the 100 TB pattern for COUNT(DISTINCT). k=16384
+    exceeds the distinct-user count at every test sf (15 × sf × 1000),
+    so the estimate is EXACT here and the SQL oracle can verify it; at
+    real scale the same pipeline estimates within ~1/sqrt(k)."""
     from commons_codec_ray.stages.sketches import approx_distinct
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    est = approx_distinct(ds, "user_id", k=1024)
+    est = approx_distinct(ds, "user_id", k=16384)
     return pa.table({"n_users": pa.array([int(round(est))], pa.int64())})
 
 
