@@ -31,7 +31,7 @@ from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 from commons_codec_ray.stages import dedup as dedup_stage
 from commons_codec_ray.stages import text as text_stage
 from commons_codec_ray.stages import similarity as sim_stage
-from commons_codec_ray.util import duckdb_round
+from commons_codec_ray.util import duckdb_round, pool_size
 
 _EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
@@ -347,7 +347,7 @@ def q_embed_pairs(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=1024, concurrency=2)
+    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=1024, concurrency=pool_size(2))
 
 
 _EMBED_PAIRS_SQL = """
@@ -499,7 +499,7 @@ def q_json_flatten(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     out = ds.map_batches(
         FlattenStage, fn_constructor_kwargs={"decoder": "json", "payload_column": "props", "keep": ("event_id",)},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=pool_size(2),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -564,7 +564,7 @@ def q_ext_json_roundtrip(sf_dir: str):
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "value", "ts"],
     )
-    return ds.map_batches(_ExtJsonRoundTrip, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(_ExtJsonRoundTrip, batch_format="pyarrow", concurrency=pool_size(2))
 
 
 _EXT_JSON_SQL = """
@@ -611,7 +611,7 @@ def q_bcast_join_agg(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    partials = orders.map_batches(JoinAgg, batch_format="pandas", concurrency=4)
+    partials = orders.map_batches(JoinAgg, batch_format="pandas", concurrency=pool_size(4))
     agg = partials.groupby("nation").aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total")
     )
@@ -661,7 +661,7 @@ def q_top_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     top = (
-        orders.map_batches(AddName, batch_format="pandas", concurrency=2)
+        orders.map_batches(AddName, batch_format="pandas", concurrency=pool_size(2))
         .sort("o_totalprice", descending=True)
         .limit(20)
     )
@@ -739,31 +739,39 @@ def q_minhash_dedup(sf_dir: str):
 
 def q_simhash(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(dedup_stage.SimHasher, batch_format="pyarrow", concurrency=2)
+    out = docs.map_batches(dedup_stage.SimHasher, batch_format="pyarrow", concurrency=pool_size(2))
     return out.select_columns(["doc_id", "simhash"])
 
 
 def q_langid(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    out = docs.map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=2)
+    out = docs.map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=pool_size(2))
     return out.select_columns(["doc_id", "lang", "lang_pred"])
 
 
 def q_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(text_stage.QualityScorer, batch_format="pyarrow", concurrency=2)
+    out = docs.map_batches(text_stage.QualityScorer, batch_format="pyarrow", concurrency=pool_size(2))
     return out.select_columns(["doc_id", "stop_ratio", "mean_tok_len", "punct_ratio", "quality"])
 
 
 def q_fingerprint(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(text_stage.Fingerprinter, batch_format="pyarrow", concurrency=2)
+    out = docs.map_batches(text_stage.Fingerprinter, batch_format="pyarrow", concurrency=pool_size(2))
     return out.select_columns(["doc_id", "fingerprint"])
 
 
 def q_lsh_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return sim_stage.lsh_topk(ds, query_ids=[0, 1, 2], k=10, bits=6)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN: k-means coarse quantizer on a sample, probe the
+    nearest clusters only — the third scale path next to brute force and
+    LSH (recall measured against brute force in tests)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return sim_stage.ivf_topk(ds, query_ids=[0, 1, 2], k=10, n_clusters=16, nprobe=6)
 
 
 QUERIES = {
@@ -794,6 +802,7 @@ QUERIES = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -120,10 +120,12 @@ def synthesize_multimodal_table(n: int, seed: int = 42) -> pa.Table:
 
 def feature_extract(ds, feature_dim: int = 16, concurrency: int = 2, batch_size: int = 128):
     """Actor-pool feature extraction over a multimodal Dataset."""
+    from commons_codec_ray.util import pool_size
+
     return ds.map_batches(
         DeterministicStubCodec,
         fn_constructor_kwargs={"feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: payloads are large binaries
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )

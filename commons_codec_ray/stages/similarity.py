@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray
 
+from commons_codec_ray.util import pool_size
+
 
 def _matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -86,7 +88,7 @@ def ann_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", round_to: in
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_column": id_column},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=4,
+        concurrency=pool_size(4),
     )
 
     def head_k(group: pd.DataFrame) -> pd.DataFrame:
@@ -98,6 +100,100 @@ def ann_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", round_to: in
         return g
 
     return partials.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+class IVFIndex:
+    """IVF coarse quantizer: seeded k-means (numpy Lloyd, few rounds) on
+    a corpus sample; search probes the ``nprobe`` nearest centroids.
+
+    Built once on the driver from a SAMPLE (never the full corpus) and
+    broadcast; cluster assignment is one matmul per batch. Recall/cost
+    knobs: ``n_clusters`` ~ sqrt(corpus), ``nprobe`` raises recall
+    linearly in scan cost.
+    """
+
+    def __init__(self, sample: np.ndarray, n_clusters: int = 16, iters: int = 8, seed: int = 3):
+        rng = np.random.RandomState(seed)
+        sample = _normalize(np.asarray(sample, dtype=np.float64))
+        n_clusters = min(n_clusters, len(sample))
+        centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(n_clusters):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _normalize(centroids)
+        self.centroids = centroids
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(m) @ self.centroids.T, axis=1)
+
+    def probe(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        scores = _normalize(np.atleast_2d(q)) @ self.centroids.T
+        return np.argsort(-scores, axis=1)[:, :nprobe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch["embedding"])
+        return batch.append_column("ivf_cluster", pa.array(self.assign(m).astype(np.int64)))
+
+
+def ivf_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id",
+             n_clusters: int = 16, nprobe: int = 4, sample_n: int = 2048):
+    """IVF-bucketed approximate top-k: scan only the probed clusters.
+
+    At 100 TB this turns a full-corpus matmul into an ``nprobe /
+    n_clusters`` fraction scan; single-digit recall loss at sane knobs.
+    """
+    sample = ds.limit(sample_n).to_pandas()
+    index = IVFIndex(np.stack(sample["embedding"].to_numpy()), n_clusters=n_clusters)
+
+    qtbl = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_column], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    qmat = _normalize(np.stack(qtbl["embedding"].to_numpy()).astype(np.float64))
+    probed = index.probe(qmat, nprobe)  # (nq, nprobe)
+    wanted = pa.array(np.unique(probed))
+    qref = ray.put({"ids": qtbl[id_column].to_numpy(), "vectors": qmat, "probed": probed})
+
+    bucketed = ds.map_batches(index, batch_format="pyarrow", batch_size=4096)
+    candidates = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["ivf_cluster"], value_set=wanted)),
+        batch_format="pyarrow",
+    )
+
+    class ScoreProbed:
+        def __init__(self):
+            q = ray.get(qref)
+            self.qids, self.qmat, self.probed = q["ids"], q["vectors"], q["probed"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            clusters = batch["ivf_cluster"].to_numpy(zero_copy_only=False)
+            m = _normalize(_matrix(batch["embedding"]))
+            rows = {"query_id": [], id_column: [], "score": []}
+            for qi in range(len(self.qids)):
+                mask = np.isin(clusters, self.probed[qi])
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.qmat[qi]
+                rows["query_id"].append(np.full(mask.sum(), self.qids[qi], dtype=np.int64))
+                rows[id_column].append(ids[mask])
+                rows["score"].append(s)
+            if not rows["query_id"]:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), id_column: pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
+
+    scored = candidates.map_batches(ScoreProbed, batch_format="pyarrow", concurrency=pool_size(2))
+
+    def head_k(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nlargest(k, "score")
+
+    return scored.groupby("query_id").map_groups(head_k, batch_format="pandas")
 
 
 class LSHIndexer:
@@ -171,7 +267,7 @@ def lsh_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", bits: int = 
                 )
             return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
 
-    scored = candidates.map_batches(ScoreInBucket, batch_format="pyarrow", concurrency=2)
+    scored = candidates.map_batches(ScoreInBucket, batch_format="pyarrow", concurrency=pool_size(2))
 
     def head_k(group: pd.DataFrame) -> pd.DataFrame:
         return group.nlargest(k, "score")

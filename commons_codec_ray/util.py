@@ -6,6 +6,20 @@ import numpy as np
 import pyarrow as pa
 
 
+def pool_size(requested: int) -> int:
+    """Clamp an actor-pool size to the cluster: a pool that reserves
+    every CPU slot starves the upstream read/map tasks and the pipeline
+    DEADLOCKS (observed at num_cpus=4 with concurrency=4). Always leave
+    at least one slot free."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    return max(1, min(requested, cpus - 1))
+
+
 def duckdb_round(values, ndigits: int):
     """Round like DuckDB's ``round(x, n)`` for DOUBLE, bit-exactly.
 
