@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--vacuum-keep", type=int, default=None,
                     help="if set, vacuum superseded files keeping N epochs of history")
+    ap.add_argument("--watch", action="store_true",
+                    help="continuous tail: poll the log for new offsets instead of a one-shot replay")
+    ap.add_argument("--poll-interval", type=float, default=5.0)
+    ap.add_argument("--max-idle-polls", type=int, default=3,
+                    help="stop after this many consecutive empty polls (watch mode)")
     args = ap.parse_args()
 
     import ray
@@ -55,7 +60,15 @@ def main() -> int:
 
     cfg = PipelineConfig(num_partitions=args.num_partitions, epoch_size=args.epoch_size)
     pipe = CDCPipeline(args.lake, cfg)
-    results = pipe.replay(args.envelopes, mode=args.mode)
+    if args.watch:
+        results = pipe.watch(
+            args.envelopes,
+            poll_interval_s=args.poll_interval,
+            max_idle_polls=args.max_idle_polls,
+            mode=args.mode,
+        )
+    else:
+        results = pipe.replay(args.envelopes, mode=args.mode)
     if args.vacuum_keep is not None:
         removed = pipe.vacuum(keep_last=args.vacuum_keep)
         print(f"vacuumed {len(removed)} superseded files", file=sys.stderr)
