@@ -25,7 +25,7 @@ from commons_codec_ray.config import PipelineConfig  # noqa: F401
 from commons_codec_ray.schemas import (  # noqa: F401
     OP_DELETE,
     OP_UPSERT,
-    OP_SCHEMA,
+    OP_SCHEMA_CHANGE,
     OP_DEAD,
     OPS_SCHEMA,
     TRANSCRIPT_SCHEMA,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Any
 
 from commons_codec_ray.decode import dynamodb_types
-from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA, OP_UPSERT
+from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA_CHANGE, OP_UPSERT
 
 
 class UnknownOperationError(ValueError):
@@ -49,7 +49,7 @@ def decode_debezium(payload: dict) -> list[OpTuple]:
     if meta.get("record-type") == "control":
         if operation in ("create-table", "drop-table"):
             control = payload.get("control", {})
-            return [(OP_SCHEMA, {}, {"operation": operation, "control": control, "table": meta.get("table-name")})]
+            return [(OP_SCHEMA_CHANGE, {}, {"operation": operation, "control": control, "table": meta.get("table-name")})]
         raise UnknownOperationError(f"unknown control operation: {operation!r}")
     data = payload.get("data")
     if not isinstance(data, dict):

@@ -73,8 +73,14 @@ def partition_ids_for(conv_ids: pa.ChunkedArray | pa.Array, num_partitions: int)
         [zlib.crc32(u.encode("utf-8")) % num_partitions if u is not None else 0 for u in uniques],
         dtype=np.int32,
     )
-    # null entries (e.g. dead-letter rows with no key) → partition 0
+    # null entries (e.g. dead-letter rows with no key) → partition 0,
+    # explicitly: fill_null(0) alone would route nulls to uniques[0]'s
+    # partition, an arbitrary batch-composition-dependent target.
+    null_mask = dict_arr.indices.is_null().to_numpy(zero_copy_only=False)
     indices = dict_arr.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(lut) == 0:
         return pa.array(np.zeros(len(indices), dtype=np.int32))
-    return pa.array(lut[indices], type=pa.int32())
+    out = lut[indices]
+    if null_mask.any():
+        out = np.where(null_mask, np.int32(0), out)
+    return pa.array(out, type=pa.int32())

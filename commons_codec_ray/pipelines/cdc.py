@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from commons_codec_ray.config import PipelineConfig, SchemaRegistry, resolve_logical_type
-from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA, OP_UPSERT
+from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA_CHANGE, OP_UPSERT
 from commons_codec_ray.sink.manifest import Checkpoint, LakeManifestStore
 from commons_codec_ray.stages.applier import apply_ops_to_base, final_state
 from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
@@ -93,7 +93,7 @@ def _make_apply_fn(
 
         pid = group["partition_id"][0].as_py()
         # split off dead letters / control rows riding the same shuffle
-        special_mask = pc.greater_equal(group["op"], pa.scalar(OP_SCHEMA, pa.int8()))
+        special_mask = pc.greater_equal(group["op"], pa.scalar(OP_SCHEMA_CHANGE, pa.int8()))
         n_dead = 0
         if pc.any(special_mask).as_py():
             special = group.filter(special_mask)
@@ -324,7 +324,7 @@ class CDCPipeline:
             except Exception:  # noqa: BLE001 — malformed control → dead-letters later
                 continue
             for op, _rec, aux in decoded:
-                if op == OP_SCHEMA:
+                if op == OP_SCHEMA_CHANGE:
                     out.append(
                         {
                             "lsn": r["lsn"],

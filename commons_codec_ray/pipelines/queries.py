@@ -25,7 +25,7 @@ from ray.data.aggregate import Sum
 
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.envelopes import EventsToEnvelopes
-from commons_codec_ray.schemas import OP_NAMES, OP_SCHEMA
+from commons_codec_ray.schemas import OP_NAMES, OP_SCHEMA_CHANGE
 from commons_codec_ray.stages.applier import apply_changes
 from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 from commons_codec_ray.stages import dedup as dedup_stage
@@ -63,7 +63,7 @@ def q_cdc_replay(sf_dir: str):
     )
     # good data ops only (no dead letters are generated here; cheap guard)
     ds = ds.map_batches(
-        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA)), batch_format="pyarrow"
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
     )
     return apply_changes(ds, cfg)
 

@@ -22,13 +22,13 @@ import pyarrow as pa
 # ---------------------------------------------------------------------------
 OP_DELETE = 0  # delete-by-key                      (ref transform/dynamodb.py:207-210)
 OP_UPSERT = 1  # insert or full-row update (LWW)    (ref transform/dynamodb.py:183-205)
-OP_SCHEMA = 2  # in-band schema change (create-table control event,
+OP_SCHEMA_CHANGE = 2  # in-band schema change (create-table control event,
 #                ref transform/aws_dms.py:140-144)
 OP_DEAD = 3  # undecodable / unknown envelope → dead letter
 #              (ref raises ValueError / UnknownOperationError,
 #               transform/dynamodb.py:180-214, transform/aws_dms.py:163-166)
 
-OP_NAMES = {OP_DELETE: "DELETE", OP_UPSERT: "UPSERT", OP_SCHEMA: "SCHEMA", OP_DEAD: "DEAD"}
+OP_NAMES = {OP_DELETE: "DELETE", OP_UPSERT: "UPSERT", OP_SCHEMA_CHANGE: "SCHEMA", OP_DEAD: "DEAD"}
 
 # Primary key of the transcript table.
 KEY_COLUMNS = ("conv_id", "turn_idx")

@@ -46,7 +46,7 @@ import pyarrow.parquet as pq
 import ray
 
 from commons_codec_ray.config import PipelineConfig
-from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA
+from commons_codec_ray.schemas import OP_DEAD, OP_SCHEMA_CHANGE
 from commons_codec_ray.stages.applier import apply_ops_to_base
 from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 
@@ -83,7 +83,7 @@ def decode_split_task(
         ops = empty_ops_table()
 
     dead = ops.filter(pc.equal(ops["op"], pa.scalar(OP_DEAD, pa.int8())))
-    data = ops.filter(pc.less(ops["op"], pa.scalar(OP_SCHEMA, pa.int8())))
+    data = ops.filter(pc.less(ops["op"], pa.scalar(OP_SCHEMA_CHANGE, pa.int8())))
     pid = data["partition_id"].to_numpy(zero_copy_only=False)
     actor_of = pid % num_actors
     out = []

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from commons_codec_ray.schemas import OP_SCHEMA, OP_UPSERT, TRANSCRIPT_SCHEMA
+from commons_codec_ray.schemas import OP_SCHEMA_CHANGE, OP_UPSERT, TRANSCRIPT_SCHEMA
 
 # internal lake column holding the winning op's lsn per row
 LSN_COLUMN = "_lsn"
@@ -35,11 +35,34 @@ _OP_COLUMNS = ["op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
 
 
 def _lww_take_indices(tbl: pa.Table) -> np.ndarray:
-    """Indices of the max-lsn row per (conv_id, turn_idx), stable."""
+    """Indices of the max-lsn row per (table_name?, conv_id, turn_idx), stable.
+
+    ``table_name`` participates in the key whenever the column is present:
+    the within-batch combine and the actor pool's rolling pre-reduce both
+    run BEFORE the per-table split, so a multi-table stream with
+    numerically-colliding PKs must not let one table's op shadow
+    another's.
+    """
+    if tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
     conv = tbl["conv_id"].combine_chunks().dictionary_encode()
     codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turn = tbl["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
     lsn = tbl["lsn"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if "table_name" in tbl.column_names:
+        tab = tbl["table_name"].combine_chunks()
+        if not pa.types.is_dictionary(tab.type):
+            tab = tab.dictionary_encode()
+        tab_codes = tab.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if tab.dictionary and len(tab.dictionary) > 1:
+            order = np.lexsort((lsn, turn, codes, tab_codes))
+            g = tab_codes[order]
+            c = codes[order]
+            t = turn[order]
+            last = np.empty(len(order), dtype=bool)
+            last[-1] = True
+            last[:-1] = (g[1:] != g[:-1]) | (c[1:] != c[:-1]) | (t[1:] != t[:-1])
+            return order[last]
     order = np.lexsort((lsn, turn, codes))
     c = codes[order]
     t = turn[order]
@@ -61,7 +84,7 @@ def lww_combine_batch(ops: pa.Table) -> pa.Table:
     """Within-batch partial LWW; SCHEMA/DEAD rows pass through untouched."""
     if ops.num_rows == 0:
         return ops
-    special_mask = pc.greater_equal(ops["op"], OP_SCHEMA)
+    special_mask = pc.greater_equal(ops["op"], OP_SCHEMA_CHANGE)
     if pc.any(special_mask).as_py():
         special = ops.filter(special_mask)
         data = ops.filter(pc.invert(special_mask))

@@ -242,10 +242,24 @@ class DecodeEnvelopes:
         return tbl
 
 
+def _clamp_ts_range(arr: pa.Array) -> pa.Array:
+    """One clamp policy for BOTH cast paths: absurd-but-parseable dates
+    (year < 2 or >= 2300) → epoch 0, so a value's output never depends
+    on whether a batch-mate forced the per-row fallback."""
+    import datetime as dt
+
+    lo = pa.scalar(dt.datetime(2, 1, 1), type=arr.type)
+    hi = pa.scalar(dt.datetime(2300, 1, 1), type=arr.type)
+    bad = pc.or_(pc.less(arr, lo), pc.greater_equal(arr, hi))
+    if not pc.any(bad).as_py():
+        return arr
+    return pc.if_else(bad, pa.scalar(dt.datetime(1970, 1, 1), type=arr.type), arr)
+
+
 def _cast_timestamps(ts_raw: list) -> pa.Array:
     arr = pa.array(ts_raw, type=pa.string())
     try:
-        return arr.cast(pa.timestamp("us"))
+        return _clamp_ts_range(arr.cast(pa.timestamp("us")))
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         import datetime as dt
 

@@ -96,7 +96,10 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        # a < 2^31 keeps a*x + b < 2^63 + 2^61 for 32-bit shingle hashes,
+        # so the affine hash never wraps uint64 before the % Mersenne —
+        # wrapping silently breaks the universal-hash family guarantee
+        self.a = rng.randint(1, 2**31, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     def shingles(self, text: str) -> np.ndarray:

@@ -50,12 +50,15 @@ class BruteForceTopK:
         m = _normalize(_matrix(batch["embedding"]))
         scores = self.qmat @ m.T  # (nq, nb)
         k = min(self.k, scores.shape[1])
-        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(scores.shape[0]):
+            # deterministic boundary: (score desc, id asc), matching the
+            # oracle's ORDER BY score DESC, vec_id — argpartition alone
+            # breaks exact-score ties by batch layout
+            idx = np.lexsort((ids, -scores[qi]))[:k]
             out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-            out_v.append(ids[idx[qi]])
-            out_s.append(scores[qi, idx[qi]])
+            out_v.append(ids[idx])
+            out_s.append(scores[qi, idx])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -94,7 +97,11 @@ def ann_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", round_to: in
     def head_k(group: pd.DataFrame) -> pd.DataFrame:
         from commons_codec_ray.util import duckdb_round
 
-        g = group.nlargest(k, "score").copy()
+        g = (
+            group.sort_values(["score", id_column], ascending=[False, True], kind="mergesort")
+            .head(k)
+            .copy()
+        )
         if round_to is not None:
             g["score"] = duckdb_round(g["score"].to_numpy(), round_to)
         return g
@@ -191,7 +198,9 @@ def ivf_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id",
     scored = candidates.map_batches(ScoreProbed, batch_format="pyarrow", concurrency=pool_size(2))
 
     def head_k(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nlargest(k, "score")
+        return group.sort_values(
+            ["score", id_column], ascending=[False, True], kind="mergesort"
+        ).head(k)
 
     return scored.groupby("query_id").map_groups(head_k, batch_format="pandas")
 
@@ -270,6 +279,8 @@ def lsh_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", bits: int = 
     scored = candidates.map_batches(ScoreInBucket, batch_format="pyarrow", concurrency=pool_size(2))
 
     def head_k(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nlargest(k, "score")
+        return group.sort_values(
+            ["score", id_column], ascending=[False, True], kind="mergesort"
+        ).head(k)
 
     return scored.groupby("query_id").map_groups(head_k, batch_format="pandas")

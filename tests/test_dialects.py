@@ -10,7 +10,7 @@ from commons_codec_ray.decode.dialects import (
     decode_ddbstream,
     decode_debezium,
 )
-from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA, OP_UPSERT
+from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA_CHANGE, OP_UPSERT
 
 TS = "2024-07-12T01:17:42.000123"
 
@@ -100,7 +100,7 @@ class TestDebezium:
                          "record-type": "control"},
         }
         [(op, _rec, aux)] = decode_debezium(env)
-        assert op == OP_SCHEMA
+        assert op == OP_SCHEMA_CHANGE
         assert aux["operation"] == "create-table"
         assert aux["control"]["table-def"]["columns"]["rating"]["type"] == "INT32"
 

@@ -51,6 +51,44 @@ def test_decode_routes_tables():
     assert tables == ["transcripts", "notes", "dms.awsdms_status"]
 
 
+def test_lww_combine_keys_on_table_name():
+    """Regression: the within-batch combine runs BEFORE the per-table
+    split, so ops for the SAME (conv_id, turn_idx) in DIFFERENT tables
+    must both survive — the lower-lsn table's op used to be dropped."""
+    from commons_codec_ray.stages.applier import lww_combine_batch
+
+    rows = [
+        envelope(0, "a", 0, "t-keep"),
+        envelope(1, "a", 0, "n-keep", table="notes"),
+    ]
+    ops = DecodeEnvelopes(PipelineConfig(), combine=False)(pa.Table.from_pylist(rows))
+    combined = lww_combine_batch(ops)
+    assert combined.num_rows == 2
+    got = dict(zip(combined["table_name"].to_pylist(), combined["text"].to_pylist()))
+    assert got == {"transcripts": "t-keep", "notes": "n-keep"}
+
+
+@pytest.mark.parametrize("mode", ["groupby", "actors"])
+def test_multi_table_colliding_keys_replay(tmp_path, mode):
+    """E2E regression for cross-table key collisions: identical
+    (conv_id, turn_idx) exists in both tables within one epoch/batch."""
+    rows = [
+        envelope(0, "a", 0, "t-row"),
+        envelope(1, "a", 0, "n-row", table="notes"),
+        envelope(2, "b", 3, "t-other"),
+        envelope(3, "b", 3, "n-other", table="notes"),
+    ]
+    log = tmp_path / "env.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), log)
+    lake = tmp_path / f"lake_collide_{mode}"
+    pipe = CDCPipeline(lake, PipelineConfig(num_partitions=4, epoch_size=100))
+    pipe.replay(str(log), mode=mode, epoch_size=100)
+    tdf = pipe.read_lake(table="transcripts").to_pandas().sort_values(["conv_id", "turn_idx"])
+    ndf = pipe.read_lake(table="notes").to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert tdf["text"].tolist() == ["t-row", "t-other"]
+    assert ndf["text"].tolist() == ["n-row", "n-other"]
+
+
 @pytest.mark.parametrize("mode", ["groupby", "actors"])
 def test_multi_table_replay_and_read(tmp_path, mode):
     rows = [

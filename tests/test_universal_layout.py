@@ -10,7 +10,7 @@ import pyarrow.parquet as pq
 
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.envelopes import EventsToEnvelopes
-from commons_codec_ray.schemas import OP_SCHEMA
+from commons_codec_ray.schemas import OP_SCHEMA_CHANGE
 from commons_codec_ray.stages.applier import apply_ops_universal
 from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 
@@ -43,7 +43,7 @@ def test_universal_layout_matches_direct_semantics():
 
 def test_universal_apply_lww():
     universal = _ops("universal")
-    data = universal.filter(pc.less(universal["op"], pa.scalar(OP_SCHEMA, pa.int8())))
+    data = universal.filter(pc.less(universal["op"], pa.scalar(OP_SCHEMA_CHANGE, pa.int8())))
     out = apply_ops_universal(None, data)
     assert set(out.column_names) == {"conv_id", "turn_idx", "data", "aux", "_lsn"}
     # apply twice over its own output is a no-op
@@ -55,7 +55,7 @@ def test_universal_apply_lww():
     direct = _ops("direct")
     from commons_codec_ray.stages.applier import apply_ops_to_base, final_state
 
-    ddata = direct.filter(pc.less(direct["op"], pa.scalar(OP_SCHEMA, pa.int8())))
+    ddata = direct.filter(pc.less(direct["op"], pa.scalar(OP_SCHEMA_CHANGE, pa.int8())))
     dfinal = final_state(apply_ops_to_base(None, ddata)).to_pylist()
     udocs = {
         (r["conv_id"], r["turn_idx"]): json.loads(r["data"]) for r in out.to_pylist()
