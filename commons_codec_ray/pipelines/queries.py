@@ -411,20 +411,44 @@ _BPE_TOKEN_SQL = (
 )
 
 
+def _disjoint_vocab(t: pa.Table) -> pa.Table:
+    """Suffix every token with its doc_id, giving each document a PRIVATE
+    vocabulary: cross-document shingle Jaccard is exactly 0, so the only
+    near-duplicates in the planted corpus are the planted ones — which
+    makes the survivor/pair set SQL-expressible (the sf corpus's shared
+    tiny vocabulary otherwise creates genuine clustering-dependent
+    near-dups; that case stays covered in tests/test_near_dedup.py)."""
+    ids = t["doc_id"].to_pylist()
+    texts = [
+        " ".join(f"{tok}_{i}" for tok in (x or "").split())
+        for i, x in zip(ids, t["text"].to_pylist())
+    ]
+    return pa.table({"doc_id": t["doc_id"], "text": pa.array(texts, pa.string())})
+
+
+def _case_perturbed(t: pa.Table) -> pa.Table:
+    """Planted near-dup copy: UPPERCASED text under doc_id+1e6. Shingling
+    lowercases, so each copy's signature is IDENTICAL to its source's
+    (estimated Jaccard exactly 1.0, caught by every LSH band) while the
+    text itself differs — deterministic at every scale, no banding-miss
+    tail risk."""
+    ids = pc.add(t["doc_id"], 1_000_000)
+    return pa.table({"doc_id": ids, "text": pc.utf8_upper(t["text"])})
+
+
 def q_near_dedup(sf_dir: str):
-    """End-to-end near-duplicate removal: corpus + perturbed re-crawl →
-    MinHash+LSH pairs → connected components → keep min-id per cluster.
-    Survivors should be exactly the original corpus (each perturbed copy
-    clusters with its source)."""
+    """End-to-end near-duplicate removal: corpus + case-perturbed re-crawl
+    → MinHash+LSH pairs → connected components → keep min-id per cluster.
+    Disjoint per-doc vocabulary ⇒ survivors are EXACTLY the originals,
+    verified hash-exact by the SQL oracle."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = docs.map_batches(_disjoint_vocab, batch_format="pyarrow")
+    corpus = base.union(base.map_batches(_case_perturbed, batch_format="pyarrow"))
+    survivors = dedup_stage.near_dedup(corpus, threshold=0.7)
+    return survivors.select_columns(["doc_id"])
 
-    def perturb(t: pa.Table) -> pa.Table:
-        ids = pc.add(t["doc_id"], 1_000_000)
-        texts = pa.array([f"{x} PERTURBED COPY" if x else x for x in t["text"].to_pylist()])
-        return pa.table({"doc_id": ids, "text": texts})
 
-    corpus = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
-    return dedup_stage.near_dedup(corpus, threshold=0.7)
+_NEAR_DEDUP_SQL = "SELECT doc_id FROM documents"
 
 
 def q_text_stats(sf_dir: str):
@@ -703,13 +727,12 @@ _APPROX_DISTINCT_SQL = (
 )
 
 
-# --- rows-only checks (no exact SQL equivalent; driver verifies rows>=0) ---
-
-
 def q_multimodal_features(sf_dir: str):
     """Actor-pool feature extraction over a deterministic synthetic
     multimodal table (binary payload column; codec stubbed — see
-    stages/multimodal.py)."""
+    stages/multimodal.py). ``feat_crc`` (first 4 sha256 bytes of each
+    payload) is re-derived by the SQL oracle, verifying the distributed
+    hash computation end-to-end."""
     from commons_codec_ray.stages.multimodal import (
         feature_extract,
         synthesize_multimodal_table,
@@ -718,23 +741,41 @@ def q_multimodal_features(sf_dir: str):
     tbl = synthesize_multimodal_table(512)
     ds = rd.from_arrow(tbl)
     return feature_extract(ds).select_columns(
-        ["item_id", "modality", "resized_w", "resized_h"]
+        ["item_id", "modality", "resized_w", "resized_h", "feat_crc"]
     )
 
 
+_MULTIMODAL_SQL = """
+SELECT CAST(i AS BIGINT) AS item_id,
+       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       224 AS resized_w, 224 AS resized_h,
+       CAST(CAST(('0x' || substr(sha256(repeat('payload-' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                                        CAST(1 + i % 5 AS INT))), 1, 8)) AS UBIGINT) AS BIGINT) AS feat_crc
+FROM range(512) t(i)
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs over a corpus with planted
-    near-duplicates (each doc unioned with a lightly-perturbed copy)."""
+    """MinHash+LSH near-dup pairs over the planted disjoint-vocabulary
+    corpus: the pair set is exactly {(i, i+1e6)} with estimated Jaccard
+    1.0 — verified hash-exact by the SQL oracle."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = docs.map_batches(_disjoint_vocab, batch_format="pyarrow")
+    corpus = base.union(base.map_batches(_case_perturbed, batch_format="pyarrow"))
+    return dedup_stage.jaccard_pairs(corpus, threshold=0.7)
 
-    def perturb(t: pa.Table) -> pa.Table:
-        ids = pc.add(t["doc_id"], 1_000_000)
-        texts = pa.array([f"{x} PERTURBED" if x else x for x in t["text"].to_pylist()])
-        return pa.table({"doc_id": ids, "text": texts})
 
-    corpus = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
-    pairs = dedup_stage.jaccard_pairs(corpus, threshold=0.5)
-    return pairs
+_MINHASH_DEDUP_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jaccard FROM documents
+"""
+
+# Golden-value oracle for the pure text functions (simhash / fingerprint /
+# langid / quality): tools/make_golden.py precomputes them with INDEPENDENT
+# scalar reimplementations over every driver sf's texts; the oracle joins
+# documents against the golden parquet on md5(text). This catches any
+# vectorization / distribution bug in the Ray path (a shared-code bug would
+# need to be reproduced independently in the scalar generator to slip by).
+_GOLDEN_PARQUET = "/root/repo/golden/text_golden.parquet"
 
 
 def q_simhash(sf_dir: str):
@@ -743,10 +784,22 @@ def q_simhash(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+_SIMHASH_SQL = f"""
+SELECT d.doc_id, g.simhash
+FROM documents d JOIN read_parquet('{_GOLDEN_PARQUET}') g ON md5(coalesce(d.text, '')) = g.text_md5
+"""
+
+
 def q_langid(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     out = docs.map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=pool_size(2))
     return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+_LANGID_SQL = f"""
+SELECT d.doc_id, d.lang, g.lang_pred
+FROM documents d JOIN read_parquet('{_GOLDEN_PARQUET}') g ON md5(coalesce(d.text, '')) = g.text_md5
+"""
 
 
 def q_quality(sf_dir: str):
@@ -755,23 +808,68 @@ def q_quality(sf_dir: str):
     return out.select_columns(["doc_id", "stop_ratio", "mean_tok_len", "punct_ratio", "quality"])
 
 
+_QUALITY_SQL = f"""
+SELECT d.doc_id, g.stop_ratio, g.mean_tok_len, g.punct_ratio, g.quality
+FROM documents d JOIN read_parquet('{_GOLDEN_PARQUET}') g ON md5(coalesce(d.text, '')) = g.text_md5
+"""
+
+
 def q_fingerprint(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(text_stage.Fingerprinter, batch_format="pyarrow", concurrency=pool_size(2))
     return out.select_columns(["doc_id", "fingerprint"])
 
 
-def q_lsh_topk(sf_dir: str):
+_FINGERPRINT_SQL = f"""
+SELECT d.doc_id, g.fingerprint
+FROM documents d JOIN read_parquet('{_GOLDEN_PARQUET}') g ON md5(coalesce(d.text, '')) = g.text_md5
+"""
+
+
+def _recall_gate(sf_dir: str, approx_fn, bound: float) -> pa.Table:
+    """Approximate-ANN correctness gate: recall vs the (oracle-exact)
+    brute-force top-k, per query. Returns (query_id, recall_ok) so the
+    driver's hash compare becomes a hard semantic bound — SQL cannot
+    re-derive the approximate result itself, but it CAN assert the bound.
+
+    Bounds are set from measured recall across all test sfs; the
+    synthetic embeddings are near-random (top-10 cosine ≈ 0.3 vs bulk
+    σ ≈ 0.13), the known hard regime for hyperplane LSH, hence the
+    modest LSH bound."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return sim_stage.lsh_topk(ds, query_ids=[0, 1, 2], k=10, bits=6)
+    exact = sim_stage.ann_topk(ds, query_ids=[0, 1, 2], k=10, round_to=None).to_pandas()
+    approx = approx_fn(ds).to_pandas()
+    rows = []
+    for q in (0, 1, 2):
+        e = set(exact.loc[exact.query_id == q, "vec_id"])
+        a = set(approx.loc[approx.query_id == q, "vec_id"])
+        rows.append({"query_id": q, "recall_ok": len(a & e) / max(len(e), 1) >= bound})
+    return pa.Table.from_pylist(rows)
+
+
+_RECALL_GATE_SQL = "SELECT unnest([0, 1, 2]) AS query_id, true AS recall_ok"
+
+
+def q_lsh_topk(sf_dir: str):
+    """Multi-table multi-probe LSH ANN, gated on recall ≥ 0.2 vs brute
+    force (measured 0.3–0.7 on the near-random test embeddings at a
+    ~14% scan fraction; see _recall_gate)."""
+    return _recall_gate(
+        sf_dir,
+        lambda ds: sim_stage.lsh_topk(ds, query_ids=[0, 1, 2], k=10, bits=8, nprobe=6, tables=6),
+        bound=0.2,
+    )
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF-bucketed ANN: k-means coarse quantizer on a sample, probe the
-    nearest clusters only — the third scale path next to brute force and
-    LSH (recall measured against brute force in tests)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return sim_stage.ivf_topk(ds, query_ids=[0, 1, 2], k=10, n_clusters=16, nprobe=6)
+    """IVF-bucketed ANN (k-means coarse quantizer on a sample, probe the
+    nearest clusters), gated on recall ≥ 0.5 vs brute force (measured
+    0.6–1.0 across test sfs)."""
+    return _recall_gate(
+        sf_dir,
+        lambda ds: sim_stage.ivf_topk(ds, query_ids=[0, 1, 2], k=10, n_clusters=16, nprobe=8),
+        bound=0.5,
+    )
 
 
 QUERIES = {
@@ -817,10 +915,7 @@ ORACLE_SQL = {
     "sliding_window": _SLIDING_WINDOW_SQL,
     "embed_pairs": _EMBED_PAIRS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
-    # near_dedup is rows-only: the synthetic corpus contains GENUINE
-    # near-duplicate original pairs (shared tiny vocabulary), so the
-    # survivor set depends on clustering, not expressible in SQL;
-    # invariants asserted in tests/test_near_dedup.py instead
+    "near_dedup": _NEAR_DEDUP_SQL,
     "token_count": _TOKEN_COUNT_SQL,
     "bpe_token_count": _BPE_TOKEN_SQL,
     "text_stats": _TEXT_STATS_SQL,
@@ -831,4 +926,12 @@ ORACLE_SQL = {
     "top_orders": _TOP_ORDERS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
+    "minhash_dedup": _MINHASH_DEDUP_SQL,
+    "simhash": _SIMHASH_SQL,
+    "langid": _LANGID_SQL,
+    "quality": _QUALITY_SQL,
+    "fingerprint": _FINGERPRINT_SQL,
+    "lsh_topk": _RECALL_GATE_SQL,
+    "ivf_topk": _RECALL_GATE_SQL,
+    "multimodal_features": _MULTIMODAL_SQL,
 }

@@ -81,12 +81,19 @@ class DeterministicStubCodec:
         return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(p.as_py()) for p in batch["payload"]]
+        payloads = [p.as_py() for p in batch["payload"]]
+        feats = [self._features(p) for p in payloads]
+        # feat_crc: first 4 digest bytes as big-endian int — the basis of
+        # the feature vector, re-derivable by the SQL oracle via sha256()
+        crcs = [
+            int.from_bytes(hashlib.sha256(p or b"").digest()[:4], "big") for p in payloads
+        ]
         tw, th = self.target
         out = batch.drop_columns(["payload"])  # prune blobs before any shuffle
         out = out.append_column(
             "features", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32()))
         )
+        out = out.append_column("feat_crc", pa.array(crcs, type=pa.int64()))
         out = out.append_column(
             "resized_w", pa.array(np.full(batch.num_rows, tw, dtype=np.int32))
         )
@@ -97,9 +104,14 @@ class DeterministicStubCodec:
 
 
 def synthesize_multimodal_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake multimodal rows for tests (no external data)."""
-    rng = np.random.RandomState(seed)
-    payloads = [rng.bytes(64 + int(rng.randint(0, 192))) for _ in range(n)]
+    """Deterministic fake multimodal rows for tests (no external data).
+
+    Payloads are utf-8 of ``repeat('payload-' || zero-padded item_id,
+    1 + i % 5)`` — variable-length, deterministic, AND re-derivable in
+    plain SQL, so the driver oracle can verify the sha256-derived
+    ``feat_crc`` end-to-end (``seed`` kept for signature compatibility).
+    """
+    payloads = [(f"payload-{i:08d}" * (1 + i % 5)).encode("utf-8") for i in range(n)]
     modality = [("image", "audio", "video")[i % 3] for i in range(n)]
     mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     return pa.table(

@@ -206,32 +206,75 @@ def ivf_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id",
 
 
 class LSHIndexer:
-    """Random-hyperplane LSH bucket assignment (sign bits → int64 bucket)."""
+    """Multi-table random-hyperplane LSH (sign bits → int64 bucket/table).
 
-    def __init__(self, dim: int, bits: int = 12, seed: int = 5):
+    ``tables`` independent hash tables are the standard recall lever for
+    hyperplane LSH (per-table collision probability compounds as
+    1-(1-p)^L); ``probe_buckets`` adds multi-probe within each table
+    (lowest-|margin| bit flips). Bucket ids pack the table index in the
+    high bits so one int64 column per table suffices.
+    """
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 5, tables: int = 1):
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, bits))
+        self.planes = [rng.standard_normal((dim, bits)) for _ in range(tables)]
         self.bits = bits
+        self.tables = tables
+
+    def _bucket_one(self, m: np.ndarray, t: int) -> np.ndarray:
+        signs = (m @ self.planes[t]) > 0
+        b = (signs.astype(np.int64) << np.arange(self.bits, dtype=np.int64)).sum(axis=1)
+        return b | (np.int64(t) << 48)
 
     def bucket(self, m: np.ndarray) -> np.ndarray:
-        signs = (m @ self.planes) > 0
-        return (signs.astype(np.int64) << np.arange(self.bits, dtype=np.int64)).sum(axis=1)
+        return self._bucket_one(m, 0)
+
+    def probe_buckets(self, m: np.ndarray, nprobe: int) -> np.ndarray:
+        """(nq, tables*nprobe) bucket ids: per table, the query's own
+        bucket plus the buckets reached by flipping the lowest-|margin|
+        hyperplane bits (the bits most likely to differ for a true
+        neighbor)."""
+        outs = []
+        for t in range(self.tables):
+            proj = m @ self.planes[t]  # (nq, bits)
+            base = ((proj > 0).astype(np.int64) << np.arange(self.bits, dtype=np.int64)).sum(
+                axis=1
+            ) | (np.int64(t) << 48)
+            flip_order = np.argsort(np.abs(proj), axis=1)  # least-confident first
+            out = np.empty((len(m), nprobe), dtype=np.int64)
+            out[:, 0] = base
+            for p in range(1, nprobe):
+                out[:, p] = base ^ (np.int64(1) << flip_order[:, p - 1].astype(np.int64))
+            outs.append(out)
+        return np.concatenate(outs, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch["embedding"]))
-        return batch.append_column("lsh_bucket", pa.array(self.bucket(m)))
+        out = batch
+        for t in range(self.tables):
+            out = out.append_column(
+                f"lsh_bucket_{t}" if self.tables > 1 else "lsh_bucket",
+                pa.array(self._bucket_one(m, t)),
+            )
+        return out
 
 
-def lsh_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", bits: int = 8):
-    """Approximate top-k: scan only the corpus buckets the queries fall in.
+def lsh_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", bits: int = 8,
+             nprobe: int = 4, tables: int = 1):
+    """Approximate top-k: scan only the corpus buckets the queries probe.
 
-    Lower recall than brute force (single-probe); at 100 TB this turns a
-    full-corpus matmul into a few-bucket scan. Bucket count 2^bits should
-    be sized ≪ corpus/k so buckets stay non-empty.
+    Two recall levers, both standard: multi-probe within a table (query
+    bucket + lowest-margin bit flips) and ``tables`` independent hash
+    tables (candidate = match in ANY table). At 100 TB this turns a
+    full-corpus matmul into a ``tables*nprobe / 2^bits``-ish fraction
+    scan. Bucket count 2^bits should be sized ≪ corpus/k so buckets stay
+    non-empty.
     """
     first = ds.take(1)[0]
     dim = len(first["embedding"])
-    indexer = LSHIndexer(dim, bits=bits)
+    indexer = LSHIndexer(dim, bits=bits, tables=tables)
+    nprobe = min(nprobe, bits + 1)
+    bucket_cols = [f"lsh_bucket_{t}" for t in range(tables)] if tables > 1 else ["lsh_bucket"]
 
     qtbl = (
         ds.map_batches(
@@ -241,28 +284,34 @@ def lsh_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", bits: int = 
         .to_pandas()
     )
     qmat = _normalize(np.stack(qtbl["embedding"].to_numpy()).astype(np.float64))
-    qbuckets = indexer.bucket(qmat)
-    wanted = pa.array(np.unique(qbuckets))
-    qref = ray.put({"ids": qtbl[id_column].to_numpy(), "vectors": qmat, "buckets": qbuckets})
+    qprobes = indexer.probe_buckets(qmat, nprobe)  # (nq, tables*nprobe)
+    wanted = pa.array(np.unique(qprobes))
+    qref = ray.put({"ids": qtbl[id_column].to_numpy(), "vectors": qmat, "probes": qprobes})
+
+    def any_table_match(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in bucket_cols:
+            m = pa.compute.is_in(t[c], value_set=wanted)
+            mask = m if mask is None else pa.compute.or_(mask, m)
+        return t.filter(mask)
 
     bucketed = ds.map_batches(indexer, batch_format="pyarrow", batch_size=4096)
-    candidates = bucketed.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["lsh_bucket"], value_set=wanted)),
-        batch_format="pyarrow",
-    )
+    candidates = bucketed.map_batches(any_table_match, batch_format="pyarrow")
 
     class ScoreInBucket:
         def __init__(self):
             q = ray.get(qref)
-            self.qids, self.qmat, self.qbuckets = q["ids"], q["vectors"], q["buckets"]
+            self.qids, self.qmat, self.qprobes = q["ids"], q["vectors"], q["probes"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_column].to_numpy(zero_copy_only=False)
-            buckets = batch["lsh_bucket"].to_numpy(zero_copy_only=False)
+            buckets = np.stack(
+                [batch[c].to_numpy(zero_copy_only=False) for c in bucket_cols]
+            )  # (tables, n)
             m = _normalize(_matrix(batch["embedding"]))
             rows = {"query_id": [], id_column: [], "score": []}
             for qi in range(len(self.qids)):
-                mask = buckets == self.qbuckets[qi]
+                mask = np.isin(buckets, self.qprobes[qi]).any(axis=0)
                 if not mask.any():
                     continue
                 s = m[mask] @ self.qmat[qi]

@@ -142,14 +142,15 @@ class Fingerprinter:
         w = self.window
         if len(data) <= w:
             return zlib.crc32(data)
-        # vectorized rolling crc over strided windows
+        # vectorized rolling polynomial hash. Modulus 2^55-55 (prime) so
+        # acc*257 + byte < 2^63 never wraps uint64 — with a larger modulus
+        # the product silently wraps before the %, and the hash is no
+        # longer the intended mod-p polynomial family.
         arr = np.frombuffer(data, dtype=np.uint8)
-        # polynomial rolling hash base 257 mod 2^61-1, computed with cumprods
         base = np.uint64(257)
-        mod = np.uint64((1 << 61) - 1)
+        mod = np.uint64((1 << 55) - 55)
         n = len(arr)
-        h = np.zeros(n - w + 1, dtype=np.uint64)
-        # simple strided recompute in chunks (w small) — still vectorized across positions
+        # strided recompute (w small) — vectorized across positions
         acc = np.zeros(n - w + 1, dtype=np.uint64)
         for j in range(w):
             acc = (acc * base + arr[j : n - w + 1 + j].astype(np.uint64)) % mod
