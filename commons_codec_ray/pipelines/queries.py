@@ -214,37 +214,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+# Hash-bucket count for the windowed queries: the shuffle key space and
+# parallelism ceiling. 256 keeps per-group state ≤ 1/256 of the input (vs
+# the old 16, which capped parallelism at 16 and put 1/16 of the dataset
+# in one pandas group); at real scale this should grow with input size.
+WINDOW_BUCKETS = 256
+
+
 def q_session_windows(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the
-    streaming-shaped pattern Ray Data lacks natively: partition by key,
-    sort by time within the group, gaps-and-islands in pandas
-    (SURVEY.md §2.8)."""
+    streaming-shaped pattern Ray Data lacks natively: hash-bucket by key,
+    ONE sort per bucket, then gaps-and-islands fully vectorized across
+    the bucket (session break = user change | gap > 30 min — no per-user
+    inner loop; SURVEY.md §2.8)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for uid, g in group.groupby("user_id", sort=False):
-            g = g.sort_values(["ts", "event_id"])
-            gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-            sid = gap.cumsum()
-            agg = g.groupby(sid).agg(
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("event_id", "size"),
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "session_start": pd.Series([], dtype="datetime64[us]"),
+                 "session_end": pd.Series([], dtype="datetime64[us]"),
+                 "n_events": pd.Series([], dtype="int64")}
             )
-            agg["user_id"] = uid
-            out.append(agg.reset_index(drop=True))
-        res = pd.concat(out, ignore_index=True)
-        res["n_events"] = res["n_events"].astype("int64")
-        return res[["user_id", "session_start", "session_end", "n_events"]]
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > np.timedelta64(30, "m"))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        # sorted by ts within a session ⇒ min = first row, max = last row
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_start": ts[starts],
+                "session_end": ts[ends],
+                "n_events": (np.append(starts[1:], n) - starts).astype("int64"),
+            }
+        )
 
-    # user_id is the partition key; coarse-bucket it so one UDF call
-    # handles many users (per-group overhead), sessions computed per user
     bucketed = ds.map_batches(
-        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], 15)),
+        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], WINDOW_BUCKETS - 1)),
         batch_format="pyarrow",
     )
-    return bucketed.groupby("_b").map_groups(sessions, batch_format="pandas")
+    return bucketed.groupby("_b").map_groups(
+        sessions, batch_format="pandas"
+    ).select_columns(["user_id", "session_start", "session_end", "n_events"])
 
 
 _SESSION_WINDOWS_SQL = """
@@ -270,34 +288,52 @@ def q_sliding_window(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
 
     def sliding(group: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        hour = np.timedelta64(1, "h")
-        for uid, g in group.groupby("user_id", sort=False):
-            g = g.sort_values("ts")
-            ts = g["ts"].to_numpy()
-            vals = g["value"].to_numpy()
-            # RANGE BETWEEN 1h PRECEDING AND CURRENT ROW: all rows with
-            # ts in [ts_i - 1h, ts_i], ties included on both ends
-            left = np.searchsorted(ts, ts - hour, side="left")
-            right = np.searchsorted(ts, ts, side="right")
-            csum = np.concatenate([[0.0], np.cumsum(vals)])
-            out.append(
-                pd.DataFrame(
-                    {
-                        "event_id": g["event_id"].to_numpy(),
-                        "n_1h": (right - left).astype("int64"),
-                        "sum_1h": duckdb_round(csum[right] - csum[left], 2),
-                    }
-                )
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "n_1h": pd.Series([], dtype="int64"),
+                 "sum_1h": pd.Series([], dtype="float64")}
             )
-        return pd.concat(out, ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g["value"].to_numpy()
+        # ONE searchsorted across the whole bucket (no per-user loop): map
+        # each row to a composite key uidx*span + (ts - user's first ts).
+        # span exceeds any user's time extent + 1h, so keys of different
+        # users are separated by > 1h and a [key-1h, key] window can never
+        # cross a user boundary. int64-safe while users_per_bucket * span
+        # < 2^63 (≈ 3.5e6 users/bucket at a 30-day horizon).
+        hour = np.int64(3_600_000_000)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        uidx = np.cumsum(new_user) - 1
+        seg_first_ts = ts[np.flatnonzero(new_user)][uidx]
+        off = ts - seg_first_ts
+        span = np.int64(off.max()) + hour + np.int64(2)
+        key = uidx * span + off
+        # RANGE BETWEEN 1h PRECEDING AND CURRENT ROW: rows with
+        # ts in [ts_i - 1h, ts_i], ties included on both ends
+        left = np.searchsorted(key, key - hour, side="left")
+        right = np.searchsorted(key, key, side="right")
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_1h": (right - left).astype("int64"),
+                "sum_1h": duckdb_round(csum[right] - csum[left], 2),
+            }
+        )
 
     bucketed = ds.map_batches(
-        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], 15)),
+        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], WINDOW_BUCKETS - 1)),
         batch_format="pyarrow",
     )
-    res = bucketed.groupby("_b").map_groups(sliding, batch_format="pandas")
-    return res
+    return bucketed.groupby("_b").map_groups(
+        sliding, batch_format="pandas"
+    ).select_columns(["event_id", "n_1h", "sum_1h"])
 
 
 _SLIDING_WINDOW_SQL = """
@@ -310,44 +346,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
-def q_embed_pairs(sf_dir: str):
-    """Exact embedding near-duplicate pairs (cosine ≥ 0.35, id_a < id_b):
-    the whole corpus is broadcast once (small side at this scale), each
-    batch runs one float64 matmul against it. At 100 TB this becomes the
-    LSH-bucketed variant (stages/similarity.lsh_topk's bucketing) —
-    brute force here is the exactness baseline the oracle can verify."""
-    import ray as _ray
+def q_embed_pairs(sf_dir: str, num_buckets: int = 8):
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.35, id_a < id_b)
+    as a bucket-pair replication join: rows are hash-bucketed by vec_id,
+    each row is replicated once per bucket-pair it participates in, and
+    each of the B(B+1)/2 bucket-pair groups runs one cross matmul — no
+    driver materialization, no full-corpus broadcast.
 
+    Scale shape: shuffled bytes = B × corpus (replication), per-group
+    memory = 2 × corpus/B; grow B with the corpus so a group fits a
+    worker. All-pairs compute is inherently O(n²) — at real scale the
+    subquadratic paths are the LSH/IVF candidate generators
+    (stages/similarity) with this as the exact verifier on candidates.
+    """
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    corpus = ds.to_pandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = _ray.put({"ids": ids, "mat": mat})
+    B = num_buckets
 
-    class PairFinder:
-        def __init__(self):
-            d = _ray.get(ref)
-            self.ids, self.mat = d["ids"], d["mat"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bid = batch["vec_id"].to_numpy(zero_copy_only=False)
-            bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-            scores = bm @ self.mat.T
-            ii, jj = np.nonzero(scores >= 0.35)
-            keep = bid[ii] < self.ids[jj]
-            a, b = bid[ii][keep], self.ids[jj][keep]
-            s = scores[ii[keep], jj[keep]]
-            return pa.table(
-                {
-                    "id_a": pa.array(a, pa.int64()),
-                    "id_b": pa.array(b, pa.int64()),
-                    "cos": pa.array(duckdb_round(s, 4), pa.float64()),
-                }
+    def replicate(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        b = vid % B
+        parts = []
+        for j in range(B):
+            lo = np.minimum(b, j)
+            hi = np.maximum(b, j)
+            parts.append(
+                pa.table(
+                    {
+                        "pair_key": pa.array(lo * B + hi),
+                        "vec_id": t["vec_id"],
+                        "bucket": pa.array(b),
+                        "embedding": t["embedding"],
+                    }
+                )
             )
+        return pa.concat_tables(parts)
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=1024, concurrency=pool_size(2))
+    def score_pair(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        m = np.stack(group["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        uniq = np.unique(buckets)
+        if len(uniq) == 1:
+            # diagonal group (i, i): upper triangle within the bucket
+            scores = m @ m.T
+            ii, jj = np.nonzero(scores >= 0.35)
+            keep = ids[ii] < ids[jj]
+            a, b2, s = ids[ii][keep], ids[jj][keep], scores[ii[keep], jj[keep]]
+        else:
+            left = buckets == uniq[0]
+            scores = m[left] @ m[~left].T
+            ii, jj = np.nonzero(scores >= 0.35)
+            la, ra = ids[left][ii], ids[~left][jj]
+            a, b2 = np.minimum(la, ra), np.maximum(la, ra)
+            s = scores[ii, jj]
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b2, pa.int64()),
+                "cos": pa.array(duckdb_round(s, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(score_pair, batch_format="pyarrow")
+    )
 
 
 _EMBED_PAIRS_SQL = """
@@ -664,32 +729,37 @@ GROUP BY 1
 
 
 def q_top_orders(sf_dir: str):
-    """Top-20 orders by total price with customer name: broadcast lookup
-    + distributed sort + limit (small result materialization only)."""
-    import ray as _ray
-
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
-    lookup = cust.set_index("c_custkey")["c_name"]
-    ref = _ray.put(lookup)
-
-    class AddName:
-        def __init__(self):
-            self.lookup = _ray.get(ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["c_name"] = b["o_custkey"].map(self.lookup)
-            return b
-
+    """Top-20 orders by total price: per-batch partial top-20 (the
+    associative-reduce pattern, no all-to-all sort) → tiny driver-side
+    final reduce over ≤ 20×num_batches rows → customer-name join done
+    LAST, on 20 rows only (pruned read, no broadcast of the full
+    customer table)."""
+    K = 20
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows <= K:
+            return t
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((okey, -price))[:K]
+        return t.take(pa.array(idx))
+
+    top = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
     top = (
-        orders.map_batches(AddName, batch_format="pandas", concurrency=pool_size(2))
-        .sort("o_totalprice", descending=True)
-        .limit(20)
+        top.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        .head(K)
     )
-    return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+    keys = pa.array(top["o_custkey"].to_numpy())
+    names = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)), batch_format="pyarrow"
+    ).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey", how="left")
+    return out[["o_orderkey", "c_name", "o_totalprice"]]
 
 
 _TOP_ORDERS_SQL = """

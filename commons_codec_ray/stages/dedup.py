@@ -21,16 +21,15 @@ import pyarrow.compute as pc
 
 
 def _crc32_column(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized 64-bit content hash (pandas' C siphash kernel — no
+    Python loop over rows; deterministic across processes with the fixed
+    default hash key). Name kept for history; only used to BUCKET rows
+    for dedup, where the actual content is compared, so the hash function
+    only affects locality, never correctness."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    crc = zlib.crc32
-    return pa.array(
-        np.fromiter(
-            (crc(t.encode("utf-8")) if t is not None else 0 for t in texts.to_pylist()),
-            dtype=np.int64,
-            count=len(texts),
-        )
-    )
+    h = pd.util.hash_array(texts.to_numpy(zero_copy_only=False))
+    return pa.array(h.view(np.int64) & 0x7FFFFFFFFFFFFFFF)
 
 
 def add_content_hash(batch: pa.Table, column: str = "text", out: str = "_h") -> pa.Table:
@@ -135,7 +134,14 @@ class MinHasher:
                 count=band.shape[0],
             )
             out = out.append_column(f"band_{b}", pa.array(keys + (b << 32)))
-        out = out.append_column("_sig", pa.array(list(sigs), type=pa.list_(pa.uint64())))
+        # fixed-width binary, not list<uint64>: ~half the Arrow transport
+        # size through the band-replicated shuffle, and a hashable schema
+        # (the list column's metadata made Ray's schema dedup warn)
+        out = out.append_column(
+            "_sig",
+            pa.array([sigs[i].tobytes() for i in range(sigs.shape[0])],
+                     type=pa.binary(self.num_perm * 8)),
+        )
         return out
 
 
@@ -212,7 +218,9 @@ def jaccard_pairs(
                 continue
             band = band.sort_values(id_column)
             ids = band[id_column].to_numpy()
-            sigs = np.stack(band["_sig"].to_numpy())
+            sigs = np.frombuffer(b"".join(band["_sig"].to_numpy()), dtype=np.uint64).reshape(
+                len(band), -1
+            )
             ia, ib = np.triu_indices(len(ids), k=1)
             est = (sigs[ia] == sigs[ib]).mean(axis=1)
             keep = est >= threshold
@@ -279,22 +287,190 @@ def dedup_clusters(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype("int64")
 
 
-def near_dedup(ds, threshold: float = 0.7, hasher: MinHasher | None = None, id_column: str = "doc_id"):
-    """Near-duplicate removal: MinHash+LSH pairs → clusters → keep the
-    min-id member of each cluster. Returns the surviving Dataset."""
+def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets: int = 64):
+    """Distributed connected components over a near-dup pair Dataset via
+    iterative min-label propagation (node label = min reachable id;
+    labels spread one hop per round, so rounds ≈ the component diameter
+    — small for LSH dup clusters, which are near-cliques). Returns a
+    Dataset of (doc_id, cluster_id), one row per node in a pair.
 
-    pairs = jaccard_pairs(ds, threshold=threshold, hasher=hasher, id_column=id_column).to_pandas()
-    clusters = dedup_clusters(pairs)
-    losers = set(
-        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
+    Scale shape: per round, ONE coarse-bucketed groupby joins labels onto
+    edges (vectorized pandas merge inside each of ``num_buckets`` groups
+    — never one UDF call per node) plus one NATIVE min-aggregate; the
+    convergence check is a kilobyte global sum (monotonically decreasing
+    until fixpoint). No driver materialization of pairs or labels.
+    """
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b]).astype(np.int64)
+        peer = np.concatenate([b, a]).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(node % num_buckets),
+                "node": pa.array(node),
+                "peer": pa.array(peer),
+                "label": pa.nulls(len(node), pa.int64()),
+            }
+        )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["min(label)"]})
+
+    def seed(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(node), "label": pa.array(node)})
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(node % num_buckets),
+                "node": t["node"],
+                "peer": pa.nulls(t.num_rows, pa.int64()),
+                "label": t["label"],
+            }
+        )
+
+    def forward_bucket(df: pd.DataFrame) -> pa.Table:
+        lab = df.loc[df["label"].notna(), ["node", "label"]]
+        ed = df.loc[df["label"].isna(), ["node", "peer"]]
+        m = ed.merge(lab, on="node", how="inner")
+        # arrow output so the downstream union with arrow blocks is
+        # homogeneous (mixed block types break the sort-based aggregate)
+        return pa.table(
+            {
+                "dst": pa.array(m["peer"].to_numpy(dtype="int64")),
+                "label": pa.array(m["label"].to_numpy(dtype="int64")),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(_rename, batch_format="pyarrow")
+        .materialize()
     )
-    if not losers:
-        return ds
-    loser_arr = pa.array(sorted(losers), type=pa.int64())
-    return ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t[id_column], value_set=loser_arr))),
+
+    max_rounds = rounds if rounds is not None else 64
+    prev_sum = None
+    for _ in range(max_rounds):
+        # each node sends its label to every neighbor (+ itself), then
+        # takes the min of what it received
+        fwd = (
+            labels.map_batches(label_rows, batch_format="pyarrow")
+            .union(edges)
+            .groupby("_b")
+            .map_groups(forward_bucket, batch_format="pandas")
+        )
+        self_msgs = labels.map_batches(
+            lambda t: pa.table({"dst": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            self_msgs.union(fwd)
+            .groupby("dst")
+            .min("label")
+            .map_batches(
+                lambda t: pa.table({"node": t["dst"], "label": t["min(label)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+def near_dedup(
+    ds,
+    threshold: float = 0.7,
+    hasher: MinHasher | None = None,
+    id_column: str = "doc_id",
+    max_driver_pairs: int = 2_000_000,
+):
+    """Near-duplicate removal: MinHash+LSH pairs → clusters → keep the
+    min-id member of each cluster. Returns the surviving Dataset.
+
+    Pair count ≤ ``max_driver_pairs`` (the common case: pairs ≈ true
+    near-dups ≪ corpus) uses driver union-find + a broadcast loser set;
+    above the guard, clustering runs distributed
+    (``dedup_clusters_distributed``) and losers are removed with a
+    bucketed anti-join — nothing corpus-sized ever lands on the driver.
+    """
+    pairs_ds = jaccard_pairs(ds, threshold=threshold, hasher=hasher, id_column=id_column)
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= max_driver_pairs:
+        pairs = pairs_ds.to_pandas()
+        clusters = dedup_clusters(pairs)
+        losers = set(
+            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
+        )
+        if not losers:
+            return ds
+        loser_arr = pa.array(sorted(losers), type=pa.int64())
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t[id_column], value_set=loser_arr))),
+            batch_format="pyarrow",
+        )
+    clusters_ds = dedup_clusters_distributed(pairs_ds)
+    losers_ds = clusters_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return _anti_join(ds, losers_ds, id_column)
+
+
+def _anti_join(ds, losers_ds, id_column: str, num_buckets: int = 256):
+    """Remove rows whose id appears in ``losers_ds`` (column ``doc_id``)
+    without driver materialization: bucket both sides by id hash, drop
+    inside each bucket group. Loser rows are null-padded to the corpus
+    schema so the union is schema-stable."""
+    try:
+        corpus_schema = ds.schema().base_schema
+    except Exception:
+        # Ray 2.49's planner can't plan limit(1) over a union (schema()
+        # does that internally); pull one streamed batch instead.
+        corpus_schema = next(
+            iter(ds.iter_batches(batch_size=1, batch_format="pyarrow"))
+        ).schema
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t[id_column].combine_chunks().cast(pa.int64()), num_buckets - 1)
+        return t.append_column("_ab", b).append_column(
+            "_loser", pa.array(np.zeros(t.num_rows, dtype=bool))
+        )
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in corpus_schema:
+            if f.name == id_column:
+                cols[f.name] = t["doc_id"].combine_chunks().cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        out = pa.table(cols)
+        b = pc.bit_wise_and(out[id_column].combine_chunks().cast(pa.int64()), num_buckets - 1)
+        return out.append_column("_ab", b).append_column(
+            "_loser", pa.array(np.ones(t.num_rows, dtype=bool))
+        )
+
+    def drop(group: pd.DataFrame) -> pd.DataFrame:
+        bad = set(group.loc[group["_loser"], id_column])
+        keep = group[~group["_loser"] & ~group[id_column].isin(bad)]
+        return keep.drop(columns=["_ab", "_loser"])
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        losers_ds.map_batches(tag_losers, batch_format="pyarrow")
+    )
+    return tagged.groupby("_ab").map_groups(drop, batch_format="pandas")
 
 
 class SimHasher:

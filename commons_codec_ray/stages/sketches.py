@@ -29,12 +29,23 @@ class KMVSketch:
 
     @staticmethod
     def _hash(arr) -> np.ndarray:
-        out = np.empty(len(arr), dtype=np.uint64)
-        for i, v in enumerate(arr):
-            h = zlib.crc32(str(v).encode())
-            # expand 32→64 bits with a splitmix-style multiply for spread
-            out[i] = (np.uint64(h) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
-        return out
+        """Vectorized 64-bit hash. Integer inputs go straight through two
+        splitmix-style rounds (pure numpy, wrapping uint64 array ops —
+        intentional and silent, unlike scalar ops); everything else is
+        crc32 over the string form, then mixed to 64 bits."""
+        a = np.asarray(arr)
+        if a.dtype.kind in "iu":
+            h = a.astype(np.uint64)
+        else:
+            h = np.fromiter(
+                (zlib.crc32(str(v).encode()) for v in arr), dtype=np.uint64, count=len(a)
+            )
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            h = h * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(29)
+        return h
 
     def update(self, arr) -> "KMVSketch":
         h = np.unique(self._hash(arr))
@@ -69,7 +80,7 @@ def approx_distinct(ds, column: str, k: int = 1024) -> float:
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        sk = KMVSketch(k).update(batch[column].to_pylist())
+        sk = KMVSketch(k).update(batch[column].to_numpy(zero_copy_only=False))
         return pa.table({"sketch": pa.array([sk.serialize()], type=pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()

@@ -19,6 +19,39 @@ def test_dedup_clusters_union_find():
     assert by_doc[10] == by_doc[11] == by_doc[12] == 10
 
 
+def test_distributed_clusters_match_union_find():
+    from commons_codec_ray.stages.dedup import dedup_clusters_distributed
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 11, 20, 1], "id_b": [2, 3, 11, 12, 21, 3]}
+    )
+    got = (
+        dedup_clusters_distributed(rd.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = dedup_clusters(pairs).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_near_dedup_distributed_path_matches_driver_path():
+    """Pathological guard: max_driver_pairs=0 forces the distributed
+    clustering + bucketed anti-join; survivors must be identical to the
+    driver union-find path."""
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).limit(120)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = pc.add(t["doc_id"], 1_000_000)
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    corpus = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
+    driver = near_dedup(corpus, threshold=0.7).to_pandas()
+    dist = near_dedup(corpus, threshold=0.7, max_driver_pairs=0).to_pandas()
+    assert sorted(dist.doc_id) == sorted(driver.doc_id)
+    assert set(dist.columns) == set(driver.columns)
+
+
 def test_near_dedup_removes_planted_copies():
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
 
