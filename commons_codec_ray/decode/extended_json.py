@@ -57,7 +57,10 @@ def decode_extended_json(value: dict) -> Any:
     if "$numberDouble" in value:
         return float(value["$numberDouble"])
     if "$numberDecimal" in value:
-        return float(value["$numberDecimal"])
+        # decimals pass through as STRINGS (arbitrary precision — a float
+        # cast would corrupt 34-digit decimals; reference
+        # RECORD_OUT_ALL_TYPES keeps "1234567890123456789012345678901234")
+        return str(value["$numberDecimal"])
     if "$date" in value:
         d = value["$date"]
         if isinstance(d, str):
@@ -73,24 +76,32 @@ def decode_extended_json(value: dict) -> Any:
             payload, subtype = b.get("base64", ""), b.get("subType", "00")
         else:  # legacy {"$binary": "<b64>", "$type": "04"}
             payload, subtype = b, value.get("$type", "00")
-        if str(subtype).lower() in ("03", "04"):
-            return str(UUID(bytes=base64.b64decode(payload)))
-        return payload  # non-UUID binary stays base64 (ref L141-142)
+        raw = base64.b64decode(payload)
+        if str(subtype).lower() == "04":  # canonical UUID subtype only
+            return str(UUID(bytes=raw))
+        # non-UUID binary stays base64, RE-ENCODED so non-canonical input
+        # padding normalizes (ref corpus: "...83B==" in → "...83A==" out)
+        return base64.b64encode(raw).decode("ascii")
     if "$timestamp" in value:
         t = value["$timestamp"]
         return dt.datetime.utcfromtimestamp(int(t["t"]))
     if "$regularExpression" in value:
         r = value["$regularExpression"]
-        return f"/{r.get('pattern', '')}/{r.get('options', '')}"
+        opts = r.get("options", "")
+        return f"Regex('{r.get('pattern', '')}', {0 if not opts else opts!r})"
     if "$code" in value:
         scope = value.get("$scope")
-        return f"{value['$code']}{'' if scope is None else f' scope={scope}'}"
+        if scope is None:
+            return value["$code"]
+        # code WITH scope keeps structure, scope values decoded
+        # (reference RECORD_OUT_ALL_TYPES "code_scope")
+        return {"$code": value["$code"], "$scope": decode_value(scope)}
     if "$minKey" in value:
         return "MinKey()"
     if "$maxKey" in value:
         return "MaxKey()"
-    if "$ref" in value:  # DBRef
-        return {k.lstrip("$"): decode_value(v) for k, v in value.items()}
+    if "$ref" in value:  # DBRef — "$"-prefixed keys survive (ref "dbref")
+        return {k: decode_value(v) for k, v in value.items()}
     if "$dbPointer" in value:
         return str(value["$dbPointer"])
     raise ValueError(f"unknown Extended JSON descriptor: {list(value)[:3]}")

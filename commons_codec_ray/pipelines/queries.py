@@ -602,6 +602,83 @@ SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 """
 
 
+def q_iot_tasmota(sf_dir: str):
+    """Tasmota SENSOR decode (reference decode/tasmota.py:22-112) as a
+    driver query: deterministic tasmota-shaped payloads are synthesized
+    from events rows, decoded by the actor-pool FlattenStage, and the
+    oracle recomputes every flattened reading from the raw columns —
+    including that the ``Type``/``Address`` identification fields are
+    DROPPED (``dropped_ok``)."""
+    import json as _json
+
+    from commons_codec_ray.decode.iot import FlattenStage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value", "ts"]
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_pylist()
+        uid = t["user_id"].to_pylist()
+        val = t["value"].to_pylist()
+        ts_us = t["ts"].cast(pa.int64()).to_pylist()
+        payloads = [
+            _json.dumps(
+                {
+                    "Time": ts_us[i],
+                    "ENERGY": {
+                        "Power": val[i],
+                        "Voltage": 230 + uid[i] % 10,
+                        "Type": "meter",  # must be dropped by the decoder
+                    },
+                    "DS18B20": {"Temperature": val[i] * 0.5, "Address": "0x28"},
+                    "TempUnit": "C",
+                }
+            )
+            for i in range(len(eid))
+        ]
+        return pa.table({"event_id": t["event_id"], "payload": pa.array(payloads)})
+
+    flat = ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        FlattenStage,
+        fn_constructor_kwargs={
+            "decoder": "tasmota_sensor",
+            "payload_column": "payload",
+            "keep": ("event_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=pool_size(2),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        leaked = "ENERGY.Type" in t.column_names or "DS18B20.Address" in t.column_names
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "time_us": t["Time"].cast(pa.int64()),
+                "energy_power": t["ENERGY.Power"].cast(pa.float64()),
+                "energy_voltage": t["ENERGY.Voltage"].cast(pa.int64()),
+                "temperature": t["DS18B20.Temperature"].cast(pa.float64()),
+                "temp_unit": t["TempUnit"].cast(pa.string()),
+                "dropped_ok": pa.array(np.full(t.num_rows, not leaked, dtype=bool)),
+            }
+        )
+
+    return flat.map_batches(finish, batch_format="pyarrow")
+
+
+_IOT_TASMOTA_SQL = """
+SELECT event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS time_us,
+       value AS energy_power,
+       CAST(230 + user_id % 10 AS BIGINT) AS energy_voltage,
+       value * 0.5 AS temperature,
+       'C' AS temp_unit,
+       true AS dropped_ok
+FROM events
+"""
+
+
 class _ExtJsonRoundTrip:
     """Encode events rows into Extended JSON (mixed canonical/legacy
     shapes), then decode with the engine's Extended JSON decoder —
@@ -959,6 +1036,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
     "json_flatten": q_json_flatten,
+    "iot_tasmota": q_iot_tasmota,
     "ext_json_roundtrip": q_ext_json_roundtrip,
     "bcast_join_agg": q_bcast_join_agg,
     "top_orders": q_top_orders,
@@ -991,6 +1069,7 @@ ORACLE_SQL = {
     "text_stats": _TEXT_STATS_SQL,
     "ann_topk": _ANN_TOPK_SQL,
     "json_flatten": _JSON_FLATTEN_SQL,
+    "iot_tasmota": _IOT_TASMOTA_SQL,
     "ext_json_roundtrip": _EXT_JSON_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
     "top_orders": _TOP_ORDERS_SQL,

@@ -71,6 +71,63 @@ OPS_SCHEMA = pa.schema(
 )
 
 
+# DynamoDB attribute-type letter → Arrow type for key columns
+# (semantics of reference transform/dynamodb_model.py:18-28: S→string,
+# N→integer-keyed, B→string-encoded binary)
+_DYNAMODB_KEY_TYPES = {"S": pa.string(), "N": pa.int64(), "B": pa.string()}
+
+
+class PrimaryKeySchema:
+    """Primary-key schema derived from a DynamoDB-style table description
+    (reference transform/dynamodb_model.py:56-73) instead of the engine's
+    static ``KEY_COLUMNS`` default.
+
+    ``from_table`` accepts either a dict like boto3's ``describe_table``
+    output (``{"KeySchema": [...], "AttributeDefinitions": [...]}``) or
+    any object exposing ``key_schema`` / ``attribute_definitions``.
+    """
+
+    def __init__(self, fields: list[pa.Field] | None = None):
+        self.fields: list[pa.Field] = list(fields or [])
+
+    def add(self, name: str, dynamodb_type: str) -> "PrimaryKeySchema":
+        try:
+            typ = _DYNAMODB_KEY_TYPES[dynamodb_type]
+        except KeyError as exc:
+            raise KeyError(
+                f"unsupported DynamoDB key type: name={name!r}, type={dynamodb_type!r}"
+            ) from exc
+        self.fields.append(pa.field(name, typ))
+        return self
+
+    @classmethod
+    def from_table(cls, table) -> "PrimaryKeySchema":
+        if isinstance(table, dict):
+            key_schema = table.get("KeySchema") or table.get("key_schema") or []
+            attr_defs = (
+                table.get("AttributeDefinitions") or table.get("attribute_definitions") or []
+            )
+        else:
+            key_schema = table.key_schema
+            attr_defs = table.attribute_definitions
+        types = {a["AttributeName"]: a["AttributeType"] for a in attr_defs}
+        schema = cls()
+        for key in key_schema:
+            name = key["AttributeName"]
+            schema.add(name, types[name])
+        return schema
+
+    def keys(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def arrow_fields(self) -> list[pa.Field]:
+        return list(self.fields)
+
+    def to_sql_ddl_clauses(self) -> list[str]:
+        sql_types = {pa.string(): "STRING", pa.int64(): "BIGINT"}
+        return [f'"{f.name}" {sql_types[f.type]} PRIMARY KEY' for f in self.fields]
+
+
 def empty_ops_table() -> pa.Table:
     return OPS_SCHEMA.empty_table()
 

@@ -66,3 +66,35 @@ def test_image_varied_routing():
     )
     assert typed == {"pk": "k1", "plain": 7.0}
     assert varied == {"mixed": ["a", 2.0]}
+
+
+def test_primary_key_schema_from_table():
+    from commons_codec_ray.schemas import PrimaryKeySchema
+
+    table = {
+        "KeySchema": [
+            {"AttributeName": "Id", "KeyType": "HASH"},
+            {"AttributeName": "Range", "KeyType": "RANGE"},
+        ],
+        "AttributeDefinitions": [
+            {"AttributeName": "Id", "AttributeType": "N"},
+            {"AttributeName": "Range", "AttributeType": "S"},
+        ],
+    }
+    pks = PrimaryKeySchema.from_table(table)
+    assert pks.keys() == ["Id", "Range"]
+    assert [str(f.type) for f in pks.arrow_fields()] == ["int64", "string"]
+    assert pks.to_sql_ddl_clauses() == [
+        '"Id" BIGINT PRIMARY KEY',
+        '"Range" STRING PRIMARY KEY',
+    ]
+
+
+def test_primary_key_schema_rejects_unknown_type():
+    from commons_codec_ray.schemas import PrimaryKeySchema
+
+    try:
+        PrimaryKeySchema().add("x", "Z")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass

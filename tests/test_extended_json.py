@@ -51,7 +51,7 @@ def test_all_types_document():
     assert out["Int32"] == -2147483648
     assert out["Int64"] == -9223372036854775808
     assert out["Double"] == pytest.approx(-1.2345678901234568)
-    assert out["Decimal"] == pytest.approx(1.234567890123456789e-6)
+    assert out["Decimal"] == "0.000001234567890123456789"  # arbitrary precision → string
     assert out["Boolean"] is True
     assert out["Null"] is None
     assert out["Undefined"] is None
@@ -61,7 +61,7 @@ def test_all_types_document():
     assert out["Timestamp"] == dt.datetime(1973, 11, 29, 21, 33, 9)
     assert out["BinaryUuid"] == "73ffd264-44b3-4c69-90e8-e7d1dfc035d4"
     assert out["BinaryUserDefined"] == "AQIDBAU="  # non-UUID stays base64
-    assert out["Regex"] == "/pattern/ix"
+    assert out["Regex"] == "Regex('pattern', 'ix')"
     assert out["Code"] == "function() {}"
     assert out["MinKey"] == "MinKey()"
     assert out["MaxKey"] == "MaxKey()"
@@ -76,8 +76,121 @@ def test_out_of_range_date_clamps_to_zero():
 
 
 def test_code_with_scope():
-    out = decode_value({"$code": "function() {}", "$scope": {"x": 1}})
-    assert "function() {}" in out and "scope" in out
+    out = decode_value({"$code": "function() {}", "$scope": {"x": {"$numberInt": "1"}}})
+    assert out == {"$code": "function() {}", "$scope": {"x": 1}}
+
+
+def _dates_to_ms(v):
+    """The reference converter renders datetimes as epoch-ms ints in its
+    golden corpus; our decoder keeps datetimes and applies this as a
+    treatment (converter flag ST5)."""
+    if isinstance(v, dict):
+        return {k: _dates_to_ms(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_dates_to_ms(x) for x in v]
+    if isinstance(v, dt.datetime):
+        return convert_epoch(v, milliseconds=True)
+    return v
+
+
+# Full canonical Extended JSON conformance pair, mirroring the reference's
+# all-BSON-types corpus (tests/transform/mongodb/data.py:15-224, canonical
+# section; itself derived from the public mongo-java-driver / bson-ruby BSON
+# corpora). The python/bson sections need the bson lib (absent in this
+# environment — M5 is ingested as Extended JSON instead); the anomaly pair
+# (:227-249) is treatment-config-specific and covered by the Treatment tests.
+CANONICAL_IN = {
+    "code_ascii": {"$code": "abab"},
+    "code_bytes": {"$code": "ab\x00ab\x00"},
+    "code_scope": {"$code": "abab", "$scope": {"x": {"$numberInt": "42"}}},
+    "date_iso8601": {"$date": "2015-09-23T10:32:42.33Z"},
+    "date_numberlong_valid": {"$date": {"$numberLong": "1356351330000"}},
+    "date_numberlong_invalid": {"$date": {"$numberLong": "-9223372036854775808"}},
+    "dbref": {"$id": {"$oid": "56027fcae4b09385a85f9344"}, "$ref": "foo", "$db": "bar"},
+    "decimal_infinity": {"$numberDecimal": "Infinity"},
+    "decimal_largest": {"$numberDecimal": "1234567890123456789012345678901234"},
+    "decimal_nan": {"$numberDecimal": "NaN"},
+    "decimal_regular": {"$numberDecimal": "0.000001234567890123456789012345678901234"},
+    "double_regular": {"$numberDouble": "-1.2345678921232E+18"},
+    "int32": {"$numberInt": "-2147483648"},
+    "int64": {"$numberLong": "-9223372036854775808"},
+    "list_date": [
+        {"$date": "2015-09-24T10:32:42.33Z"},
+        {"$date": {"$numberLong": "2147483647000"}},
+        {"$date": {"$numberLong": "-2147483648000"}},
+    ],
+    "list_dict": [
+        {"id": "bar", "value": {"$date": "2015-09-24T10:32:42.33Z"}},
+        {"value": {"$date": "2015-09-24T10:32:42.33Z"}},
+    ],
+    "list_int": [{"$numberInt": "-2147483648"}],
+    "list_oid": [{"$oid": "56027fcae4b09385a85f9344"}],
+    "list_uuid": [
+        {"$binary": {"base64": "c//SZESzTGmQ6OfR38A11A==", "subType": "01"}},
+        {"$binary": {"base64": "c//SZESzTGmQ6OfR38A11A==", "subType": "02"}},
+        {"$binary": {"base64": "c//SZESzTGmQ6OfR38A11A==", "subType": "03"}},
+        {"$binary": {"base64": "c//AYDC420csII3929483B==", "subType": "04"}},
+        {"$binary": {"base64": "c//AYDC420csII3929483B==", "subType": "05"}},
+        {"$binary": {"base64": "c//AYDC420csII3929483B==", "subType": "06"}},
+        {"$binary": {"base64": "c//AYDC420csII3929483B==", "subType": "80"}},
+    ],
+    "maxkey": {"$maxKey": 1},
+    "minkey": {"$minKey": 1},
+    "oid": {"$oid": "56027fcae4b09385a85f9344"},
+    "regex": {"$regularExpression": {"pattern": ".*", "options": ""}},
+    "symbol": {"$symbol": "foo"},
+    "timestamp": {"$timestamp": {"t": 123456789, "i": 42}},
+    "undefined": {"$undefined": True},
+    "uuid": {"$binary": {"base64": "c//SZESzTGmQ6OfR38A11A==", "subType": "04"}},
+}
+
+CANONICAL_OUT = {
+    "code_ascii": "abab",
+    "code_bytes": "ab\x00ab\x00",
+    "code_scope": {"$code": "abab", "$scope": {"x": 42}},
+    "date_iso8601": 1443004362000,
+    "date_numberlong_valid": 1356351330000,
+    "date_numberlong_invalid": 0,  # out-of-range clamps to epoch 0
+    "dbref": {"$id": "56027fcae4b09385a85f9344", "$ref": "foo", "$db": "bar"},
+    "decimal_infinity": "Infinity",
+    "decimal_largest": "1234567890123456789012345678901234",
+    "decimal_nan": "NaN",
+    "decimal_regular": "0.000001234567890123456789012345678901234",
+    "double_regular": -1.2345678921232e18,
+    "int32": -2147483648,
+    # deviation: the reference emits this as a string and flags it with a
+    # TODO ("Representation as string is just fine?"); we keep the int
+    "int64": -9223372036854775808,
+    "list_date": [1443090762000, 2147483647000, -2147483648000],
+    "list_dict": [
+        {"id": "bar", "value": 1443090762000},
+        {"value": 1443090762000},
+    ],
+    "list_int": [-2147483648],
+    "list_oid": ["56027fcae4b09385a85f9344"],
+    "list_uuid": [
+        "c//SZESzTGmQ6OfR38A11A==",
+        "c//SZESzTGmQ6OfR38A11A==",
+        "c//SZESzTGmQ6OfR38A11A==",  # subtype 03 stays base64 (canonical UUID is 04 only)
+        "73ffc060-30b8-db47-2c20-8dfddbde3cdc",
+        "c//AYDC420csII3929483A==",  # non-canonical base64 normalizes on re-encode
+        "c//AYDC420csII3929483A==",
+        "c//AYDC420csII3929483A==",
+    ],
+    "maxkey": "MaxKey()",
+    "minkey": "MinKey()",
+    "oid": "56027fcae4b09385a85f9344",
+    "regex": "Regex('.*', 0)",
+    "symbol": "foo",
+    "timestamp": 123456789000,
+    "undefined": None,
+    "uuid": "73ffd264-44b3-4c69-90e8-e7d1dfc035d4",
+}
+
+
+def test_canonical_all_types_conformance():
+    got = _dates_to_ms(decode_document(CANONICAL_IN))
+    assert got == CANONICAL_OUT
 
 
 def test_dollar_prefixed_plain_map_passthrough():
