@@ -126,6 +126,12 @@ class PipelineConfig:
     # delta-file count exceeds max_deltas
     compact_ratio: float = 0.5
     compact_max_deltas: int = 8
+    # actor-mode applier state cap (bytes of in-memory Arrow partition
+    # state per actor). None = unlimited (everything stays resident, the
+    # fastest mode when the lake fits cluster RAM). With a budget set,
+    # partitions load LAZILY on first touch and cold partitions EVICT
+    # back to their committed files (LRU) — required when lake ≫ RAM.
+    applier_state_budget_bytes: int | None = None
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
 
     def __post_init__(self) -> None:

@@ -107,9 +107,11 @@ class PartitionApplier:
         sink_mode: str = "rewrite",
         compact_ratio: float = 0.5,
         compact_max_deltas: int = 8,
+        state_budget_bytes: int | None = None,
     ):
+        from collections import OrderedDict
+
         from commons_codec_ray.sink.manifest import entry_files
-        from commons_codec_ray.stages.applier import merge_base_with_deltas
 
         self.actor_id = actor_id
         self.num_actors = num_actors
@@ -119,12 +121,18 @@ class PartitionApplier:
         self.sink_mode = sink_mode
         self.compact_ratio = compact_ratio
         self.compact_max_deltas = compact_max_deltas
+        self.state_budget_bytes = state_budget_bytes
         self.extra_columns = [
             (n, _type_from_str(t)) for n, t in json.loads(extra_columns_json)
         ]
-        # load base state for owned (table, partition) pairs ONCE;
-        # delta-sink entries are merged into memory at load time
-        self.state: dict[tuple[str, int], pa.Table] = {}
+        # In-memory partition state is an LRU over (table, pid); each
+        # entry is reconstructible from `state_files` (base + deltas on
+        # disk), so eviction is always safe. With no budget, partitions
+        # are loaded eagerly here (fastest steady-state); with a budget
+        # they load lazily on first touch.
+        self.state: "OrderedDict[tuple[str, int], pa.Table]" = OrderedDict()
+        self.state_bytes = 0
+        self.state_files: dict[tuple[str, int], tuple[str | None, list[str]]] = {}
         self.delta_info: dict[tuple[str, int], list[int]] = {}  # [n_deltas, delta_rows]
         for key, entry in base_partitions.items():
             table, _, pid_s = key.partition("#")
@@ -132,14 +140,65 @@ class PartitionApplier:
             if pid % num_actors != actor_id:
                 continue
             base_rel, delta_rels = entry_files(entry)
-            base = pq.read_table(self.lake_root / base_rel) if base_rel else None
+            if base_rel is None and not delta_rels:
+                continue
+            self.state_files[(table, pid)] = (base_rel, list(delta_rels))
             if delta_rels:
-                deltas = [pq.read_table(self.lake_root / d) for d in delta_rels]
-                drows = sum(d.num_rows for d in deltas)
-                self.state[(table, pid)] = merge_base_with_deltas(base, deltas, self.extra_columns)
+                drows = sum(
+                    pq.ParquetFile(self.lake_root / d).metadata.num_rows for d in delta_rels
+                )
                 self.delta_info[(table, pid)] = [len(delta_rels), drows]
-            elif base is not None:
-                self.state[(table, pid)] = base
+            if self.state_budget_bytes is None:
+                self._load_state(table, pid)
+
+    def _load_state(self, table: str, pid: int) -> pa.Table | None:
+        """Load (and cache) a partition's current state from its files."""
+        from commons_codec_ray.stages.applier import merge_base_with_deltas
+
+        key = (table, pid)
+        files = self.state_files.get(key)
+        if files is None:
+            return None
+        base_rel, delta_rels = files
+        base = pq.read_table(self.lake_root / base_rel) if base_rel else None
+        if delta_rels:
+            deltas = [pq.read_table(self.lake_root / d) for d in delta_rels]
+            tbl = merge_base_with_deltas(base, deltas, self.extra_columns)
+        elif base is not None:
+            tbl = base
+        else:
+            return None
+        self._put_state(key, tbl)
+        return tbl
+
+    def _get_state(self, table: str, pid: int) -> pa.Table | None:
+        key = (table, pid)
+        if key in self.state:
+            self.state.move_to_end(key)  # LRU touch
+            return self.state[key]
+        return self._load_state(table, pid)
+
+    def _put_state(self, key: tuple[str, int], tbl: pa.Table) -> None:
+        old = self.state.pop(key, None)
+        if old is not None:
+            self.state_bytes -= old.nbytes
+        self.state[key] = tbl
+        self.state_bytes += tbl.nbytes
+        self._evict()
+
+    def _evict(self) -> None:
+        """Drop cold partitions until under budget; they reload from
+        their committed/epoch files on next touch."""
+        if self.state_budget_bytes is None:
+            return
+        while self.state_bytes > self.state_budget_bytes and len(self.state) > 1:
+            _, tbl = self.state.popitem(last=False)
+            self.state_bytes -= tbl.nbytes
+        if self.state_bytes > self.state_budget_bytes and len(self.state) == 1:
+            # even a single partition exceeds the budget — drop it too
+            # (pathological budgets; correctness unaffected, just reloads)
+            _, tbl = self.state.popitem(last=False)
+            self.state_bytes -= tbl.nbytes
 
     def set_extra_columns(self, extra_columns_json: str) -> None:
         self.extra_columns = [
@@ -206,9 +265,8 @@ class PartitionApplier:
             code, pid = int(key >> 32), int(key & 0xFFFFFFFF)
             table = tnames[code] or "transcripts"
             group = ops.filter(pa.array(combo == key))
-            base = self.state.get((table, pid))
+            base = self._get_state(table, pid)
             out = apply_ops_to_base(base, group, self.extra_columns)
-            self.state[(table, pid)] = out
 
             # choose what to WRITE: full state, or just this epoch's delta
             kind = "full"
@@ -237,6 +295,15 @@ class PartitionApplier:
             tmp = path.with_suffix(f".tmp-{os.getpid()}")
             pq.write_table(write_tbl, tmp)
             os.replace(tmp, path)
+            # record the files that reconstruct this partition's state so
+            # the LRU can evict it and reload on next touch
+            rel = str(path.relative_to(self.lake_root))
+            if kind == "delta":
+                base_rel, delta_rels = self.state_files.get((table, pid), (None, []))
+                self.state_files[(table, pid)] = (base_rel, [*delta_rels, rel])
+            else:
+                self.state_files[(table, pid)] = (rel, [])
+            self._put_state((table, pid), out)
             lineage.append(
                 {
                     "table": table,
@@ -250,6 +317,14 @@ class PartitionApplier:
                 }
             )
         return lineage
+
+    def state_stats(self) -> dict[str, int]:
+        """Observability for the LRU: resident partitions/bytes vs known."""
+        return {
+            "resident_partitions": len(self.state),
+            "resident_bytes": self.state_bytes,
+            "known_partitions": len(self.state_files),
+        }
 
     def ping(self) -> int:
         return self.actor_id
@@ -330,6 +405,7 @@ class ActorPoolApplyRunner:
                 config.sink_mode,
                 config.compact_ratio,
                 config.compact_max_deltas,
+                config.applier_state_budget_bytes,
             )
             for a in range(self.num_actors)
         ]
