@@ -501,14 +501,20 @@ def _case_perturbed(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": ids, "text": pc.utf8_upper(t["text"])})
 
 
+def _planted_corpus(t: pa.Table) -> pa.Table:
+    """One pass: disjoint-vocab originals + their case-perturbed copies
+    (a union of two lazy branches would re-run the disjointify per side)."""
+    d = _disjoint_vocab(t)
+    return pa.concat_tables([d, _case_perturbed(d)])
+
+
 def q_near_dedup(sf_dir: str):
     """End-to-end near-duplicate removal: corpus + case-perturbed re-crawl
     → MinHash+LSH pairs → connected components → keep min-id per cluster.
     Disjoint per-doc vocabulary ⇒ survivors are EXACTLY the originals,
     verified hash-exact by the SQL oracle."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    base = docs.map_batches(_disjoint_vocab, batch_format="pyarrow")
-    corpus = base.union(base.map_batches(_case_perturbed, batch_format="pyarrow"))
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow")
     survivors = dedup_stage.near_dedup(corpus, threshold=0.7)
     return survivors.select_columns(["doc_id"])
 
@@ -907,8 +913,7 @@ def q_minhash_dedup(sf_dir: str):
     corpus: the pair set is exactly {(i, i+1e6)} with estimated Jaccard
     1.0 — verified hash-exact by the SQL oracle."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    base = docs.map_batches(_disjoint_vocab, batch_format="pyarrow")
-    corpus = base.union(base.map_batches(_case_perturbed, batch_format="pyarrow"))
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow")
     return dedup_stage.jaccard_pairs(corpus, threshold=0.7)
 
 
