@@ -54,6 +54,20 @@ def safe_table_dir(table: str) -> str:
     return table.replace("/", "_").replace("..", "_")
 
 
+def _watermark_stats(group: pa.Table, watermark_us: int | None) -> tuple[int, int]:
+    """(max event-time in µs, events older than the previous epoch's
+    watermark). Late arrivals are safe under LWW — this only makes them
+    OBSERVABLE (north star: per-partition lineage + metrics)."""
+    if group.num_rows == 0 or "ts" not in group.column_names:
+        return -1, 0
+    ts = group["ts"].cast(pa.int64())
+    mx = pc.max(ts).as_py()
+    late = 0
+    if watermark_us is not None:
+        late = pc.sum(pc.cast(pc.less(ts, watermark_us), pa.int64())).as_py() or 0
+    return (mx if mx is not None else -1), int(late)
+
+
 def _make_apply_fn(
     lake_root: str,
     epoch: int,
@@ -62,6 +76,7 @@ def _make_apply_fn(
     sink_mode: str = "rewrite",
     compact_ratio: float = 0.5,
     compact_max_deltas: int = 8,
+    watermark_us: int | None = None,
 ):
     """Per-(table, partition) applier run inside map_groups tasks.
 
@@ -149,6 +164,7 @@ def _make_apply_fn(
         pq.write_table(out, tmp)
         os.replace(tmp, path)
         max_lsn = pc.max(group["lsn"]).as_py() if group.num_rows else -1
+        max_ev, late = _watermark_stats(group, watermark_us)
         rel_path = str(path.relative_to(lake_root))
         return pa.table(
             {
@@ -160,10 +176,24 @@ def _make_apply_fn(
                 "ops_applied": pa.array([group.num_rows], pa.int64()),
                 "n_dead": pa.array([n_dead], pa.int64()),
                 "kind": pa.array([kind], pa.string()),
+                "max_event_ts_us": pa.array([max_ev], pa.int64()),
+                "late_events": pa.array([late], pa.int64()),
             }
         )
 
     return _apply
+
+
+def _watermark_metrics(lineage: list[dict[str, Any]], prev_wm: int | None) -> dict[str, Any]:
+    max_ev = max((int(r.get("max_event_ts_us", -1) or -1) for r in lineage), default=-1)
+    late = sum(int(r.get("late_events", 0) or 0) for r in lineage)
+    out: dict[str, Any] = {"late_events": late}
+    if max_ev >= 0:
+        out["max_event_ts_us"] = max_ev
+        # processing-time lag behind the newest event seen (negative for
+        # replays of historical data — meaningful in tail mode)
+        out["event_time_lag_s"] = round(time.time() - max_ev / 1e6, 3)
+    return out
 
 
 class CDCPipeline:
@@ -276,6 +306,7 @@ class CDCPipeline:
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         ).materialize()
+        prev_wm = self._last_watermark(ckpt)
         apply_fn = _make_apply_fn(
             str(self.store.root),
             epoch,
@@ -284,6 +315,7 @@ class CDCPipeline:
             sink_mode=cfg.sink_mode,
             compact_ratio=cfg.compact_ratio,
             compact_max_deltas=cfg.compact_max_deltas,
+            watermark_us=prev_wm,
         )
         self.store.ensure_dirs(epoch)
         lineage = (
@@ -300,6 +332,7 @@ class CDCPipeline:
             "dead_letters": n_dead,
             "schema_events": len(schema_rows),
             "duration_s": round(time.time() - t0, 3),
+            **_watermark_metrics(lineage, prev_wm),
         }
         self.store.commit_epoch(
             epoch, lineage, offset_range, cfg.registry.to_json(), metrics
@@ -456,7 +489,8 @@ class CDCPipeline:
                 if epoch_controls:
                     runner.refresh_extra_columns()
                 self.store.ensure_dirs(epoch)
-                lineage, dead = runner.run_epoch(files, epoch, lo, hi)
+                prev_wm = self._last_watermark(self.store.read_checkpoint())
+                lineage, dead = runner.run_epoch(files, epoch, lo, hi, watermark_us=prev_wm)
                 n_dead = 0
                 if dead is not None and dead.num_rows:
                     n_dead = dead.num_rows
@@ -470,6 +504,7 @@ class CDCPipeline:
                     "dead_letters": n_dead,
                     "schema_events": len(epoch_controls),
                     "duration_s": round(time.time() - t0, 3),
+                    **_watermark_metrics(lineage, prev_wm),
                 }
                 self.store.commit_epoch(
                     epoch, lineage, (lo, hi), cfg.registry.to_json(), metrics
@@ -480,6 +515,18 @@ class CDCPipeline:
         finally:
             runner.shutdown()
         return results
+
+    def _last_watermark(self, ckpt) -> int | None:
+        """Event-time watermark of the last committed epoch (µs), from its
+        manifest metrics; None before any commit."""
+        if ckpt.last_epoch < 0:
+            return None
+        try:
+            m = self.store.read_manifest(ckpt.last_epoch)
+        except FileNotFoundError:
+            return None
+        wm = m.get("metrics", {}).get("max_event_ts_us")
+        return int(wm) if wm is not None and wm >= 0 else None
 
     # ------------------------------------------------------------------ tail
     def poll(self, envelopes_path: str, mode: str = "groupby") -> int:
@@ -639,6 +686,8 @@ class CDCPipeline:
             "events_total": 0,
             "dead_letters_total": 0,
             "schema_events_total": 0,
+            "late_events_total": 0,
+            "watermark_us": None,
             "wall_s_total": 0.0,
             "epochs": [],
         }
@@ -652,11 +701,18 @@ class CDCPipeline:
             out["dead_letters_total"] += met.get("dead_letters", 0)
             out["schema_events_total"] += met.get("schema_events", 0)
             out["wall_s_total"] += met.get("duration_s", 0.0)
+            out["late_events_total"] += met.get("late_events", 0)
+            if met.get("max_event_ts_us") is not None:
+                out["watermark_us"] = max(
+                    out["watermark_us"] or 0, met["max_event_ts_us"]
+                )
             out["epochs"].append(
                 {
                     "epoch": e,
                     "offset_range": m.get("offset_range"),
                     "events": met.get("events", 0),
+                    "late_events": met.get("late_events", 0),
+                    "max_event_ts_us": met.get("max_event_ts_us"),
                     "events_per_s": round(
                         met.get("events", 0) / met["duration_s"], 1
                     )

@@ -225,21 +225,23 @@ class PartitionApplier:
             self._pending = [reduced]
             self._pending_rows = reduced.num_rows
 
-    def flush_epoch(self, epoch: int) -> list[dict[str, Any]]:
+    def flush_epoch(self, epoch: int, watermark_us: int | None = None) -> list[dict[str, Any]]:
         ops = (
             pa.concat_tables(self._pending, promote_options="permissive")
             if self._pending
             else None
         )
         self._pending, self._pending_rows = [], 0
-        return self._apply(epoch, ops)
+        return self._apply(epoch, ops, watermark_us)
 
     def apply_epoch(self, epoch: int, *op_tables: pa.Table) -> list[dict[str, Any]]:
         """One-shot variant (barrier semantics); used by small jobs/tests."""
         ops = pa.concat_tables([t for t in op_tables if t.num_rows]) if op_tables else None
         return self._apply(epoch, ops)
 
-    def _apply(self, epoch: int, ops: pa.Table | None) -> list[dict[str, Any]]:
+    def _apply(
+        self, epoch: int, ops: pa.Table | None, watermark_us: int | None = None
+    ) -> list[dict[str, Any]]:
         from commons_codec_ray.pipelines.cdc import safe_table_dir
 
         lineage: list[dict[str, Any]] = []
@@ -266,6 +268,9 @@ class PartitionApplier:
             table = tnames[code] or "transcripts"
             group = ops.filter(pa.array(combo == key))
             base = self._get_state(table, pid)
+            from commons_codec_ray.pipelines.cdc import _watermark_stats
+
+            wm_max, wm_late = _watermark_stats(group, watermark_us)
             out = apply_ops_to_base(base, group, self.extra_columns)
 
             # choose what to WRITE: full state, or just this epoch's delta
@@ -314,6 +319,8 @@ class PartitionApplier:
                     "ops_applied": group.num_rows,
                     "n_dead": 0,
                     "kind": kind,
+                    "max_event_ts_us": wm_max,
+                    "late_events": wm_late,
                 }
             )
         return lineage
@@ -422,7 +429,12 @@ class ActorPoolApplyRunner:
         ray.get([a.set_extra_columns.remote(extra) for a in self.actors])
 
     def run_epoch(
-        self, envelope_files: list[str], epoch: int, lo: int, hi: int
+        self,
+        envelope_files: list[str],
+        epoch: int,
+        lo: int,
+        hi: int,
+        watermark_us: int | None = None,
     ) -> tuple[list[dict[str, Any]], pa.Table | None]:
         """Returns (lineage rows, dead-letter table or None)."""
         slices = plan_file_slices(envelope_files, lo, hi, self.num_decode_tasks)
@@ -443,7 +455,7 @@ class ActorPoolApplyRunner:
             for refs in refs_matrix
             for a in range(A)
         ]
-        flush_futures = [a.flush_epoch.remote(epoch) for a in self.actors]
+        flush_futures = [a.flush_epoch.remote(epoch, watermark_us) for a in self.actors]
         dead_tables = [t for t in ray.get([refs[A] for refs in refs_matrix]) if t.num_rows]
         lineage = [row for rows in ray.get(flush_futures) for row in rows]
         ray.get(ingest_refs)  # surface any ingest errors
