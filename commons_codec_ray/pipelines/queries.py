@@ -685,6 +685,175 @@ FROM events
 """
 
 
+def _iot_query(sf_dir: str, decoder: str, build_payload, finish):
+    """Shared harness for the IoT-decoder driver queries: synthesize
+    decoder-shaped payloads from events rows, decode via the actor-pool
+    FlattenStage, project/cast to oracle-comparable columns."""
+    import json as _json
+
+    from commons_codec_ray.decode.iot import FlattenStage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value", "ts"]
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_pylist()
+        uid = t["user_id"].to_pylist()
+        val = t["value"].to_pylist()
+        ts_us = t["ts"].cast(pa.int64()).to_pylist()
+        payloads = [
+            _json.dumps(build_payload(eid[i], uid[i], val[i], ts_us[i]))
+            for i in range(len(eid))
+        ]
+        return pa.table({"event_id": t["event_id"], "payload": pa.array(payloads)})
+
+    flat = ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        FlattenStage,
+        fn_constructor_kwargs={
+            "decoder": decoder,
+            "payload_column": "payload",
+            "keep": ("event_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=pool_size(2),
+    )
+    return flat.map_batches(finish, batch_format="pyarrow")
+
+
+def q_iot_tasmota_state(sf_dir: str):
+    """Tasmota STATE decode (reference decode/tasmota.py:115-150): fixed
+    field projection incl. the Wifi sub-object; fields outside the
+    projection must NOT leak (``proj_ok``)."""
+
+    def build(eid, uid, val, ts_us):
+        return {
+            "Time": ts_us,
+            "Uptime": uid,
+            "POWER": "ON" if eid % 2 == 0 else "OFF",
+            "Wifi": {"SSId": f"net-{uid % 4}", "RSSI": 100 - uid % 50, "AP": 1},
+            "Vcc": 3.3,  # not in the STATE projection → must be dropped
+        }
+
+    def finish(t: pa.Table) -> pa.Table:
+        leaked = "Vcc" in t.column_names
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "time_us": t["Time"].cast(pa.int64()),
+                "uptime": t["Uptime"].cast(pa.int64()),
+                "power": t["POWER"].cast(pa.string()),
+                "wifi_ssid": t["Wifi.SSId"].cast(pa.string()),
+                "wifi_rssi": t["Wifi.RSSI"].cast(pa.int64()),
+                "proj_ok": pa.array(np.full(t.num_rows, not leaked, dtype=bool)),
+            }
+        )
+
+    return _iot_query(sf_dir, "tasmota_state", build, finish)
+
+
+_IOT_TASMOTA_STATE_SQL = """
+SELECT event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS time_us,
+       CAST(user_id AS BIGINT) AS uptime,
+       CASE WHEN event_id % 2 = 0 THEN 'ON' ELSE 'OFF' END AS power,
+       'net-' || CAST(user_id % 4 AS VARCHAR) AS wifi_ssid,
+       CAST(100 - user_id % 50 AS BIGINT) AS wifi_rssi,
+       true AS proj_ok
+FROM events
+"""
+
+
+def q_iot_sensor_community(sf_dir: str):
+    """Sensor.Community decode (reference decode/sensor_community.py:77-94):
+    {value_type, value} list → flat dict; numeric strings coerce to float,
+    whitelist types (samples, …) to int, non-numeric strings pass through."""
+
+    def build(eid, uid, val, ts_us):
+        return {
+            "timestamp": str(ts_us),
+            "sensordatavalues": [
+                {"value_type": "P1", "value": repr(val)},  # numeric string → float
+                {"value_type": "samples", "value": str(uid)},  # whitelist → int
+                {"value_type": "note", "value": "n/a"},  # non-numeric → stays string
+            ],
+        }
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "timestamp": t["timestamp"].cast(pa.string()),
+                "p1": t["P1"].cast(pa.float64()),
+                "samples": t["samples"].cast(pa.int64()),
+                "note": t["note"].cast(pa.string()),
+            }
+        )
+
+    return _iot_query(sf_dir, "sensor_community", build, finish)
+
+
+_IOT_SENSOR_COMMUNITY_SQL = """
+SELECT event_id,
+       CAST(epoch_us(ts) AS VARCHAR) AS timestamp,
+       value AS p1,
+       CAST(user_id AS BIGINT) AS samples,
+       'n/a' AS note
+FROM events
+"""
+
+
+def q_iot_tts_uplink(sf_dir: str):
+    """TTS/TTN uplink decode (reference decode/tts_ttn.py:29-73): device
+    id + decoded payload + per-gateway dynamic RSSI/SNR keys."""
+
+    def build(eid, uid, val, ts_us):
+        return {
+            "end_device_ids": {"device_id": f"dev-{uid}"},
+            "received_at": str(ts_us),
+            "uplink_message": {
+                "decoded_payload": {"temp": val, "hum": uid % 100},
+                "rx_metadata": [
+                    {
+                        "gateway_ids": {"gateway_id": "gw0"},
+                        "rssi": -(uid % 60),
+                        "snr": val * 0.25,
+                    },
+                    {"gateway_ids": {"gateway_id": "gw1"}, "rssi": -40},
+                ],
+            },
+        }
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "device_id": t["device_id"].cast(pa.string()),
+                "received_at": t["received_at"].cast(pa.string()),
+                "temp": t["temp"].cast(pa.float64()),
+                "hum": t["hum"].cast(pa.int64()),
+                "gw0_rssi": t["gw_gw0_rssi"].cast(pa.int64()),
+                "gw0_snr": t["gw_gw0_snr"].cast(pa.float64()),
+                "gw1_rssi": t["gw_gw1_rssi"].cast(pa.int64()),
+            }
+        )
+
+    return _iot_query(sf_dir, "tts_uplink", build, finish)
+
+
+_IOT_TTS_SQL = """
+SELECT event_id,
+       'dev-' || CAST(user_id AS VARCHAR) AS device_id,
+       CAST(epoch_us(ts) AS VARCHAR) AS received_at,
+       value AS temp,
+       CAST(user_id % 100 AS BIGINT) AS hum,
+       CAST(-(user_id % 60) AS BIGINT) AS gw0_rssi,
+       value * 0.25 AS gw0_snr,
+       CAST(-40 AS BIGINT) AS gw1_rssi
+FROM events
+"""
+
+
 class _ExtJsonRoundTrip:
     """Encode events rows into Extended JSON (mixed canonical/legacy
     shapes), then decode with the engine's Extended JSON decoder —
@@ -1042,6 +1211,9 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "json_flatten": q_json_flatten,
     "iot_tasmota": q_iot_tasmota,
+    "iot_tasmota_state": q_iot_tasmota_state,
+    "iot_sensor_community": q_iot_sensor_community,
+    "iot_tts_uplink": q_iot_tts_uplink,
     "ext_json_roundtrip": q_ext_json_roundtrip,
     "bcast_join_agg": q_bcast_join_agg,
     "top_orders": q_top_orders,
@@ -1075,6 +1247,9 @@ ORACLE_SQL = {
     "ann_topk": _ANN_TOPK_SQL,
     "json_flatten": _JSON_FLATTEN_SQL,
     "iot_tasmota": _IOT_TASMOTA_SQL,
+    "iot_tasmota_state": _IOT_TASMOTA_STATE_SQL,
+    "iot_sensor_community": _IOT_SENSOR_COMMUNITY_SQL,
+    "iot_tts_uplink": _IOT_TTS_SQL,
     "ext_json_roundtrip": _EXT_JSON_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
     "top_orders": _TOP_ORDERS_SQL,
