@@ -62,3 +62,22 @@ def test_hot_partition_rows_bounded_by_key_count():
     df = ops.to_pandas()
     per_key = df.groupby(["conv_id", "turn_idx"]).size()
     assert per_key.max() == 1  # at most one surviving op per key per batch
+
+
+def test_null_keys_route_to_partition_zero():
+    """Null conv_ids (dead letters, keyless ops) must land on partition 0
+    deterministically — not on whatever partition the batch's first
+    distinct value hashes to."""
+    import pyarrow as pa
+
+    from commons_codec_ray.hashing import partition_ids_for
+
+    # different batch compositions, same nulls
+    a = partition_ids_for(pa.array(["zzz", None, "c-1", None]), 64).to_pylist()
+    b = partition_ids_for(pa.array([None, "c-7", None]), 64).to_pylist()
+    assert a[1] == a[3] == 0
+    assert b[0] == b[2] == 0
+    # non-null keys keep their content-derived partitions
+    import zlib
+
+    assert a[0] == zlib.crc32(b"zzz") % 64
