@@ -157,7 +157,14 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
     results["decode_only"] = round(time.time() - t0, 3)
 
     # --- secondary pipelines at this sf ------------------------------------
-    for name in ("windowed_agg", "exact_dedup", "ann_topk", "minhash_dedup"):
+    for name in (
+        "windowed_agg",
+        "session_windows",
+        "sliding_window",
+        "exact_dedup",
+        "ann_topk",
+        "minhash_dedup",
+    ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
         res.count() if hasattr(res, "count") else None

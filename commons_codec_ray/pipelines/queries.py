@@ -85,6 +85,50 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_cdc_replay_universal(sf_dir: str):
+    """Same replay through the UNIVERSAL (pk/data/aux) layout end-to-end
+    (reference transform/aws_dms.py:249-347): decode to 3-bucket records,
+    full-doc LWW apply (apply_ops_universal), then re-materialize typed
+    columns from the ``data`` JSON — must equal the DIRECT-layout oracle
+    byte-exact."""
+    import json as _json
+
+    from commons_codec_ray.stages.applier import apply_ops_universal
+    from commons_codec_ray.stages.decode_stage import _cast_timestamps
+
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True, layout="universal"),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+
+    def apply_univ(group: pa.Table) -> pa.Table:
+        return apply_ops_universal(None, group).drop_columns(["_lsn"])
+
+    final = ds.groupby("partition_id").map_groups(apply_univ, batch_format="pyarrow")
+
+    def materialize(t: pa.Table) -> pa.Table:
+        docs = [(_json.loads(d) if d else {}) for d in t["data"].to_pylist()]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": pa.array([d.get("role") for d in docs], pa.string()),
+                "text": pa.array([d.get("text") for d in docs], pa.string()),
+                "tool": pa.array([d.get("tool") for d in docs], pa.string()),
+                "ts": _cast_timestamps([d.get("ts") for d in docs]),
+            }
+        )
+
+    return final.map_batches(materialize, batch_format="pyarrow")
+
+
 def _q_decode(sf_dir: str, dialect: str):
     cfg = PipelineConfig()
     ds = _events(sf_dir)
@@ -1195,6 +1239,7 @@ def q_ivf_topk(sf_dir: str):
 
 QUERIES = {
     "cdc_replay": q_cdc_replay,
+    "cdc_replay_universal": q_cdc_replay_universal,
     "cdc_decode_debezium": q_decode_debezium,
     "cdc_decode_binlog": q_decode_binlog,
     "cdc_decode_ddbstream": q_decode_ddbstream,
@@ -1231,6 +1276,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_replay": _CDC_REPLAY_SQL,
+    "cdc_replay_universal": _CDC_REPLAY_SQL,
     "cdc_decode_debezium": _DECODE_SQL,
     "cdc_decode_binlog": _DECODE_SQL,
     "cdc_decode_ddbstream": _DECODE_SQL,
