@@ -146,3 +146,32 @@ def test_registry_json_roundtrip():
     assert reg2.column_types == reg.column_types
     assert reg2.primary_keys == reg.primary_keys
     assert reg2.version == reg.version
+
+
+def test_added_column_actor_mode_with_spill(tmp_path):
+    """Schema evolution must also survive the LRU spill path: the evolved
+    column lives only in actor memory between write and evict, so the
+    evict→reload round trip must preserve it (reload merges with the
+    CURRENT extra_columns)."""
+    log = tmp_path / "env.parquet"
+    write_log(
+        log,
+        [
+            data_envelope(0, "a", 0, "old-row"),
+            control_envelope(2, {
+                "conv_id": {"type": "STRING"}, "turn_idx": {"type": "INT32"},
+                "role": {"type": "STRING"}, "text": {"type": "STRING"},
+                "tool": {"type": "STRING"}, "ts": {"type": "TIMESTAMP"},
+                "rating": {"type": "INT32"},
+            }),
+            data_envelope(3, "a", 1, "new-row", extra={"rating": 5}),
+            # third epoch touches the same partition again AFTER eviction
+            data_envelope(4, "a", 0, "old-row-updated", extra={"rating": 7}),
+        ],
+    )
+    cfg = PipelineConfig(num_partitions=4, epoch_size=2, applier_state_budget_bytes=1)
+    pipe = CDCPipeline(tmp_path / "lake", cfg)
+    pipe.replay(str(log), mode="actors", epoch_size=2)
+    df = pipe.read_lake().to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    assert df["text"].tolist() == ["old-row-updated", "new-row"]
+    assert df["rating"].tolist() == [7, 5]
