@@ -1065,6 +1065,113 @@ ORDER BY o.o_totalprice DESC LIMIT 20
 """
 
 
+def q_asof_join(sf_dir: str):
+    """Distributed backward as-of join (stages/joins.py): even events
+    look up the latest odd event of the same user with ts ≤ theirs —
+    one shuffle, per-bucket vectorized merge_asof, oracled by DuckDB's
+    native ASOF LEFT JOIN."""
+    from commons_codec_ray.stages.joins import asof_join
+
+    left = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    def odd_renamed(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1))
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "ts": f["ts"],
+                "r_event_id": f["event_id"],
+                "r_value": f["value"],
+            }
+        )
+
+    right = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(odd_renamed, batch_format="pyarrow")
+    joined = asof_join(
+        left, right, on="ts", by="user_id", right_columns=["r_event_id", "r_value"]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(dtype="int64")),
+                "matched_event_id": pa.array(
+                    pd.array(df["r_event_id"], dtype="Int64"), type=pa.int64()
+                ),
+                "matched_value": pa.array(df["r_value"].to_numpy(dtype="float64")),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+_ASOF_JOIN_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+r0 AS (SELECT event_id AS r_event_id, user_id, ts, value AS r_value
+       FROM events WHERE event_id % 2 = 1),
+r AS (SELECT * FROM r0
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY r_event_id DESC) = 1)
+SELECT l.event_id, r.r_event_id AS matched_event_id, r.r_value AS matched_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Banded range join + aggregate (stages/joins.py): for each even
+    event, count + sum of odd events of the same user within the
+    trailing 10 minutes — searchsorted band per bucket, never the
+    O(n·matches) pair blowup."""
+    from commons_codec_ray.stages.joins import range_join_agg
+
+    left = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    right = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = range_join_agg(
+        left, right, on="ts", by="user_id", value="value", window_us=600_000_000
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(dtype="int64")),
+                "n_in_range": pa.array(df["n_in_range"].to_numpy(dtype="int64")),
+                "sum_in_range": pa.array(
+                    duckdb_round(df["sum_in_range"].to_numpy(dtype="float64"), 2)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+_RANGE_JOIN_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+r AS (SELECT user_id, ts, value FROM events WHERE event_id % 2 = 1)
+SELECT l.event_id,
+       CAST(count(r.user_id) AS BIGINT) AS n_in_range,
+       round(coalesce(sum(r.value), 0), 2) AS sum_in_range
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
+GROUP BY l.event_id
+"""
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values of a column (ds.unique — a shuffle)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -1261,6 +1368,8 @@ QUERIES = {
     "iot_tts_uplink": q_iot_tts_uplink,
     "ext_json_roundtrip": q_ext_json_roundtrip,
     "bcast_join_agg": q_bcast_join_agg,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "top_orders": q_top_orders,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
@@ -1298,6 +1407,8 @@ ORACLE_SQL = {
     "iot_tts_uplink": _IOT_TTS_SQL,
     "ext_json_roundtrip": _EXT_JSON_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
+    "asof_join": _ASOF_JOIN_SQL,
+    "range_join": _RANGE_JOIN_SQL,
     "top_orders": _TOP_ORDERS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,

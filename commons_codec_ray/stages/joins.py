@@ -1,0 +1,176 @@
+"""Distributed join operators Ray Data lacks natively.
+
+As-of join (the streaming/timeseries workhorse: for each left row, the
+latest right row with the same key and time ≤ left time) as a
+composition of map_batches + coarse-bucket groupby — the pattern the
+task spec prescribes for operators the Dataset API can't express
+directly. Partitioning assumption: rows co-locate by ``hash(by) %
+num_buckets``, so per-key time series never span buckets; per-bucket
+work is a single vectorized ``pandas.merge_asof``.
+
+Scale shape: one shuffle of (left ∪ right) on the bucket key; bucket
+count bounds parallelism and per-group memory (grow with input). Skewed
+keys cost what they cost in any keyed join — salt upstream if one key
+dominates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str = "ts",
+    by: str = "user_id",
+    right_columns: list[str] | None = None,
+    suffix: str = "_right",
+    num_buckets: int = 256,
+):
+    """For each left row: columns of the LATEST right row with the same
+    ``by`` key and ``right.on <= left.on`` (backward as-of, exact matches
+    allowed) — nulls when no right row qualifies.
+
+    Both sides are tagged and bucketed by ``hash(by)``, shuffled ONCE,
+    and joined per bucket with ``pandas.merge_asof`` (vectorized
+    two-pointer after an O(n log n) sort). Right rows are deduped to one
+    per (by, on) — keep max of the first right column — so ties are
+    deterministic (mirror any SQL oracle with the same QUALIFY dedupe).
+    """
+    right_columns = right_columns or [c for c in right_ds.schema().names if c not in (on, by)]
+
+    def tag(is_right: bool):
+        def _t(t: pa.Table) -> pa.Table:
+            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = t.append_column("_jb", pa.array(keys % num_buckets))
+            return out.append_column(
+                "_right", pa.array(np.full(t.num_rows, is_right, dtype=bool))
+            )
+
+        return _t
+
+    left_cols = left_ds.schema().names
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[~df["_right"], left_cols].sort_values([on, by], kind="mergesort")
+        r = df.loc[df["_right"], [by, on, *right_columns]]
+        if len(r):
+            # deterministic tie-break: one right row per (by, on)
+            r = (
+                r.sort_values([by, on, *right_columns], kind="mergesort")
+                .groupby([by, on], as_index=False)
+                .last()
+                .sort_values([on, by], kind="mergesort")
+            )
+            merged = pd.merge_asof(
+                l, r, on=on, by=by, direction="backward", suffixes=("", suffix)
+            )
+        else:
+            merged = l.copy()
+            for c in right_columns:
+                merged[c if c not in l.columns else c + suffix] = pd.NA
+        return merged
+
+    # schema-stable union: each side null-pads the other's columns with
+    # the REAL arrow types (float64 padding would degrade int columns)
+    all_cols = list(dict.fromkeys([*left_cols, by, on, *right_columns]))
+    types: dict[str, pa.DataType] = {}
+    for f in right_ds.schema().base_schema:
+        types[f.name] = f.type
+    for f in left_ds.schema().base_schema:
+        types[f.name] = f.type
+
+    def pad(is_right: bool):
+        base_tag = tag(is_right)
+
+        def _p(t: pa.Table) -> pa.Table:
+            t = base_tag(t)
+            for c in all_cols:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+            return t.select([*all_cols, "_jb", "_right"])
+
+        return _p
+
+    tagged = left_ds.map_batches(pad(False), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(True), batch_format="pyarrow")
+    )
+    return tagged.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join_agg(
+    left_ds,
+    right_ds,
+    on: str = "ts",
+    by: str = "user_id",
+    value: str | None = None,
+    window_us: int = 600_000_000,
+    num_buckets: int = 256,
+):
+    """Banded range join + aggregate: for each left row, COUNT (and SUM
+    of ``value``) of right rows with the same ``by`` key and ``right.on``
+    in ``[left.on - window, left.on]`` (both ends inclusive).
+
+    Same partitioning contract as :func:`asof_join` (one shuffle on
+    ``hash(by) % num_buckets``); inside a bucket the band is computed
+    with ONE ``searchsorted`` over a per-key-offset composite int64 key
+    (key ranges of different ``by`` values are separated by more than
+    the window, so a band can never cross keys) + prefix sums — O(n log
+    n) per bucket, no per-key loop, never materializing the O(n·matches)
+    pair blowup that a generic range join produces.
+    """
+
+    left_cols = left_ds.schema().names
+    types: dict[str, pa.DataType] = {}
+    for f in right_ds.schema().base_schema:
+        types[f.name] = f.type
+    for f in left_ds.schema().base_schema:
+        types[f.name] = f.type
+    right_extra = [value] if value else []
+    all_cols = list(dict.fromkeys([*left_cols, by, on, *right_extra]))
+
+    def pad(is_right: bool):
+        def _p(t: pa.Table) -> pa.Table:
+            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.append_column("_jb", pa.array(keys % num_buckets))
+            t = t.append_column("_right", pa.array(np.full(t.num_rows, is_right, dtype=bool)))
+            for c in all_cols:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+            return t.select([*all_cols, "_jb", "_right"])
+
+        return _p
+
+    def band_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, on], kind="mergesort")
+        n = len(df)
+        keys_by = df[by].to_numpy(dtype="int64")
+        ts = df[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_by[1:] != keys_by[:-1]
+        uidx = np.cumsum(new_key) - 1
+        first_ts = ts[np.flatnonzero(new_key)][uidx]
+        off = ts - first_ts
+        span = np.int64(off.max()) + np.int64(window_us) + np.int64(2)
+        key = uidx * span + off
+        is_r = df["_right"].to_numpy()
+        rk = key[is_r]
+        lk = key[~is_r]
+        hi = np.searchsorted(rk, lk, side="right")
+        lo = np.searchsorted(rk, lk - np.int64(window_us), side="left")
+        out = df.loc[~is_r, left_cols].copy()
+        out["n_in_range"] = (hi - lo).astype("int64")
+        if value:
+            rv = df.loc[is_r, value].to_numpy(dtype="float64")
+            csum = np.concatenate([[0.0], np.cumsum(rv)])
+            out["sum_in_range"] = csum[hi] - csum[lo]
+        return out
+
+    tagged = left_ds.map_batches(pad(False), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(True), batch_format="pyarrow")
+    )
+    return tagged.groupby("_jb").map_groups(band_bucket, batch_format="pandas")

@@ -1,0 +1,66 @@
+"""As-of and range join operators (stages/joins.py) — the custom join
+family the task spec calls out, built as map_batches + coarse-bucket
+groupby with a documented hash(by)-co-location assumption."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from commons_codec_ray.stages.joins import asof_join, range_join_agg
+
+
+def _ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+TS = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def t(minutes):
+    return (TS + np.timedelta64(minutes * 60, "s")).astype("datetime64[us]").item()
+
+
+def test_asof_backward_with_ties_and_misses():
+    left = _ds([
+        {"event_id": 0, "user_id": 1, "ts": t(10)},
+        {"event_id": 2, "user_id": 1, "ts": t(0)},   # before any right row
+        {"event_id": 4, "user_id": 2, "ts": t(10)},  # other key
+    ])
+    right = _ds([
+        {"user_id": 1, "ts": t(5), "r_event_id": 1, "r_value": 1.0},
+        {"user_id": 1, "ts": t(5), "r_event_id": 3, "r_value": 3.0},  # tie: max id wins
+        {"user_id": 2, "ts": t(10), "r_event_id": 5, "r_value": 5.0},  # exact match
+    ])
+    out = (
+        asof_join(left, right, on="ts", by="user_id", right_columns=["r_event_id", "r_value"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "r_event_id"] == 3  # deterministic tie-break
+    assert pd.isna(out.loc[1, "r_event_id"])  # no right row at/before t(0)
+    assert out.loc[2, "r_event_id"] == 5  # exact-timestamp match allowed
+
+
+def test_range_join_counts_and_sums():
+    left = _ds([
+        {"event_id": 0, "user_id": 1, "ts": t(10)},
+        {"event_id": 2, "user_id": 1, "ts": t(60)},  # empty band
+        {"event_id": 4, "user_id": 9, "ts": t(10)},  # key with no right rows
+    ])
+    right = _ds([
+        {"user_id": 1, "ts": t(1), "value": 1.0},
+        {"user_id": 1, "ts": t(10), "value": 2.0},   # inclusive upper bound
+        {"user_id": 1, "ts": t(0), "value": 4.0},    # inclusive lower bound (10m window)
+        {"user_id": 2, "ts": t(10), "value": 100.0},  # other key, excluded
+    ])
+    out = (
+        range_join_agg(left, right, on="ts", by="user_id", value="value",
+                       window_us=600_000_000)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_in_range"].tolist() == [3, 0, 0]
+    assert out["sum_in_range"].tolist() == [7.0, 0.0, 0.0]
