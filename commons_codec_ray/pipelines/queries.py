@@ -1200,6 +1200,29 @@ _APPROX_DISTINCT_SQL = (
 )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-10 most frequent users via a mergeable Misra–Gries sketch
+    (one sketch per batch, kilobyte merge — the 100 TB pattern for
+    top-k-frequent). Sketch capacity exceeds the distinct-user count at
+    every test sf, so counts are exact and the oracle verifies them."""
+    from commons_codec_ray.stages.sketches import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    top = heavy_hitters(ds, "user_id", n=10, k=4096)
+    return pa.table(
+        {
+            "user_id": pa.array([v for v, _ in top], pa.int64()),
+            "n_events": pa.array([c for _, c in top], pa.int64()),
+        }
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Actor-pool feature extraction over a deterministic synthetic
     multimodal table (binary payload column; codec stubbed — see
@@ -1373,6 +1396,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "langid": q_langid,
@@ -1412,6 +1436,7 @@ ORACLE_SQL = {
     "top_orders": _TOP_ORDERS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
+    "heavy_hitters": _HEAVY_HITTERS_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
     "langid": _LANGID_SQL,

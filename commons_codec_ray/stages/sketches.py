@@ -72,6 +72,71 @@ class KMVSketch:
         return cls(k, np.frombuffer(data, dtype=np.uint64))
 
 
+class MisraGriesSketch:
+    """Mergeable heavy-hitters sketch (Misra–Gries): at most ``k``
+    counters; any value with true frequency > n/(k+1) is guaranteed
+    present, counts under-estimate by ≤ n/(k+1). With ``k`` above the
+    distinct-value count the counts are EXACT (how the driver oracle
+    verifies it at test scale); at 100 TB the same pipeline ships
+    kilobyte sketches instead of a full groupby."""
+
+    def __init__(self, k: int = 4096, counters: dict | None = None):
+        self.k = k
+        self.counters: dict[int, int] = dict(counters or {})
+
+    def update(self, arr) -> "MisraGriesSketch":
+        vals, counts = np.unique(np.asarray(arr), return_counts=True)
+        for v, c in zip(vals.tolist(), counts.tolist()):
+            self.counters[v] = self.counters.get(v, 0) + c
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        over = len(self.counters) - self.k
+        if over <= 0:
+            return
+        # decrement-by-median-ish: subtract the (over)-th smallest count
+        cut = sorted(self.counters.values())[over - 1]
+        self.counters = {
+            v: c - cut for v, c in self.counters.items() if c - cut > 0
+        }
+
+    def merge(self, other: "MisraGriesSketch") -> "MisraGriesSketch":
+        merged = dict(self.counters)
+        for v, c in other.counters.items():
+            merged[v] = merged.get(v, 0) + c
+        out = MisraGriesSketch(self.k, merged)
+        out._shrink()
+        return out
+
+    def top(self, n: int) -> list[tuple[int, int]]:
+        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+    def serialize(self) -> bytes:
+        items = np.array(sorted(self.counters.items()), dtype=np.int64).reshape(-1, 2)
+        return items.tobytes()
+
+    @classmethod
+    def deserialize(cls, k: int, data: bytes) -> "MisraGriesSketch":
+        items = np.frombuffer(data, dtype=np.int64).reshape(-1, 2)
+        return cls(k, {int(v): int(c) for v, c in items})
+
+
+def heavy_hitters(ds, column: str, n: int = 10, k: int = 4096) -> list[tuple[int, int]]:
+    """Distributed top-n frequent values: one Misra–Gries sketch per
+    batch, kilobyte merge on the driver (same shape as approx_distinct)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = MisraGriesSketch(k).update(batch[column].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([sk.serialize()], type=pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = MisraGriesSketch(k)
+    for row in parts:
+        acc = acc.merge(MisraGriesSketch.deserialize(k, row["sketch"]))
+    return acc.top(n)
+
+
 def approx_distinct(ds, column: str, k: int = 1024) -> float:
     """Distributed distinct-count estimate: one sketch per batch → merge.
 

@@ -35,3 +35,41 @@ def test_serialize_roundtrip():
     sk = KMVSketch(k=128).update(list(range(1000)))
     back = KMVSketch.deserialize(128, sk.serialize())
     assert back.estimate() == sk.estimate()
+
+
+def test_misra_gries_exact_below_capacity_and_merge():
+    import numpy as np
+
+    from commons_codec_ray.stages.sketches import MisraGriesSketch
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 50, 5000)
+    b = rng.randint(0, 50, 5000)
+    merged = MisraGriesSketch(4096).update(a).merge(MisraGriesSketch(4096).update(b))
+    both = np.concatenate([a, b])
+    vals, counts = np.unique(both, return_counts=True)
+    exact = dict(zip(vals.tolist(), counts.tolist()))
+    assert merged.counters == exact  # capacity > distinct → exact
+
+
+def test_misra_gries_guarantee_above_capacity():
+    import numpy as np
+
+    from commons_codec_ray.stages.sketches import MisraGriesSketch
+
+    # 1 heavy value + many singletons; tiny capacity
+    data = np.concatenate([np.full(500, 7), np.arange(1000, 1300)])
+    sk = MisraGriesSketch(16).update(data)
+    top = sk.top(1)
+    assert top[0][0] == 7  # guaranteed: freq > n/(k+1)
+    assert top[0][1] <= 500  # counts never over-estimate
+
+
+def test_misra_gries_serialize_roundtrip():
+    import numpy as np
+
+    from commons_codec_ray.stages.sketches import MisraGriesSketch
+
+    sk = MisraGriesSketch(64).update(np.array([1, 1, 2, 3, 3, 3]))
+    rt = MisraGriesSketch.deserialize(64, sk.serialize())
+    assert rt.counters == sk.counters
