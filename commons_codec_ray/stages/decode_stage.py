@@ -50,7 +50,7 @@ from commons_codec_ray.hashing import partition_ids_for, shuffle_keys_for
 from commons_codec_ray.schemas import OP_DEAD, OPS_SCHEMA
 from commons_codec_ray.stages.applier import lww_combine_batch
 
-_KNOWN = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+_KNOWN = frozenset(("conv_id", "turn_idx", "role", "text", "tool", "ts"))
 
 
 def _extract_table(payload: dict, default: str) -> str:
@@ -194,7 +194,13 @@ class DecodeEnvelopes:
                     tool.append(rec.get("tool"))
                     ts_raw.append(rec.get("ts"))
                     data_col.append(None)
-                spill = None if universal else {k: v for k, v in rec.items() if k not in _KNOWN}
+                # fast path: the overwhelmingly common record has ONLY
+                # known fields — skip the per-row dictcomp entirely
+                spill = (
+                    None
+                    if universal or rec.keys() <= _KNOWN
+                    else {k: v for k, v in rec.items() if k not in _KNOWN}
+                )
                 if extra:
                     spill = dict(spill or {})
                     spill.update(extra)
