@@ -196,6 +196,14 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "events": total_events,
         "events_per_s": round(total_events / headline, 1),
         "anchor_events_per_s": round(anchor_eps, 1) if anchor_eps else None,
+        # headline speedup over the single-thread anchor measured in the
+        # SAME run — load-invariant basis for cross-round comparison (the
+        # sandbox carries external background load that shifts absolute
+        # seconds by 3x between quiet and busy periods)
+        "speedup_vs_anchor": round((total_events / headline) / anchor_eps, 2)
+        if anchor_eps
+        else None,
+        "loadavg": round(os.getloadavg()[0], 1),
         "replicas": REPLICAS,
     }
 
