@@ -189,8 +189,14 @@ def jaccard_pairs(
     scale). The shuffle key is a COARSE bucket of the band key: the
     per-group UDF runs once per bucket and iterates only the bands with
     ≥2 members inside it — one groupby execution instead of one UDF call
-    per LSH bucket. A final pass drops pairs discovered by multiple
-    bands.
+    per LSH bucket.
+
+    Pairs matched by several bands are emitted exactly once — at their
+    MINIMAL matching band (the signatures needed for the check already
+    ride the rows), so no second dedup shuffle is needed: ONE all-to-all
+    total. A pair qualifies iff its signature bands are equal at the
+    current band and at no earlier band (crc-collision candidates whose
+    actual sig bands never match are dropped — banding is the contract).
     """
     hasher = hasher or MinHasher()
 
@@ -210,20 +216,31 @@ def jaccard_pairs(
             )
         return pa.concat_tables(parts)
 
+    rows_per_band = hasher.rows_per_band
+    n_bands = hasher.bands
+
     def verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
         # only bands with ≥2 members generate candidates; vectorized per band
-        for _, band in group.groupby("band_key", sort=False):
+        for band_key, band in group.groupby("band_key", sort=False):
             if len(band) < 2:
                 continue
+            cur_b = int(band_key) >> 32  # band index packed in the key
             band = band.sort_values(id_column)
             ids = band[id_column].to_numpy()
             sigs = np.frombuffer(b"".join(band["_sig"].to_numpy()), dtype=np.uint64).reshape(
                 len(band), -1
             )
             ia, ib = np.triu_indices(len(ids), k=1)
-            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            eqs = sigs[ia] == sigs[ib]  # (npairs, num_perm)
+            est = eqs.mean(axis=1)
             keep = est >= threshold
+            # minimal-matching-band rule: emit here only if the sig bands
+            # are equal at THIS band and at no earlier band
+            band_eq = eqs.reshape(len(ia), n_bands, rows_per_band).all(axis=2)
+            keep &= band_eq[:, cur_b]
+            if cur_b > 0:
+                keep &= ~band_eq[:, :cur_b].any(axis=1)
             out_a.append(ids[ia][keep])
             out_b.append(ids[ib][keep])
             out_j.append(est[keep])
@@ -232,29 +249,14 @@ def jaccard_pairs(
                 {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
                  "jaccard": pd.Series([], dtype="float64")}
             )
-        df = pd.DataFrame(
+        return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
              "jaccard": np.concatenate(out_j)}
         )
-        # dedup within the bucket; cross-bucket dups handled downstream
-        return df.drop_duplicates(subset=["id_a", "id_b"])
 
     sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
     exploded = sigs.map_batches(explode_with_sig, batch_format="pyarrow")
-    pairs = exploded.groupby("_b").map_groups(verified_pairs, batch_format="pandas")
-
-    def final_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["id_a", "id_b"])
-
-    def add_pair_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_pb", pc.bit_wise_and(t["id_a"], 63))
-
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(final_dedup, batch_format="pandas")
-        .drop_columns(["_pb"])
-    )
+    return exploded.groupby("_b").map_groups(verified_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
