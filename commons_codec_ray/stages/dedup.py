@@ -220,38 +220,50 @@ def jaccard_pairs(
     n_bands = hasher.bands
 
     def verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        # only bands with ≥2 members generate candidates; vectorized per band
-        for band_key, band in group.groupby("band_key", sort=False):
-            if len(band) < 2:
-                continue
-            cur_b = int(band_key) >> 32  # band index packed in the key
-            band = band.sort_values(id_column)
-            ids = band[id_column].to_numpy()
-            sigs = np.frombuffer(b"".join(band["_sig"].to_numpy()), dtype=np.uint64).reshape(
-                len(band), -1
-            )
-            ia, ib = np.triu_indices(len(ids), k=1)
-            eqs = sigs[ia] == sigs[ib]  # (npairs, num_perm)
-            est = eqs.mean(axis=1)
-            keep = est >= threshold
-            # minimal-matching-band rule: emit here only if the sig bands
-            # are equal at THIS band and at no earlier band
-            band_eq = eqs.reshape(len(ia), n_bands, rows_per_band).all(axis=2)
-            keep &= band_eq[:, cur_b]
-            if cur_b > 0:
-                keep &= ~band_eq[:, :cur_b].any(axis=1)
-            out_a.append(ids[ia][keep])
-            out_b.append(ids[ib][keep])
-            out_j.append(est[keep])
-        if not out_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")}
-            )
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+        if len(group) < 2:
+            return empty
+        # ONE sort finds every band bucket as a run — no pandas groupby
+        # over tens of thousands of tiny band keys (~50 µs each)
+        g = group.sort_values(["band_key", id_column], kind="mergesort")
+        keys = g["band_key"].to_numpy()
+        ids = g[id_column].to_numpy()
+        sigs = np.frombuffer(b"".join(g["_sig"].to_numpy()), dtype=np.uint64).reshape(
+            len(g), -1
+        )
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(g)))
+        ia_parts = [np.empty(0, dtype=np.int64)]
+        ib_parts = [np.empty(0, dtype=np.int64)]
+        two = starts[lens == 2]  # the dominant case, fully vectorized
+        ia_parts.append(two)
+        ib_parts.append(two + 1)
+        for s, L in zip(starts[lens > 2], lens[lens > 2]):  # rare big buckets
+            ti, tj = np.triu_indices(int(L), k=1)
+            ia_parts.append(s + ti)
+            ib_parts.append(s + tj)
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        if len(ia) == 0:
+            return empty
+        eqs = sigs[ia] == sigs[ib]  # (npairs, num_perm)
+        est = eqs.mean(axis=1)
+        band_eq = eqs.reshape(len(ia), n_bands, rows_per_band).all(axis=2)
+        cur_b = (keys[ia] >> 32).astype(np.int64)  # band index packed in the key
+        # minimal-matching-band rule: emit only where the sig bands are
+        # equal at THIS band and at no earlier band
+        keep = (est >= threshold) & band_eq[np.arange(len(ia)), cur_b]
+        prior = np.arange(n_bands)[None, :] < cur_b[:, None]
+        keep &= ~(band_eq & prior).any(axis=1)
+        # ids ascend within a run, so ia < ib ⇒ id_a < id_b
         return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
-             "jaccard": np.concatenate(out_j)}
+            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "jaccard": est[keep]}
         )
 
     sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
