@@ -220,27 +220,34 @@ _DEAD_LETTER_SQL = (
 def q_windowed_agg(sf_dir: str):
     """Tumbling 1-day window per user: pre-aggregated inside map_batches
     (combiner), then a small groupby over partials — the scalable
-    aggregate pattern."""
+    aggregate pattern. (user_id, day) packs into ONE int64 group key:
+    Arrow's multi-column group_by with a timestamp key measured ~4×
+    slower than a single-int key at both the partial and exchange stages
+    (same integer-exchange rule as the CDC shuffle_key)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    DAY_US = 86_400_000_000
 
     def partial(t: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(t["ts"], unit="day")
-        tt = pa.table({"user_id": t["user_id"], "window_start": day, "value": t["value"]})
-        return tt.group_by(["user_id", "window_start"]).aggregate(
-            [("value", "sum"), ("value", "count")]
-        )
+        day = pc.floor_temporal(t["ts"], unit="day").cast(pa.int64())
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * (1 << 21) + (day.to_numpy(zero_copy_only=False) // DAY_US)
+        tt = pa.table({"k": pa.array(key), "value": t["value"]})
+        return tt.group_by(["k"]).aggregate([("value", "sum"), ("value", "count")])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["user_id", "window_start"]).aggregate(
+    agg = partials.groupby("k").aggregate(
         Sum("value_sum", alias_name="sum_value"),
         Sum("value_count", alias_name="n_events"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "user_id": t["user_id"],
-                "window_start": t["window_start"],
+                "user_id": pa.array(k >> 21, pa.int64()),
+                "window_start": pa.array((k & ((1 << 21) - 1)) * DAY_US).cast(
+                    pa.timestamp("us")
+                ),
                 "n_events": t["n_events"].cast(pa.int64()),
                 "sum_value": duckdb_round(t["sum_value"].combine_chunks(), 2),
             }
