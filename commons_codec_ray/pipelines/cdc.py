@@ -184,7 +184,7 @@ def _make_apply_fn(
     return _apply
 
 
-def _watermark_metrics(lineage: list[dict[str, Any]], prev_wm: int | None) -> dict[str, Any]:
+def _watermark_metrics(lineage: list[dict[str, Any]]) -> dict[str, Any]:
     max_ev = max((int(r.get("max_event_ts_us", -1) or -1) for r in lineage), default=-1)
     late = sum(int(r.get("late_events", 0) or 0) for r in lineage)
     out: dict[str, Any] = {"late_events": late}
@@ -332,7 +332,7 @@ class CDCPipeline:
             "dead_letters": n_dead,
             "schema_events": len(schema_rows),
             "duration_s": round(time.time() - t0, 3),
-            **_watermark_metrics(lineage, prev_wm),
+            **_watermark_metrics(lineage),
         }
         self.store.commit_epoch(
             epoch, lineage, offset_range, cfg.registry.to_json(), metrics
@@ -504,7 +504,7 @@ class CDCPipeline:
                     "dead_letters": n_dead,
                     "schema_events": len(epoch_controls),
                     "duration_s": round(time.time() - t0, 3),
-                    **_watermark_metrics(lineage, prev_wm),
+                    **_watermark_metrics(lineage),
                 }
                 self.store.commit_epoch(
                     epoch, lineage, (lo, hi), cfg.registry.to_json(), metrics

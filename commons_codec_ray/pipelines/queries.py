@@ -230,7 +230,13 @@ def q_windowed_agg(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t["ts"], unit="day").cast(pa.int64())
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = uid * (1 << 21) + (day.to_numpy(zero_copy_only=False) // DAY_US)
+        days = day.to_numpy(zero_copy_only=False) // DAY_US
+        # packing bounds: loud failure beats rows aggregated under a
+        # corrupted (user, window) pair
+        assert days.min() >= 0 and days.max() < (1 << 21) and uid.max() < (1 << 42), (
+            "windowed_agg key packing out of range (pre-1970 ts or huge user_id)"
+        )
+        key = uid * (1 << 21) + days
         tt = pa.table({"k": pa.array(key), "value": t["value"]})
         return tt.group_by(["k"]).aggregate([("value", "sum"), ("value", "count")])
 
@@ -435,22 +441,32 @@ def q_embed_pairs(sf_dir: str, num_buckets: int = 8):
     def score_pair(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
         buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        # the DIAGONAL decision must come from the pair_key, not from the
+        # observed bucket values: an off-diagonal group whose other bucket
+        # is EMPTY contains one distinct bucket and would otherwise re-emit
+        # that bucket's intra pairs as duplicates
+        pk = int(group["pair_key"][0].as_py())
+        lo, hi = pk // B, pk % B
         m = np.stack(group["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        uniq = np.unique(buckets)
-        if len(uniq) == 1:
+        if lo == hi:
             # diagonal group (i, i): upper triangle within the bucket
             scores = m @ m.T
             ii, jj = np.nonzero(scores >= 0.35)
             keep = ids[ii] < ids[jj]
             a, b2, s = ids[ii][keep], ids[jj][keep], scores[ii[keep], jj[keep]]
         else:
-            left = buckets == uniq[0]
-            scores = m[left] @ m[~left].T
-            ii, jj = np.nonzero(scores >= 0.35)
-            la, ra = ids[left][ii], ids[~left][jj]
-            a, b2 = np.minimum(la, ra), np.maximum(la, ra)
-            s = scores[ii, jj]
+            left = buckets == lo
+            if not left.any() or left.all():  # one side empty → no cross pairs
+                a = np.empty(0, dtype=np.int64)
+                b2 = np.empty(0, dtype=np.int64)
+                s = np.empty(0, dtype=np.float64)
+            else:
+                scores = m[left] @ m[~left].T
+                ii, jj = np.nonzero(scores >= 0.35)
+                la, ra = ids[left][ii], ids[~left][jj]
+                a, b2 = np.minimum(la, ra), np.maximum(la, ra)
+                s = scores[ii, jj]
         return pa.table(
             {
                 "id_a": pa.array(a, pa.int64()),
@@ -533,10 +549,14 @@ def _disjoint_vocab(t: pa.Table) -> pa.Table:
     near-duplicates in the planted corpus are the planted ones — which
     makes the survivor/pair set SQL-expressible (the sf corpus's shared
     tiny vocabulary otherwise creates genuine clustering-dependent
-    near-dups; that case stays covered in tests/test_near_dedup.py)."""
+    near-dups; that case stays covered in tests/test_near_dedup.py).
+
+    Token-empty texts get a per-doc sentinel token — otherwise every
+    empty doc would share the identical empty-shingle signature and
+    cross-pair, breaking the oracle's planted-pairs-only invariant."""
     ids = t["doc_id"].to_pylist()
     texts = [
-        " ".join(f"{tok}_{i}" for tok in (x or "").split())
+        " ".join(f"{tok}_{i}" for tok in (x or "").split()) or f"__empty_{i}"
         for i, x in zip(ids, t["text"].to_pylist())
     ]
     return pa.table({"doc_id": t["doc_id"], "text": pa.array(texts, pa.string())})
@@ -547,9 +567,16 @@ def _case_perturbed(t: pa.Table) -> pa.Table:
     lowercases, so each copy's signature is IDENTICAL to its source's
     (estimated Jaccard exactly 1.0, caught by every LSH band) while the
     text itself differs — deterministic at every scale, no banding-miss
-    tail risk."""
+    tail risk. Texts where upper() does not round-trip through lower()
+    (e.g. 'ß' → 'SS' → 'ss') fall back to an exact copy so the
+    signature-identity guarantee holds for any input."""
     ids = pc.add(t["doc_id"], 1_000_000)
-    return pa.table({"doc_id": ids, "text": pc.utf8_upper(t["text"])})
+    texts = [
+        u if u.lower() == x.lower() else x
+        for x in t["text"].to_pylist()
+        for u in ((x or "").upper(),)
+    ]
+    return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
 
 
 def _planted_corpus(t: pa.Table) -> pa.Table:

@@ -21,6 +21,20 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _pandas_null_dtype(arrow_type: pa.DataType | None) -> str:
+    """Nullable pandas dtype matching an arrow type, so the no-right-rows
+    branch produces blocks schema-consistent with matched buckets."""
+    if arrow_type is None:
+        return "object"
+    if pa.types.is_integer(arrow_type):
+        return "Int64"
+    if pa.types.is_floating(arrow_type):
+        return "float64"
+    if pa.types.is_timestamp(arrow_type):
+        return "datetime64[us]"
+    return "object"
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -58,11 +72,14 @@ def asof_join(
         l = df.loc[~df["_right"], left_cols].sort_values([on, by], kind="mergesort")
         r = df.loc[df["_right"], [by, on, *right_columns]]
         if len(r):
-            # deterministic tie-break: one right row per (by, on)
+            # deterministic tie-break: keep ONE WHOLE right row per
+            # (by, on) — drop_duplicates is row-atomic, unlike
+            # groupby().last() which takes each column's last NON-NULL
+            # value independently and can stitch together a row that
+            # never existed
             r = (
                 r.sort_values([by, on, *right_columns], kind="mergesort")
-                .groupby([by, on], as_index=False)
-                .last()
+                .drop_duplicates(subset=[by, on], keep="last")
                 .sort_values([on, by], kind="mergesort")
             )
             merged = pd.merge_asof(
@@ -71,7 +88,11 @@ def asof_join(
         else:
             merged = l.copy()
             for c in right_columns:
-                merged[c if c not in l.columns else c + suffix] = pd.NA
+                out_name = c if c not in l.columns else c + suffix
+                merged[out_name] = pd.Series(
+                    [None] * len(merged), dtype=_pandas_null_dtype(types.get(c)),
+                    index=merged.index,
+                )
         return merged
 
     # schema-stable union: each side null-pads the other's columns with
@@ -155,8 +176,14 @@ def range_join_agg(
         uidx = np.cumsum(new_key) - 1
         first_ts = ts[np.flatnonzero(new_key)][uidx]
         off = ts - first_ts
-        span = np.int64(off.max()) + np.int64(window_us) + np.int64(2)
-        key = uidx * span + off
+        span = int(off.max()) + int(window_us) + 2
+        n_keys = int(uidx[-1]) + 1
+        # int64-safe bound: loud failure beats silently-wrong band counts
+        assert n_keys * span < (1 << 63), (
+            f"composite range-join key overflows int64: {n_keys} keys x "
+            f"span {span} us — raise num_buckets or shrink the time extent"
+        )
+        key = uidx * np.int64(span) + off
         is_r = df["_right"].to_numpy()
         rk = key[is_r]
         lk = key[~is_r]

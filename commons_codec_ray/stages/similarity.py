@@ -53,12 +53,20 @@ class BruteForceTopK:
         out_q, out_v, out_s = [], [], []
         for qi in range(scores.shape[0]):
             # deterministic boundary: (score desc, id asc), matching the
-            # oracle's ORDER BY score DESC, vec_id — argpartition alone
-            # breaks exact-score ties by batch layout
-            idx = np.lexsort((ids, -scores[qi]))[:k]
+            # oracle's ORDER BY score DESC, vec_id. argpartition finds the
+            # k-th score, candidates = everything scoring >= it (ties at
+            # the boundary stay in), then one small lexsort — O(n + c log
+            # c) instead of a full-batch sort per query
+            s = scores[qi]
+            if k < len(s):
+                kth = s[np.argpartition(-s, k - 1)[k - 1]]
+                cand = np.flatnonzero(s >= kth)
+            else:
+                cand = np.arange(len(s))
+            order = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
             out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-            out_v.append(ids[idx])
-            out_s.append(scores[qi, idx])
+            out_v.append(ids[order])
+            out_s.append(s[order])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

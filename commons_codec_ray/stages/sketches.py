@@ -85,7 +85,15 @@ class MisraGriesSketch:
         self.counters: dict[int, int] = dict(counters or {})
 
     def update(self, arr) -> "MisraGriesSketch":
-        vals, counts = np.unique(np.asarray(arr), return_counts=True)
+        a = np.asarray(arr)
+        if a.dtype.kind not in "iu":
+            # serialize() ships counters as int64 pairs; fail loudly here
+            # rather than deep in the distributed merge
+            raise TypeError(
+                f"MisraGriesSketch requires an integer column (got {a.dtype}); "
+                "dictionary-encode string keys to codes first"
+            )
+        vals, counts = np.unique(a, return_counts=True)
         for v, c in zip(vals.tolist(), counts.tolist()):
             self.counters[v] = self.counters.get(v, 0) + c
         self._shrink()

@@ -45,3 +45,25 @@ def test_lsh_returns_reasonable_neighbors():
         assert q in lsh.get(q, set())
     recalls = [len(exact[q] & lsh.get(q, set())) / 10 for q in exact]
     assert np.mean(recalls) >= 0.1, recalls
+
+
+def test_embed_pairs_empty_bucket_no_duplicates(tmp_path):
+    """Regression: an off-diagonal bucket-pair group whose second bucket
+    is EMPTY must not re-emit the non-empty bucket's intra pairs (all
+    vec_ids below share residue 0 mod 8, leaving 7 buckets empty)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commons_codec_ray.pipelines.queries import q_embed_pairs
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 8, 16], pa.int64()),
+            "embedding": pa.array([vec, vec, vec], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = q_embed_pairs(str(tmp_path)).to_pandas()
+    pairs = sorted(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert pairs == [(0, 8), (0, 16), (8, 16)]  # each exactly once
