@@ -35,6 +35,40 @@ def _pandas_null_dtype(arrow_type: pa.DataType | None) -> str:
     return "object"
 
 
+def _union_types(left_ds, right_ds) -> dict[str, pa.DataType]:
+    types: dict[str, pa.DataType] = {}
+    for f in right_ds.schema().base_schema:
+        types[f.name] = f.type
+    for f in left_ds.schema().base_schema:
+        types[f.name] = f.type
+    return types
+
+
+def _tagged_union(left_ds, right_ds, all_cols, types, by, num_buckets):
+    """Shared join scaffolding: tag each side with its bucket (_jb =
+    key % num_buckets) and side (_right), null-pad to the union column
+    set with the REAL arrow types (float64 padding would degrade int
+    columns), and union into one schema-stable Dataset."""
+
+    def pad(is_right: bool):
+        def _p(t: pa.Table) -> pa.Table:
+            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.append_column("_jb", pa.array(keys % num_buckets))
+            t = t.append_column(
+                "_right", pa.array(np.full(t.num_rows, is_right, dtype=bool))
+            )
+            for c in all_cols:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+            return t.select([*all_cols, "_jb", "_right"])
+
+        return _p
+
+    return left_ds.map_batches(pad(False), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(True), batch_format="pyarrow")
+    )
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -55,17 +89,6 @@ def asof_join(
     deterministic (mirror any SQL oracle with the same QUALIFY dedupe).
     """
     right_columns = right_columns or [c for c in right_ds.schema().names if c not in (on, by)]
-
-    def tag(is_right: bool):
-        def _t(t: pa.Table) -> pa.Table:
-            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
-            out = t.append_column("_jb", pa.array(keys % num_buckets))
-            return out.append_column(
-                "_right", pa.array(np.full(t.num_rows, is_right, dtype=bool))
-            )
-
-        return _t
-
     left_cols = left_ds.schema().names
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -95,30 +118,9 @@ def asof_join(
                 )
         return merged
 
-    # schema-stable union: each side null-pads the other's columns with
-    # the REAL arrow types (float64 padding would degrade int columns)
     all_cols = list(dict.fromkeys([*left_cols, by, on, *right_columns]))
-    types: dict[str, pa.DataType] = {}
-    for f in right_ds.schema().base_schema:
-        types[f.name] = f.type
-    for f in left_ds.schema().base_schema:
-        types[f.name] = f.type
-
-    def pad(is_right: bool):
-        base_tag = tag(is_right)
-
-        def _p(t: pa.Table) -> pa.Table:
-            t = base_tag(t)
-            for c in all_cols:
-                if c not in t.column_names:
-                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
-            return t.select([*all_cols, "_jb", "_right"])
-
-        return _p
-
-    tagged = left_ds.map_batches(pad(False), batch_format="pyarrow").union(
-        right_ds.map_batches(pad(True), batch_format="pyarrow")
-    )
+    types = _union_types(left_ds, right_ds)
+    tagged = _tagged_union(left_ds, right_ds, all_cols, types, by, num_buckets)
     return tagged.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
 
 
@@ -145,25 +147,9 @@ def range_join_agg(
     """
 
     left_cols = left_ds.schema().names
-    types: dict[str, pa.DataType] = {}
-    for f in right_ds.schema().base_schema:
-        types[f.name] = f.type
-    for f in left_ds.schema().base_schema:
-        types[f.name] = f.type
+    types = _union_types(left_ds, right_ds)
     right_extra = [value] if value else []
     all_cols = list(dict.fromkeys([*left_cols, by, on, *right_extra]))
-
-    def pad(is_right: bool):
-        def _p(t: pa.Table) -> pa.Table:
-            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
-            t = t.append_column("_jb", pa.array(keys % num_buckets))
-            t = t.append_column("_right", pa.array(np.full(t.num_rows, is_right, dtype=bool)))
-            for c in all_cols:
-                if c not in t.column_names:
-                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
-            return t.select([*all_cols, "_jb", "_right"])
-
-        return _p
 
     def band_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([by, on], kind="mergesort")
@@ -197,7 +183,5 @@ def range_join_agg(
             out["sum_in_range"] = csum[hi] - csum[lo]
         return out
 
-    tagged = left_ds.map_batches(pad(False), batch_format="pyarrow").union(
-        right_ds.map_batches(pad(True), batch_format="pyarrow")
-    )
+    tagged = _tagged_union(left_ds, right_ds, all_cols, types, by, num_buckets)
     return tagged.groupby("_jb").map_groups(band_bucket, batch_format="pandas")
