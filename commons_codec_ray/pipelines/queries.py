@@ -1307,6 +1307,38 @@ SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jaccard FROM documents
 _GOLDEN_PARQUET = "/root/repo/golden/text_golden.parquet"
 
 
+def q_simhash_dedup(sf_dir: str):
+    """SimHash as a DEDUP OPERATOR: planted corpus (originals + case
+    copies) → 64-bit simhash → keep the min-id doc per hash value (the
+    cheap near-dup pre-filter pass). Lowercased tokenization makes each
+    copy's simhash identical to its source's; disjoint vocabularies make
+    cross-original collisions vanishingly unlikely (deterministic —
+    verified at every test sf) ⇒ survivors are exactly the originals."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow")
+    hashed = corpus.map_batches(
+        dedup_stage.SimHasher, batch_format="pyarrow", concurrency=pool_size(2)
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", pc.bit_wise_and(t["simhash"], 255))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id")
+            .drop_duplicates(subset=["simhash"], keep="first")[["doc_id"]]
+        )
+
+    return (
+        hashed.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+_SIMHASH_DEDUP_SQL = "SELECT doc_id FROM documents"
+
+
 def q_simhash(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(dedup_stage.SimHasher, batch_format="pyarrow", concurrency=pool_size(2))
@@ -1433,6 +1465,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
+    "simhash_dedup": q_simhash_dedup,
     "langid": q_langid,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
@@ -1473,6 +1506,7 @@ ORACLE_SQL = {
     "heavy_hitters": _HEAVY_HITTERS_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
+    "simhash_dedup": _SIMHASH_DEDUP_SQL,
     "langid": _LANGID_SQL,
     "quality": _QUALITY_SQL,
     "fingerprint": _FINGERPRINT_SQL,
