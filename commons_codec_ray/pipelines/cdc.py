@@ -203,6 +203,9 @@ class CDCPipeline:
         ckpt = self.store.read_checkpoint()
         if ckpt.registry_json and ckpt.registry_json != "{}":
             self.config.registry = SchemaRegistry.from_json(ckpt.registry_json)
+        # cached tail-mode actor pool (see _get_runner); released by
+        # close(), on epoch failure, or with the pipeline object
+        self._runner = None
 
     # ------------------------------------------------------------------ bootstrap
     def bootstrap_full_load(self, snapshot_ds, lsn: int = -1) -> dict[str, Any]:
@@ -390,6 +393,7 @@ class CDCPipeline:
         epoch_size: int | None = None,
         max_offset: int | None = None,
         mode: str = "groupby",
+        keep_actors: bool = False,
     ) -> list[dict[str, Any]]:
         """Replay an envelope log from the last checkpoint to its end.
 
@@ -410,7 +414,9 @@ class CDCPipeline:
             both modes produce byte-identical lakes.
         """
         if mode == "actors":
-            return self._replay_actors(envelopes_path, epoch_size, max_offset)
+            return self._replay_actors(
+                envelopes_path, epoch_size, max_offset, keep_actors=keep_actors
+            )
         epoch_size = epoch_size or self.config.epoch_size
         if max_offset is None:
             max_offset = _max_column_value(envelopes_path, "source_offset")
@@ -446,14 +452,42 @@ class CDCPipeline:
             lo = hi
         return results
 
+    def _get_runner(self, keep: bool):
+        """Actor-pool runner for the apply stage. With ``keep`` (tail
+        mode) the pool persists across replay calls — actor spawn costs
+        ~1 s of fresh-worker imports, paid per POLL otherwise. Safe to
+        reuse only while every epoch commits: on any epoch failure the
+        pool is torn down so the next call reloads from the checkpoint."""
+        from commons_codec_ray.stages.actor_applier import ActorPoolApplyRunner
+
+        if self._runner is not None:
+            if keep:
+                return self._runner
+            self._release_runner()
+        ckpt = self.store.read_checkpoint()
+        runner = ActorPoolApplyRunner(
+            str(self.store.root), self.config, dict(ckpt.partitions)
+        )
+        if keep:
+            self._runner = runner
+        return runner
+
+    def _release_runner(self) -> None:
+        if self._runner is not None:
+            self._runner.shutdown()
+            self._runner = None
+
+    def close(self) -> None:
+        """Release the cached tail-mode actor pool (if any)."""
+        self._release_runner()
+
     def _replay_actors(
         self,
         envelopes_path: str,
         epoch_size: int | None = None,
         max_offset: int | None = None,
+        keep_actors: bool = False,
     ) -> list[dict[str, Any]]:
-        from commons_codec_ray.stages.actor_applier import ActorPoolApplyRunner
-
         cfg = self.config
         epoch_size = epoch_size or cfg.epoch_size
         if max_offset is None:
@@ -470,11 +504,7 @@ class CDCPipeline:
                 columns=["lsn", "source_offset", "dialect", "payload"],
             )
         )
-        runner = ActorPoolApplyRunner(
-            str(self.store.root),
-            cfg,
-            dict(ckpt.partitions),
-        )
+        runner = self._get_runner(keep_actors)
         results = []
         try:
             lo = start
@@ -512,7 +542,13 @@ class CDCPipeline:
                 results.append({"epoch": epoch, "skipped": False, **metrics})
                 epoch += 1
                 lo = hi
-        finally:
+        except BaseException:
+            # epoch failed: actor state may be ahead of the checkpoint —
+            # tear the pool down so the next run reloads committed state
+            runner.shutdown()
+            self._runner = None
+            raise
+        if not keep_actors:
             runner.shutdown()
         return results
 
@@ -541,7 +577,9 @@ class CDCPipeline:
         head = _max_column_value(envelopes_path, "source_offset")
         if head < ckpt.next_offset:
             return 0
-        self.replay(envelopes_path, max_offset=head, mode=mode)
+        # tail mode keeps the applier pool warm across polls (actor spawn
+        # is ~1 s of fresh-worker imports — per-poll latency otherwise)
+        self.replay(envelopes_path, max_offset=head, mode=mode, keep_actors=True)
         return self.store.read_checkpoint().next_offset - ckpt.next_offset
 
     def watch(
@@ -565,6 +603,7 @@ class CDCPipeline:
             else:
                 idle += 1
                 time.sleep(poll_interval_s)
+        self.close()  # release the warm tail-mode actor pool
         return {"polls": polls, "offsets_ingested": ingested}
 
     # ------------------------------------------------------------------ reads
