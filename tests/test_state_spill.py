@@ -86,3 +86,27 @@ def test_budgeted_actor_lazy_load_and_cap(tmp_path, envelope_log):
     assert estats["resident_partitions"] == estats["known_partitions"]
     ray.kill(actor)
     ray.kill(eager)
+
+
+def test_spill_resume_after_partial_run(tmp_path, envelope_log):
+    """Crash-resume composed with the state budget: stop after ~half the
+    offsets, resume with a FRESH pipeline (fresh actors, lazy loads from
+    the checkpoint), byte-identical to an uninterrupted groupby run."""
+    ref = CDCPipeline(
+        tmp_path / "lake_ref", PipelineConfig(num_partitions=16, epoch_size=300)
+    )
+    ref.replay(envelope_log, mode="groupby", epoch_size=300)
+    want = canonical(pa.Table.from_pandas(ref.read_lake().to_pandas()))
+
+    lake = tmp_path / "lake_resume"
+    cfg = PipelineConfig(num_partitions=16, epoch_size=300, applier_state_budget_bytes=1)
+    CDCPipeline(lake, cfg).replay(
+        envelope_log, mode="actors", epoch_size=300, max_offset=499
+    )
+    # simulated crash: new pipeline object resumes from the checkpoint
+    cfg2 = PipelineConfig(num_partitions=16, epoch_size=300, applier_state_budget_bytes=1)
+    pipe = CDCPipeline(lake, cfg2)
+    assert pipe.checkpoint().next_offset == 500
+    pipe.replay(envelope_log, mode="actors", epoch_size=300)
+    got = canonical(pa.Table.from_pandas(pipe.read_lake().to_pandas()))
+    assert got.equals(want.cast(got.schema))
