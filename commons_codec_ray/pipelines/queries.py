@@ -1234,6 +1234,37 @@ _APPROX_DISTINCT_SQL = (
 )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic content-hash sampling — the train/eval-split
+    pattern at 100 TB: membership is a pure function of the row (md5
+    bucket), so the split is reproducible across runs, cluster sizes and
+    re-crawls, needs no coordination or stored row list, and any engine
+    (here: DuckDB) can re-derive it exactly. Keeps bucket 0 of 10."""
+    import hashlib as _hashlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        keep = np.fromiter(
+            (
+                int(_hashlib.md5((x or "").encode("utf-8")).hexdigest()[:8], 16) % 10 == 0
+                for x in texts
+            ),
+            dtype=bool,
+            count=len(texts),
+        )
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id, text FROM documents
+WHERE CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 10 = 0
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Top-10 most frequent users via a mergeable Misra–Gries sketch
     (one sketch per batch, kilobyte merge — the 100 TB pattern for
@@ -1463,6 +1494,7 @@ QUERIES = {
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "hash_sample": q_hash_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "simhash_dedup": q_simhash_dedup,
@@ -1504,6 +1536,7 @@ ORACLE_SQL = {
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
+    "hash_sample": _HASH_SAMPLE_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_dedup": _SIMHASH_DEDUP_SQL,
