@@ -57,7 +57,15 @@ def safe_table_dir(table: str) -> str:
 def _watermark_stats(group: pa.Table, watermark_us: int | None) -> tuple[int, int]:
     """(max event-time in µs, events older than the previous epoch's
     watermark). Late arrivals are safe under LWW — this only makes them
-    OBSERVABLE (north star: per-partition lineage + metrics)."""
+    OBSERVABLE (north star: per-partition lineage + metrics).
+
+    Semantics note: both apply paths count over the ops as they reach the
+    applier, i.e. AFTER the engine's partial LWW reduces (within-batch
+    combine in the Dataset path, rolling pre-reduce in the actor path) —
+    superseded duplicate deliveries don't count as late, and the reported
+    max can sit slightly below the raw stream's max when a superseded op
+    carried the newest event-time. Fine for an observability counter;
+    the reduce points differ per mode, so exact counts may too."""
     if group.num_rows == 0 or "ts" not in group.column_names:
         return -1, 0
     ts = group["ts"].cast(pa.int64())
@@ -133,7 +141,7 @@ def _make_apply_fn(
 
         kind = "full"
         if sink_mode == "delta" and (base_rel or delta_rels):
-            new_delta = epoch_delta(group)
+            new_delta = epoch_delta(group, extra_columns)
             base_rows = (
                 pq.read_metadata(Path(lake_root) / base_rel).num_rows if base_rel else 0
             )

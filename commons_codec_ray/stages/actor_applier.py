@@ -134,6 +134,10 @@ class PartitionApplier:
         self.state_bytes = 0
         self.state_files: dict[tuple[str, int], tuple[str | None, list[str]]] = {}
         self.delta_info: dict[tuple[str, int], list[int]] = {}  # [n_deltas, delta_rows]
+        # base FILE row counts — the compaction trigger compares against
+        # these (NOT the merged in-memory state) so actor and Dataset
+        # modes make identical compact/delta decisions
+        self.base_rows: dict[tuple[str, int], int] = {}
         for key, entry in base_partitions.items():
             table, _, pid_s = key.partition("#")
             pid = int(pid_s)
@@ -143,6 +147,10 @@ class PartitionApplier:
             if base_rel is None and not delta_rels:
                 continue
             self.state_files[(table, pid)] = (base_rel, list(delta_rels))
+            if base_rel:
+                self.base_rows[(table, pid)] = pq.read_metadata(
+                    self.lake_root / base_rel
+                ).num_rows
             if delta_rels:
                 drows = sum(
                     pq.ParquetFile(self.lake_root / d).metadata.num_rows for d in delta_rels
@@ -191,12 +199,10 @@ class PartitionApplier:
         their committed/epoch files on next touch."""
         if self.state_budget_bytes is None:
             return
-        while self.state_bytes > self.state_budget_bytes and len(self.state) > 1:
-            _, tbl = self.state.popitem(last=False)
-            self.state_bytes -= tbl.nbytes
-        if self.state_bytes > self.state_budget_bytes and len(self.state) == 1:
-            # even a single partition exceeds the budget — drop it too
-            # (pathological budgets; correctness unaffected, just reloads)
+        # may drop the final partition too (pathological budgets where a
+        # single partition exceeds it) — correctness unaffected, it
+        # simply reloads on next touch
+        while self.state_bytes > self.state_budget_bytes and self.state:
             _, tbl = self.state.popitem(last=False)
             self.state_bytes -= tbl.nbytes
 
@@ -233,11 +239,6 @@ class PartitionApplier:
         )
         self._pending, self._pending_rows = [], 0
         return self._apply(epoch, ops, watermark_us)
-
-    def apply_epoch(self, epoch: int, *op_tables: pa.Table) -> list[dict[str, Any]]:
-        """One-shot variant (barrier semantics); used by small jobs/tests."""
-        ops = pa.concat_tables([t for t in op_tables if t.num_rows]) if op_tables else None
-        return self._apply(epoch, ops)
 
     def _apply(
         self, epoch: int, ops: pa.Table | None, watermark_us: int | None = None
@@ -278,11 +279,16 @@ class PartitionApplier:
             write_tbl = out
             if self.sink_mode == "delta" and base is not None:
                 n_deltas, drows = self.delta_info.get((table, pid), [0, 0])
-                delta_tbl = epoch_delta(group)
+                delta_tbl = epoch_delta(group, self.extra_columns)
+                # compare against the base FILE's row count (tracked in
+                # self.base_rows) exactly like the Dataset path does —
+                # using the merged in-memory state's rows here would make
+                # the two modes take different compact/delta decisions
+                base_file_rows = self.base_rows.get((table, pid), 0)
                 compact = (
                     n_deltas + 1 > self.compact_max_deltas
                     or (drows + delta_tbl.num_rows)
-                    > self.compact_ratio * max(base.num_rows, 1)
+                    > self.compact_ratio * max(base_file_rows, 1)
                 )
                 if not compact:
                     kind = "delta"
@@ -308,6 +314,7 @@ class PartitionApplier:
                 self.state_files[(table, pid)] = (base_rel, [*delta_rels, rel])
             else:
                 self.state_files[(table, pid)] = (rel, [])
+                self.base_rows[(table, pid)] = write_tbl.num_rows
             self._put_state((table, pid), out)
             lineage.append(
                 {
@@ -343,19 +350,39 @@ def _type_from_str(s: str) -> pa.DataType:
     return resolve_logical_type(s)
 
 
+def _row_group_stats(path: str, meta_cache: dict | None) -> list[tuple[int | None, int | None, int]]:
+    """[(min_offset, max_offset, rows)] per row group, footer read once
+    per file when a cache is supplied (envelope logs are append-only:
+    existing files never mutate, so cached footers stay valid)."""
+    if meta_cache is not None and path in meta_cache:
+        return meta_cache[path]
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["source_offset"]
+    out = []
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(idx).statistics
+        if stats is None or not stats.has_min_max:
+            out.append((None, None, md.row_group(rg).num_rows))
+        else:
+            out.append((stats.min, stats.max, md.row_group(rg).num_rows))
+    if meta_cache is not None:
+        meta_cache[path] = out
+    return out
+
+
 def plan_file_slices(
-    envelope_files: list[str], lo: int, hi: int, num_tasks: int
+    envelope_files: list[str], lo: int, hi: int, num_tasks: int,
+    meta_cache: dict | None = None,
 ) -> list[list[tuple[str, list[int]]]]:
     """Assign row groups overlapping [lo, hi) to ``num_tasks`` slices,
-    using Parquet row-group statistics (no data read on the driver)."""
+    using Parquet row-group statistics (no data read on the driver; with
+    ``meta_cache`` the footer metadata is read once per file across the
+    whole epoch/poll sequence instead of once per epoch)."""
     units: list[tuple[str, int, int]] = []  # (path, row_group, rows)
     for p in envelope_files:
-        md = pq.ParquetFile(p).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["source_offset"]
-        for rg in range(md.num_row_groups):
-            stats = md.row_group(rg).column(idx).statistics
-            if stats is None or not stats.has_min_max or (stats.max >= lo and stats.min < hi):
-                units.append((p, rg, md.row_group(rg).num_rows))
+        for rg, (mn, mx, rows) in enumerate(_row_group_stats(p, meta_cache)):
+            if mn is None or (mx >= lo and mn < hi):
+                units.append((p, rg, rows))
     if not units:
         return []
     num_tasks = min(num_tasks, len(units))
@@ -375,6 +402,21 @@ def plan_file_slices(
     return slices
 
 
+def _extra_columns_json(config: PipelineConfig) -> str:
+    """Evolved (non-static) columns of the configured table as JSON for
+    actor construction — single definition of the static-column exclusion
+    (shared with pipelines.cdc._extra_columns via _STATIC_COLUMNS)."""
+    from commons_codec_ray.pipelines.cdc import _STATIC_COLUMNS
+
+    return json.dumps(
+        [
+            (n, t)
+            for n, t in config.registry.column_types.get(config.table, {}).items()
+            if n not in _STATIC_COLUMNS
+        ]
+    )
+
+
 class ActorPoolApplyRunner:
     """Drives decode tasks + the applier pool for a sequence of epochs."""
 
@@ -382,7 +424,7 @@ class ActorPoolApplyRunner:
         self,
         lake_root: str,
         config: PipelineConfig,
-        base_partitions: dict[int, str],
+        base_partitions: dict[str, Any],
         num_actors: int | None = None,
         num_decode_tasks: int | None = None,
     ):
@@ -392,13 +434,8 @@ class ActorPoolApplyRunner:
         self.num_decode_tasks = num_decode_tasks or max(4, cpus)
         self.config = config
         self.lake_root = lake_root
-        extra = json.dumps(
-            [
-                (n, t)
-                for n, t in config.registry.column_types.get(config.table, {}).items()
-                if n not in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
-            ]
-        )
+        self._meta_cache: dict = {}  # parquet footer stats, per file
+        extra = _extra_columns_json(config)
         # fractional CPU: appliers are burst-shaped (idle while decode
         # streams, busy on ingest/flush) — a full slot each would starve
         # the decode tasks at low cluster sizes
@@ -419,13 +456,7 @@ class ActorPoolApplyRunner:
         ray.get([a.ping.remote() for a in self.actors])
 
     def refresh_extra_columns(self) -> None:
-        extra = json.dumps(
-            [
-                (n, t)
-                for n, t in self.config.registry.column_types.get(self.config.table, {}).items()
-                if n not in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
-            ]
-        )
+        extra = _extra_columns_json(self.config)
         ray.get([a.set_extra_columns.remote(extra) for a in self.actors])
 
     def run_epoch(
@@ -437,7 +468,9 @@ class ActorPoolApplyRunner:
         watermark_us: int | None = None,
     ) -> tuple[list[dict[str, Any]], pa.Table | None]:
         """Returns (lineage rows, dead-letter table or None)."""
-        slices = plan_file_slices(envelope_files, lo, hi, self.num_decode_tasks)
+        slices = plan_file_slices(
+            envelope_files, lo, hi, self.num_decode_tasks, self._meta_cache
+        )
         if not slices:
             return [], None
         A = self.num_actors

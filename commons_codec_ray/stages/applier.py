@@ -189,11 +189,22 @@ def apply_ops_to_base(
     return out
 
 
-def epoch_delta(ops: pa.Table) -> pa.Table:
+def epoch_delta(
+    ops: pa.Table, extra_columns: list[tuple[str, pa.DataType]] | None = None
+) -> pa.Table:
     """LWW-reduced epoch ops in DELTA-file layout: ``op`` (incl. DELETE
-    tombstones) + transcript columns + ``_lsn``. The delta sink writes
-    these instead of rewriting the whole partition (merge-on-read)."""
-    keep = [c for c in _OP_COLUMNS if c in ops.column_names]
+    tombstones) + transcript columns + schema-evolved extras + ``_lsn``.
+    The delta sink writes these instead of rewriting the whole partition
+    (merge-on-read).
+
+    Extra columns are MATERIALIZED out of the ``aux`` spill here: a delta
+    file must carry everything needed to reconstruct partition state
+    (eviction / restart replays from files), so dropping evolved columns
+    would make lake contents depend on eviction timing."""
+    if extra_columns:
+        ops = materialize_aux_columns(ops, extra_columns)
+    extra_names = [n for n, _ in (extra_columns or []) if n in ops.column_names]
+    keep = [c for c in _OP_COLUMNS if c in ops.column_names] + extra_names
     red = lww_reduce(ops.select(keep))
     cols = {
         "op": red["op"].cast(pa.int8()),
@@ -206,9 +217,9 @@ def epoch_delta(ops: pa.Table) -> pa.Table:
         LSN_COLUMN: red["lsn"].cast(pa.int64()),
     }
     out = pa.table(cols)
-    for c in red.column_names:
-        if c not in _OP_COLUMNS:
-            out = out.append_column(c, red[c])
+    types = dict(extra_columns or [])
+    for c in extra_names:
+        out = out.append_column(c, red[c].cast(types[c]))
     return out
 
 

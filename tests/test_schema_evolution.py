@@ -175,3 +175,37 @@ def test_added_column_actor_mode_with_spill(tmp_path):
     df = pipe.read_lake().to_pandas().sort_values("turn_idx").reset_index(drop=True)
     assert df["text"].tolist() == ["old-row-updated", "new-row"]
     assert df["rating"].tolist() == [7, 5]
+
+
+@pytest.mark.parametrize("mode", ["groupby", "actors"])
+def test_added_column_survives_delta_sink_and_spill(tmp_path, mode):
+    """Regression: delta files must CARRY schema-evolved columns
+    (materialized from aux) — with an eviction budget, partition state is
+    rebuilt purely from base+delta files, and evolved values used to come
+    back null after evict/reload."""
+    log = tmp_path / "env.parquet"
+    write_log(
+        log,
+        [
+            data_envelope(0, "a", 0, "base-row"),
+            control_envelope(2, {
+                "conv_id": {"type": "STRING"}, "turn_idx": {"type": "INT32"},
+                "role": {"type": "STRING"}, "text": {"type": "STRING"},
+                "tool": {"type": "STRING"}, "ts": {"type": "TIMESTAMP"},
+                "rating": {"type": "INT32"},
+            }),
+            data_envelope(3, "a", 1, "delta-row", extra={"rating": 5}),
+            # another epoch forces an evict/reload round trip before read
+            data_envelope(4, "a", 2, "later-row", extra={"rating": 9}),
+        ],
+    )
+    cfg = PipelineConfig(
+        num_partitions=4, epoch_size=2, sink_mode="delta",
+        applier_state_budget_bytes=1 if mode == "actors" else None,
+    )
+    pipe = CDCPipeline(tmp_path / f"lake_{mode}", cfg)
+    pipe.replay(str(log), mode=mode, epoch_size=2)
+    df = pipe.read_lake().to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    assert df["text"].tolist() == ["base-row", "delta-row", "later-row"]
+    assert df.loc[1, "rating"] == 5  # carried by a DELTA file, not a rewrite
+    assert df.loc[2, "rating"] == 9
