@@ -31,7 +31,7 @@ from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 from commons_codec_ray.stages import dedup as dedup_stage
 from commons_codec_ray.stages import text as text_stage
 from commons_codec_ray.stages import similarity as sim_stage
-from commons_codec_ray.util import duckdb_round, pool_size
+from commons_codec_ray.util import adaptive_buckets, duckdb_round, hash_bucket, pool_size
 
 _EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
@@ -271,14 +271,7 @@ FROM events GROUP BY 1, 2
 """
 
 
-# Hash-bucket count for the windowed queries: the shuffle key space and
-# parallelism ceiling. 256 keeps per-group state ≤ 1/256 of the input (vs
-# the old 16, which capped parallelism at 16 and put 1/16 of the dataset
-# in one pandas group); at real scale this should grow with input size.
-WINDOW_BUCKETS = 256
-
-
-def q_session_windows(sf_dir: str):
+def q_session_windows(sf_dir: str, num_buckets: int | None = None):
     """Session windows (30-min inactivity gap) per user — the
     streaming-shaped pattern Ray Data lacks natively: hash-bucket by key,
     ONE sort per bucket, then gaps-and-islands fully vectorized across
@@ -313,8 +306,13 @@ def q_session_windows(sf_dir: str):
             }
         )
 
+    # bucket count grows with input (count() is parquet-metadata-cheap
+    # here); bucketing on a MIXED hash, not raw low bits — see hash_bucket
+    B = num_buckets or adaptive_buckets(ds.count(), rows_per_bucket=20_000)
     bucketed = ds.map_batches(
-        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], WINDOW_BUCKETS - 1)),
+        lambda t: t.append_column(
+            "_b", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), B)
+        ),
         batch_format="pyarrow",
     )
     return bucketed.groupby("_b").map_groups(
@@ -338,7 +336,7 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
-def q_sliding_window(sf_dir: str):
+def q_sliding_window(sf_dir: str, num_buckets: int | None = None):
     """Per-event sliding 1-hour aggregate (count + sum over the trailing
     hour, RANGE-frame semantics): partition by user, sort by ts within
     the group, two-pointer + prefix sums — O(n) per key, vectorized."""
@@ -384,8 +382,11 @@ def q_sliding_window(sf_dir: str):
             }
         )
 
+    B = num_buckets or adaptive_buckets(ds.count(), rows_per_bucket=20_000)
     bucketed = ds.map_batches(
-        lambda t: t.append_column("_b", pc.bit_wise_and(t["user_id"], WINDOW_BUCKETS - 1)),
+        lambda t: t.append_column(
+            "_b", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), B)
+        ),
         batch_format="pyarrow",
     )
     return bucketed.groupby("_b").map_groups(
@@ -1095,7 +1096,7 @@ def q_top_orders(sf_dir: str):
 _TOP_ORDERS_SQL = """
 SELECT o.o_orderkey, c.c_name, o.o_totalprice
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-ORDER BY o.o_totalprice DESC LIMIT 20
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
 """
 
 
@@ -1273,7 +1274,7 @@ def q_heavy_hitters(sf_dir: str):
     from commons_codec_ray.stages.sketches import heavy_hitters
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    top = heavy_hitters(ds, "user_id", n=10, k=4096)
+    top = heavy_hitters(ds, "user_id", n=10, k=4096, require_exact=True)
     return pa.table(
         {
             "user_id": pa.array([v for v, _ in top], pa.int64()),

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
 
 def _crc32_column(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Vectorized 64-bit content hash (pandas' C siphash kernel — no
@@ -36,7 +38,7 @@ def add_content_hash(batch: pa.Table, column: str = "text", out: str = "_h") -> 
     return batch.append_column(out, _crc32_column(batch[column]))
 
 
-def exact_dedup(ds, column: str = "text", order_by: str = "doc_id", num_buckets: int = 256):
+def exact_dedup(ds, column: str = "text", order_by: str = "doc_id", num_buckets: int | None = None):
     """Exact dedup: keep the min-``order_by`` row per distinct ``column``.
 
     The shuffle key is a COARSE bucket of the content hash
@@ -47,6 +49,7 @@ def exact_dedup(ds, column: str = "text", order_by: str = "doc_id", num_buckets:
     groupby-on-raw-hash at scale. Dedup compares the actual content, so
     crc collisions stay correct.
     """
+    num_buckets = num_buckets or adaptive_buckets()
 
     def _bucketed_hash(t: pa.Table) -> pa.Table:
         h = _crc32_column(t[column])
@@ -180,7 +183,7 @@ def jaccard_pairs(
     threshold: float = 0.7,
     hasher: MinHasher | None = None,
     id_column: str = "doc_id",
-    num_buckets: int = 128,
+    num_buckets: int | None = None,
 ):
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -198,6 +201,7 @@ def jaccard_pairs(
     current band and at no earlier band (crc-collision candidates whose
     actual sig bands never match are dropped — banding is the contract).
     """
+    num_buckets = num_buckets or adaptive_buckets()
     hasher = hasher or MinHasher()
 
     def explode_with_sig(batch: pa.Table) -> pa.Table:
@@ -301,7 +305,7 @@ def dedup_clusters(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype("int64")
 
 
-def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets: int = 64):
+def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets: int | None = None):
     """Distributed connected components over a near-dup pair Dataset via
     iterative min-label propagation (node label = min reachable id;
     labels spread one hop per round, so rounds ≈ the component diameter
@@ -314,6 +318,7 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
     convergence check is a kilobyte global sum (monotonically decreasing
     until fixpoint). No driver materialization of pairs or labels.
     """
+    num_buckets = num_buckets or adaptive_buckets()
 
     def sym_edges(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -322,7 +327,7 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
         peer = np.concatenate([b, a]).astype(np.int64)
         return pa.table(
             {
-                "_b": pa.array(node % num_buckets),
+                "_b": hash_bucket(node, num_buckets),
                 "node": pa.array(node),
                 "peer": pa.array(peer),
                 "label": pa.nulls(len(node), pa.int64()),
@@ -340,7 +345,7 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
         node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "_b": pa.array(node % num_buckets),
+                "_b": hash_bucket(node, num_buckets),
                 "node": t["node"],
                 "peer": pa.nulls(t.num_rows, pa.int64()),
                 "label": t["label"],
@@ -443,11 +448,12 @@ def near_dedup(
     return _anti_join(ds, losers_ds, id_column)
 
 
-def _anti_join(ds, losers_ds, id_column: str, num_buckets: int = 256):
+def _anti_join(ds, losers_ds, id_column: str, num_buckets: int | None = None):
     """Remove rows whose id appears in ``losers_ds`` (column ``doc_id``)
     without driver materialization: bucket both sides by id hash, drop
     inside each bucket group. Loser rows are null-padded to the corpus
     schema so the union is schema-stable."""
+    num_buckets = num_buckets or adaptive_buckets()
     try:
         corpus_schema = ds.schema().base_schema
     except Exception:
@@ -458,7 +464,10 @@ def _anti_join(ds, losers_ds, id_column: str, num_buckets: int = 256):
         ).schema
 
     def tag_corpus(t: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(t[id_column].combine_chunks().cast(pa.int64()), num_buckets - 1)
+        b = hash_bucket(
+            t[id_column].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False),
+            num_buckets,
+        )
         return t.append_column("_ab", b).append_column(
             "_loser", pa.array(np.zeros(t.num_rows, dtype=bool))
         )
@@ -471,7 +480,10 @@ def _anti_join(ds, losers_ds, id_column: str, num_buckets: int = 256):
             else:
                 cols[f.name] = pa.nulls(t.num_rows, f.type)
         out = pa.table(cols)
-        b = pc.bit_wise_and(out[id_column].combine_chunks().cast(pa.int64()), num_buckets - 1)
+        b = hash_bucket(
+            out[id_column].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False),
+            num_buckets,
+        )
         return out.append_column("_ab", b).append_column(
             "_loser", pa.array(np.ones(t.num_rows, dtype=bool))
         )

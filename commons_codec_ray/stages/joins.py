@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
 
 def _pandas_null_dtype(arrow_type: pa.DataType | None) -> str:
     """Nullable pandas dtype matching an arrow type, so the no-right-rows
@@ -46,14 +48,14 @@ def _union_types(left_ds, right_ds) -> dict[str, pa.DataType]:
 
 def _tagged_union(left_ds, right_ds, all_cols, types, by, num_buckets):
     """Shared join scaffolding: tag each side with its bucket (_jb =
-    key % num_buckets) and side (_right), null-pad to the union column
+    splitmix(key) & (num_buckets-1)) and side (_right), null-pad to the union column
     set with the REAL arrow types (float64 padding would degrade int
     columns), and union into one schema-stable Dataset."""
 
     def pad(is_right: bool):
         def _p(t: pa.Table) -> pa.Table:
             keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
-            t = t.append_column("_jb", pa.array(keys % num_buckets))
+            t = t.append_column("_jb", hash_bucket(keys, num_buckets))
             t = t.append_column(
                 "_right", pa.array(np.full(t.num_rows, is_right, dtype=bool))
             )
@@ -76,7 +78,7 @@ def asof_join(
     by: str = "user_id",
     right_columns: list[str] | None = None,
     suffix: str = "_right",
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ):
     """For each left row: columns of the LATEST right row with the same
     ``by`` key and ``right.on <= left.on`` (backward as-of, exact matches
@@ -88,6 +90,11 @@ def asof_join(
     per (by, on) — keep max of the first right column — so ties are
     deterministic (mirror any SQL oracle with the same QUALIFY dedupe).
     """
+    # inputs are often mid-pipeline Datasets where count() would execute
+    # the upstream — so the default scales with CLUSTER size (8x CPUs
+    # floor in adaptive_buckets); pass num_buckets explicitly when a
+    # cheap row count is known
+    num_buckets = num_buckets or adaptive_buckets()
     right_columns = right_columns or [c for c in right_ds.schema().names if c not in (on, by)]
     left_cols = left_ds.schema().names
 
@@ -131,7 +138,7 @@ def range_join_agg(
     by: str = "user_id",
     value: str | None = None,
     window_us: int = 600_000_000,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ):
     """Banded range join + aggregate: for each left row, COUNT (and SUM
     of ``value``) of right rows with the same ``by`` key and ``right.on``
@@ -146,6 +153,7 @@ def range_join_agg(
     pair blowup that a generic range join produces.
     """
 
+    num_buckets = num_buckets or adaptive_buckets()  # cluster-scaled default, see asof_join
     left_cols = left_ds.schema().names
     types = _union_types(left_ds, right_ds)
     right_extra = [value] if value else []

@@ -153,14 +153,48 @@ class IVFIndex:
         return batch.append_column("ivf_cluster", pa.array(self.assign(m).astype(np.int64)))
 
 
+def _hash_sample(ds, id_column: str, sample_n: int, seed: int = 11) -> pd.DataFrame:
+    """Deterministic ~``sample_n``-row sample: membership is a splitmix
+    hash of the id column, so the sample is uniform under ANY corpus
+    ordering (``ds.limit`` takes the FIRST blocks — on data sorted by
+    source/topic that sees one region of the space), and reproducible
+    across runs and cluster sizes. ``ds.count()`` on parquet is
+    metadata-only."""
+    total = ds.count()
+    if total <= sample_n:
+        return ds.to_pandas()
+    # 2x headroom so hash variance can't under-fill; trimmed below
+    threshold = np.uint64(min(1.0, 2.0 * sample_n / total) * (1 << 32))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids + np.uint64(seed)) + np.uint64(0x9E3779B97F4A7C15)
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            h = h * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(29)
+        mask = (h >> np.uint64(32)) < threshold
+        return t.filter(pa.array(mask)).append_column("_sample_h", pa.array(h[mask]))
+
+    picked = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    # deterministic trim regardless of block arrival order — by HASH, not
+    # by id (an id-ordered trim would reintroduce the prefix bias)
+    picked = picked.sort_values(["_sample_h", id_column], kind="mergesort").head(sample_n)
+    return picked.drop(columns=["_sample_h"])
+
+
 def ivf_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id",
              n_clusters: int = 16, nprobe: int = 4, sample_n: int = 2048):
     """IVF-bucketed approximate top-k: scan only the probed clusters.
 
     At 100 TB this turns a full-corpus matmul into an ``nprobe /
     n_clusters`` fraction scan; single-digit recall loss at sane knobs.
+    The quantizer is built from a HASH sample (``_hash_sample``), not
+    ``ds.limit`` — limit takes the first blocks, which on source-ordered
+    lakes biases the k-means toward one region of the embedding space.
     """
-    sample = ds.limit(sample_n).to_pandas()
+    sample = _hash_sample(ds, id_column, sample_n)
     index = IVFIndex(np.stack(sample["embedding"].to_numpy()), n_clusters=n_clusters)
 
     qtbl = ds.map_batches(

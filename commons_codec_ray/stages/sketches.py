@@ -41,6 +41,10 @@ class KMVSketch:
                 (zlib.crc32(str(v).encode()) for v in arr), dtype=np.uint64, count=len(a)
             )
         with np.errstate(over="ignore"):
+            # golden-gamma pre-add so 0 is not a fixed point of the mix
+            # (a bare multiply maps 0 -> 0, a permanent global minimum
+            # that would always occupy a k-min slot)
+            h = h + np.uint64(0x9E3779B97F4A7C15)
             h = h * np.uint64(0x9E3779B97F4A7C15)
             h ^= h >> np.uint64(31)
             h = h * np.uint64(0xBF58476D1CE4E5B9)
@@ -80,9 +84,13 @@ class MisraGriesSketch:
     verifies it at test scale); at 100 TB the same pipeline ships
     kilobyte sketches instead of a full groupby."""
 
-    def __init__(self, k: int = 4096, counters: dict | None = None):
+    def __init__(self, k: int = 4096, counters: dict | None = None, shrunk: bool = False):
         self.k = k
         self.counters: dict[int, int] = dict(counters or {})
+        # True once any decrement step has run: counts are now
+        # under-estimates (by <= n/(k+1)), no longer exact. Callers that
+        # rely on exactness (the driver oracle) must check this.
+        self.shrunk = shrunk
 
     def update(self, arr) -> "MisraGriesSketch":
         a = np.asarray(arr)
@@ -108,12 +116,13 @@ class MisraGriesSketch:
         self.counters = {
             v: c - cut for v, c in self.counters.items() if c - cut > 0
         }
+        self.shrunk = True
 
     def merge(self, other: "MisraGriesSketch") -> "MisraGriesSketch":
         merged = dict(self.counters)
         for v, c in other.counters.items():
             merged[v] = merged.get(v, 0) + c
-        out = MisraGriesSketch(self.k, merged)
+        out = MisraGriesSketch(self.k, merged, shrunk=self.shrunk or other.shrunk)
         out._shrink()
         return out
 
@@ -121,18 +130,29 @@ class MisraGriesSketch:
         return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
 
     def serialize(self) -> bytes:
+        # one int64 header (shrunk flag) then sorted (value, count) pairs
         items = np.array(sorted(self.counters.items()), dtype=np.int64).reshape(-1, 2)
-        return items.tobytes()
+        header = np.array([1 if self.shrunk else 0], dtype=np.int64)
+        return header.tobytes() + items.tobytes()
 
     @classmethod
     def deserialize(cls, k: int, data: bytes) -> "MisraGriesSketch":
-        items = np.frombuffer(data, dtype=np.int64).reshape(-1, 2)
-        return cls(k, {int(v): int(c) for v, c in items})
+        shrunk = bool(np.frombuffer(data[:8], dtype=np.int64)[0])
+        items = np.frombuffer(data[8:], dtype=np.int64).reshape(-1, 2)
+        return cls(k, {int(v): int(c) for v, c in items}, shrunk=shrunk)
 
 
-def heavy_hitters(ds, column: str, n: int = 10, k: int = 4096) -> list[tuple[int, int]]:
+def heavy_hitters(
+    ds, column: str, n: int = 10, k: int = 4096, require_exact: bool = False
+) -> list[tuple[int, int]]:
     """Distributed top-n frequent values: one Misra–Gries sketch per
-    batch, kilobyte merge on the driver (same shape as approx_distinct)."""
+    batch, kilobyte merge on the driver (same shape as approx_distinct).
+
+    ``require_exact=True`` raises loudly if any sketch ever shrank —
+    i.e. if counts became approximate because distinct(column) exceeded
+    ``k`` — instead of silently returning under-estimates. The driver
+    oracle depends on exactness; at real scale callers drop the flag and
+    accept the Misra–Gries error bound."""
 
     def partial(batch: pa.Table) -> pa.Table:
         sk = MisraGriesSketch(k).update(batch[column].to_numpy(zero_copy_only=False))
@@ -142,6 +162,11 @@ def heavy_hitters(ds, column: str, n: int = 10, k: int = 4096) -> list[tuple[int
     acc = MisraGriesSketch(k)
     for row in parts:
         acc = acc.merge(MisraGriesSketch.deserialize(k, row["sketch"]))
+    if require_exact and acc.shrunk:
+        raise RuntimeError(
+            f"heavy_hitters(k={k}) shrank: distinct({column}) exceeds sketch "
+            "capacity, counts are approximate — raise k or drop require_exact"
+        )
     return acc.top(n)
 
 

@@ -47,6 +47,62 @@ def test_lsh_returns_reasonable_neighbors():
     assert np.mean(recalls) >= 0.1, recalls
 
 
+def _clustered_ordered_table(tmp_path, n_clusters=4, per_cluster=400, dim=8, seed=9):
+    """Embedding table SORTED by cluster — the adversarial lake layout
+    where a prefix sample (ds.limit) sees only one region of the space."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    centers = np.eye(dim)[:n_clusters] * 10.0
+    vecs, cluster_of = [], []
+    for c in range(n_clusters):
+        vecs.append(centers[c] + rng.standard_normal((per_cluster, dim)) * 0.3)
+        cluster_of.extend([c] * per_cluster)
+    mat = np.concatenate(vecs)  # file order == cluster order
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.astype(np.float32).tolist(), pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet", row_group_size=200)
+    return np.array(cluster_of)
+
+
+def test_ivf_recall_on_cluster_ordered_corpus(tmp_path):
+    """VERDICT r2 #2: the quantizer sample must be unbiased under source
+    ordering. Queries live in the LAST cluster — the region a
+    first-blocks (ds.limit) sample never sees."""
+    _clustered_ordered_table(tmp_path)
+    ds = rd.read_parquet(str(tmp_path / "embeddings.parquet"))
+    last_cluster_queries = [1500, 1501, 1502]  # cluster 3 rows
+    exact = _topk_sets(ann_topk(ds, last_cluster_queries, k=10, round_to=None).to_pandas())
+    approx = _topk_sets(
+        ivf_topk(ds, last_cluster_queries, k=10, n_clusters=8, nprobe=3, sample_n=256).to_pandas()
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    # with an unbiased sample the quantizer covers every cluster, so a
+    # query's own cluster is always probed → near-perfect recall
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_hash_sample_uniform_and_deterministic(tmp_path):
+    from commons_codec_ray.stages.similarity import _hash_sample
+
+    cluster_of = _clustered_ordered_table(tmp_path)
+    ds = rd.read_parquet(str(tmp_path / "embeddings.parquet"))
+    s1 = _hash_sample(ds, "vec_id", 256)
+    s2 = _hash_sample(ds, "vec_id", 256)
+    assert list(s1["vec_id"]) == list(s2["vec_id"])  # reproducible
+    assert len(s1) == 256
+    # every cluster represented despite the file being cluster-ordered
+    seen = set(cluster_of[s1["vec_id"].to_numpy()])
+    assert seen == {0, 1, 2, 3}
+    # small input short-circuits to the full table
+    assert len(_hash_sample(ds.limit(100), "vec_id", 256)) == 100
+
+
 def test_embed_pairs_empty_bucket_no_duplicates(tmp_path):
     """Regression: an off-diagonal bucket-pair group whose second bucket
     is EMPTY must not re-emit the non-empty bucket's intra pairs (all

@@ -73,3 +73,52 @@ def test_misra_gries_serialize_roundtrip():
     sk = MisraGriesSketch(64).update(np.array([1, 1, 2, 3, 3, 3]))
     rt = MisraGriesSketch.deserialize(64, sk.serialize())
     assert rt.counters == sk.counters
+    assert rt.shrunk is False
+
+
+def test_misra_gries_shrunk_flag_tracks_exactness():
+    import numpy as np
+
+    from commons_codec_ray.stages.sketches import MisraGriesSketch
+
+    exact = MisraGriesSketch(4096).update(np.arange(100))
+    assert exact.shrunk is False
+
+    # capacity exceeded → decrement step ran → flag set, survives
+    # serialize/deserialize and propagates through merge
+    approx = MisraGriesSketch(16).update(np.arange(1000))
+    assert approx.shrunk is True
+    rt = MisraGriesSketch.deserialize(16, approx.serialize())
+    assert rt.shrunk is True
+    merged = MisraGriesSketch(4096, shrunk=False).merge(rt)
+    assert merged.shrunk is True
+
+
+def test_heavy_hitters_require_exact_raises_on_shrink(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from commons_codec_ray.stages.sketches import heavy_hitters
+
+    # 5 genuinely heavy values (500 each) + 1500 singletons; k=64 shrinks
+    heavy = np.repeat(np.arange(5), 500)
+    tail = np.arange(100, 1600)
+    tbl = pa.table({"v": pa.array(np.concatenate([heavy, tail]), pa.int64())})
+    pq.write_table(tbl, tmp_path / "t.parquet")
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    with pytest.raises(RuntimeError, match="shrank"):
+        heavy_hitters(ds, "v", n=5, k=64, require_exact=True)
+    # without the flag the approximate answer still surfaces the heavies
+    top = heavy_hitters(ds, "v", n=5, k=64)
+    assert sorted(v for v, _ in top) == [0, 1, 2, 3, 4]
+
+
+def test_kmv_zero_is_not_a_fixed_point():
+    h = KMVSketch._hash(np.array([0], dtype=np.int64))
+    assert int(h[0]) != 0
+    # and 0 must not claim the global-minimum slot systematically: its
+    # hash should land nowhere near the bottom of the 64-bit range for
+    # this mix (deterministic check, not a distributional one)
+    assert int(h[0]) > (1 << 32)
