@@ -28,6 +28,8 @@ from pathlib import Path
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "20"))
+# full interleaved sweeps per invocation; per-query minima are reported
+REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 WORK_ROOT = Path(os.environ.get("GRAFT_BENCH_DIR", "/tmp/ccr_bench"))
 
 
@@ -106,12 +108,6 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         batch_size=warm_cfg.decode_batch_size,
     ).count()
 
-    results: dict[str, float] = {}
-
-    # --- headline: full replay into a committed lake -----------------------
-    # best-of-2 (the sandbox carries external background load; min is the
-    # standard noise-robust estimator); actor-pool mode is the hot path,
-    # the Dataset groupby mode is timed once for comparison.
     def run_replay(mode: str, tag: str) -> float:
         lake = WORK_ROOT / f"lake-{tag}-cpus{num_cpus}"
         shutil.rmtree(lake, ignore_errors=True)
@@ -127,68 +123,88 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         # one replay per invocation — the scaling harness interleaves
         # multiple invocations itself and takes per-leg minima
         headline = run_replay("actors", "a1")
-        results["cdc_replay_lake"] = round(headline, 3)
-    else:
-        headline = min(run_replay("actors", "a1"), run_replay("actors", "a2"))
-        results["cdc_replay_lake"] = round(headline, 3)
-    if headline_only:
         import ray
 
         ray.shutdown()
         return {
             "metric": "cdc replay seconds (amplified event log -> committed lake)",
-            "value": results["cdc_replay_lake"],
+            "value": round(headline, 3),
             "unit": "sec",
-            "queries": results,
+            "queries": {"cdc_replay_lake": round(headline, 3)},
             "sf": Path(SF_DIR).name,
             "num_cpus": num_cpus,
             "events": total_events,
             "events_per_s": round(total_events / headline, 1),
             "replicas": REPLICAS,
         }
-    results["cdc_replay_groupby"] = round(run_replay("groupby", "g1"), 3)
 
-    # --- decode-only throughput (no shuffle, no sink) ----------------------
-    t0 = time.time()
-    rd.read_parquet(files, override_num_blocks=4 * num_cpus).map_batches(
-        DecodeEnvelopes(warm_cfg, combine=True), batch_format="pyarrow",
-        batch_size=warm_cfg.decode_batch_size,
-    ).count()
-    results["decode_only"] = round(time.time() - t0, 3)
+    # --- load-robust measurement: REPEATS full interleaved sweeps ----------
+    # The sandbox carries external background load that moves absolute
+    # seconds by 3x between quiet and busy windows. Every query (headline
+    # replay, secondary pipelines, single-thread anchor) is therefore
+    # measured once per SWEEP, sweeps repeat back-to-back, and the
+    # artifact reports the per-query MINIMUM plus every sweep's headline
+    # time and loadavg — the recorded number no longer depends on which
+    # load wave a single run landed in.
+    def measure_decode() -> float:
+        t0 = time.time()
+        rd.read_parquet(files, override_num_blocks=4 * num_cpus).map_batches(
+            DecodeEnvelopes(warm_cfg, combine=True), batch_format="pyarrow",
+            batch_size=warm_cfg.decode_batch_size,
+        ).count()
+        return time.time() - t0
 
-    # --- secondary pipelines at this sf ------------------------------------
-    for name in (
+    import pyarrow.parquet as pq
+
+    from commons_codec_ray.envelopes import EventsToEnvelopes
+    from commons_codec_ray.pipelines.oracle import replay_envelopes
+
+    anchor_env = EventsToEnvelopes(duplicates=False)(
+        pq.read_table(f"{SF_DIR}/events.parquet")
+    )
+
+    def measure_anchor() -> float:
+        t0 = time.time()
+        replay_envelopes(anchor_env)
+        return time.time() - t0
+
+    SECONDARY = (
         "windowed_agg",
         "session_windows",
         "sliding_window",
         "exact_dedup",
         "ann_topk",
         "minhash_dedup",
-    ):
-        t0 = time.time()
-        res = Q.QUERIES[name](SF_DIR)
-        res.count() if hasattr(res, "count") else None
-        results[name] = round(time.time() - t0, 3)
+    )
+    sweeps: list[dict[str, float]] = []
+    sweep_loads: list[float] = []
+    headline_runs: list[float] = []
+    for rep in range(REPEATS):
+        one: dict[str, float] = {}
+        one["cdc_replay_lake"] = run_replay("actors", f"a{rep}")
+        headline_runs.append(round(one["cdc_replay_lake"], 3))
+        one["cdc_replay_groupby"] = run_replay("groupby", f"g{rep}")
+        one["decode_only"] = measure_decode()
+        for name in SECONDARY:
+            t0 = time.time()
+            res = Q.QUERIES[name](SF_DIR)
+            res.count() if hasattr(res, "count") else None
+            one[name] = time.time() - t0
+        one["anchor_single_thread"] = measure_anchor()
+        sweeps.append(one)
+        sweep_loads.append(round(os.getloadavg()[0], 1))
 
-    # --- single-thread anchor (reference-style sequential loop) ------------
-    import pyarrow.parquet as pq
-
-    from commons_codec_ray.pipelines.oracle import replay_envelopes
-
-    anchor_tbl = pq.read_table(f"{SF_DIR}/events.parquet")
-    from commons_codec_ray.envelopes import EventsToEnvelopes
-
-    anchor_env = EventsToEnvelopes(duplicates=False)(anchor_tbl)
-    t0 = time.time()
-    replay_envelopes(anchor_env)
-    anchor_s = time.time() - t0
-    results["anchor_single_thread"] = round(anchor_s, 3)
+    results = {
+        name: round(min(s[name] for s in sweeps), 3) for name in sweeps[0]
+    }
+    headline = results["cdc_replay_lake"]
+    anchor_s = results["anchor_single_thread"]
     anchor_eps = anchor_env.num_rows / anchor_s if anchor_s > 0 else None
 
     ray.shutdown()
     return {
         "metric": "cdc replay seconds (amplified event log -> committed lake)",
-        "value": results["cdc_replay_lake"],
+        "value": headline,
         "unit": "sec",
         "queries": results,
         "sf": Path(SF_DIR).name,
@@ -196,14 +212,14 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "events": total_events,
         "events_per_s": round(total_events / headline, 1),
         "anchor_events_per_s": round(anchor_eps, 1) if anchor_eps else None,
-        # headline speedup over the single-thread anchor measured in the
-        # SAME run — load-invariant basis for cross-round comparison (the
-        # sandbox carries external background load that shifts absolute
-        # seconds by 3x between quiet and busy periods)
+        # headline speedup over the single-thread anchor, both per-sweep
+        # minima — the load-invariant basis for cross-round comparison
         "speedup_vs_anchor": round((total_events / headline) / anchor_eps, 2)
         if anchor_eps
         else None,
-        "loadavg": round(os.getloadavg()[0], 1),
+        "repeats": REPEATS,
+        "headline_runs": headline_runs,
+        "loadavg_per_sweep": sweep_loads,
         "replicas": REPLICAS,
     }
 

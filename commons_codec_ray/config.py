@@ -51,6 +51,10 @@ class SchemaRegistry:
 
     primary_keys: dict[str, list[str]] = field(default_factory=dict)
     column_types: dict[str, dict[str, str]] = field(default_factory=dict)
+    # declarative per-table transform rules (plain JSON, loaded with
+    # decode.treatments.Treatment.from_config) — travels with the
+    # checkpointed registry; static config, NOT reset by drop-table
+    treatments: dict[str, dict] = field(default_factory=dict)
     version: int = 0
     # caller-seeded baseline, restored on drop-table
     _baseline: dict[str, Any] | None = None
@@ -88,6 +92,7 @@ class SchemaRegistry:
             {
                 "primary_keys": self.primary_keys,
                 "column_types": self.column_types,
+                "treatments": self.treatments,
                 "version": self.version,
             },
             sort_keys=True,
@@ -99,6 +104,7 @@ class SchemaRegistry:
         reg = cls(
             primary_keys=d.get("primary_keys", {}),
             column_types=d.get("column_types", {}),
+            treatments=d.get("treatments", {}),
             version=d.get("version", 0),
         )
         reg.seed()

