@@ -1465,6 +1465,232 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (stages/dedup.py
+    ``exact_jaccard_pairs``): LSH banding generates candidates, but the
+    verify step computes the TRUE shingle-set Jaccard (|A∩B|/|A∪B|), not
+    the minhash estimate. On the planted disjoint-vocab corpus the pair
+    set is exactly {(d, d+10^6, 1.0)} — cross-document Jaccard is 0 and
+    every identical copy is caught by every band."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow")
+    pairs = dedup_stage.exact_jaccard_pairs(corpus, threshold=0.7)
+    return pairs.select_columns(["id_a", "id_b", "jaccard"])
+
+
+_NGRAM_JACCARD_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jaccard FROM documents
+"""
+
+
+def q_cap_per_source(sf_dir: str):
+    """Per-key top-N capping (stages/grouptop.py): keep at most 2
+    documents per source, largest n_chars first — the at-most-N-docs-
+    per-domain operator of pretraining pipelines. One hash-bucket
+    shuffle, vectorized rank inside the bucket, deterministic (n_chars
+    desc, doc_id asc) boundary mirrored by the oracle's window order."""
+    from commons_codec_ray.stages.grouptop import top_n_per_key
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return top_n_per_key(docs, key="source", order_by="n_chars", n=2, tiebreak="doc_id")
+
+
+_CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 2
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join: orders whose customer sits in the EUROPE
+    region. The dimension chain (region → nation → customer keys) is
+    resolved driver-side on the tiny side and broadcast ONCE via
+    ``ray.put``; the fact table streams through an ``is_in`` filter — no
+    shuffle at all. At scales where the key set outgrows memory, swap the
+    exact set for a bloom filter + exact re-check (same pipeline shape)."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    region = _pq.read_table(f"{sf_dir}/region.parquet")
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"]
+    nkeys = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))[
+        "n_nationkey"
+    ].combine_chunks()
+    custkeys = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    keys_ref = _ray.put(pa.array(np.sort(custkeys)))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = _ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["o_custkey"], value_set=self.keys)).select(
+                ["o_orderkey", "o_totalprice"]
+            )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return orders.map_batches(SemiFilter, batch_format="pyarrow", concurrency=pool_size(2))
+
+
+_SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE')
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti-join: orders whose customer is NOT in EUROPE —
+    same broadcast-once machinery as q_semi_join with the filter
+    inverted (the delete-list / exclusion-list pattern)."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    region = _pq.read_table(f"{sf_dir}/region.parquet")
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"]
+    nkeys = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))[
+        "n_nationkey"
+    ].combine_chunks()
+    custkeys = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    keys_ref = _ray.put(pa.array(np.sort(custkeys)))
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = _ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t["o_custkey"], value_set=self.keys))
+            ).select(["o_orderkey", "o_totalprice"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return orders.map_batches(AntiFilter, batch_format="pyarrow", concurrency=pool_size(2))
+
+
+_ANTI_JOIN_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE')
+"""
+
+
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary with document frequency, top-100: per-batch
+    (doc, token)-distinct partial counts (the combiner), ONE groupby-sum
+    over (token) partials, then partial top-100 + a ≤100·num_batches-row
+    driver reduce — the vocab/token-stats pass of a training-data
+    pipeline. Tokenization is a single-space split to match the SQL
+    oracle's ``string_split(text, ' ')`` exactly."""
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        flat = la.flatten()
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        df = pd.DataFrame({"d": doc_of, "token": toks})
+        df = df[df["token"] != ""].drop_duplicates()
+        counts = df["token"].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(counts.index.to_numpy(), pa.string()),
+                "df_part": pa.array(counts.to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+    K = 100
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= K:
+            return t
+        d = t["df"].to_numpy(zero_copy_only=False)
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tok, -d))[:K]
+        return t.take(pa.array(np.sort(idx)))
+
+    top = agg.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(K)
+    return pa.table(
+        {
+            "token": pa.array(top["token"].to_numpy(), pa.string()),
+            "df": pa.array(top["df"].to_numpy(dtype="int64")),
+        }
+    )
+
+
+_VOCAB_DF_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks
+WHERE token <> '' GROUP BY token ORDER BY df DESC, token LIMIT 100
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """Distributed EXACT quantiles (stages/quantiles.py): iterative
+    histogram refinement — kilobyte count vectors per pass, no global
+    sort, no sampling — matching DuckDB's ``quantile_disc`` rank
+    semantics bit-exactly."""
+    from commons_codec_ray.stages.quantiles import distributed_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qs = [0.5, 0.9, 0.99]
+    vals = distributed_quantiles(ds, "value", qs)
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(vals, pa.float64())}
+    )
+
+
+_QUANTILES_SQL = """
+SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events
+UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_universal": q_cdc_replay_universal,
@@ -1505,6 +1731,12 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cap_per_source": q_cap_per_source,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "vocab_df": q_vocab_df,
+    "quantiles": q_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1547,4 +1779,10 @@ ORACLE_SQL = {
     "lsh_topk": _RECALL_GATE_SQL,
     "ivf_topk": _RECALL_GATE_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
+    "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "cap_per_source": _CAP_PER_SOURCE_SQL,
+    "semi_join": _SEMI_JOIN_SQL,
+    "anti_join": _ANTI_JOIN_SQL,
+    "vocab_df": _VOCAB_DF_SQL,
+    "quantiles": _QUANTILES_SQL,
 }

@@ -174,7 +174,12 @@ class MinHasher:
 
     def signatures(self, col) -> np.ndarray:
         """(n_docs, num_perm) minhash signatures for a string column."""
-        S, seg = self._shingle_hashes(col)
+        return self.signatures_from(*self._shingle_hashes(col))
+
+    def signatures_from(self, S: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        """Signatures from precomputed flat shingle hashes + segment
+        starts (lets callers that also need the raw shingle sets — e.g.
+        exact_jaccard_pairs — hash each document once)."""
         n = len(seg)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         # perm-chunked so the (chunk, total_shingles) matrix stays small
@@ -191,27 +196,28 @@ class MinHasher:
         """Single-document convenience wrapper over the batch path."""
         return self.signatures(pa.array([text or ""]))[0]
 
+    def band_keys(self, sigs: np.ndarray, b: int) -> np.ndarray:
+        """Stable per-band bucket key, fully vectorized: a weighted fold
+        of the band's minima, splitmix-finalized and truncated to 32 bits
+        (low half) with the band index packed above — equal bands always
+        collide, unequal bands collide with ~2^-32 probability, which the
+        verify stage's real equality check already tolerates."""
+        r = self.rows_per_band
+        band = sigs[:, b * r : (b + 1) * r]
+        with np.errstate(over="ignore"):
+            k = np.zeros(band.shape[0], dtype=np.uint64)
+            for c in range(r):
+                k = (k + band[:, c]) * _R1
+            k ^= k >> np.uint64(31)
+            k = k * _R2
+            k ^= k >> np.uint64(29)
+        return (k & np.uint64(0xFFFFFFFF)).astype(np.int64) + (b << 32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = self.signatures(batch["text"])  # (n, num_perm)
         out = batch
-        r = self.rows_per_band
         for b in range(self.bands):
-            band = sigs[:, b * r : (b + 1) * r]
-            # stable per-band bucket key, fully vectorized: a weighted
-            # fold of the band's minima, splitmix-finalized and truncated
-            # to 32 bits (low half) with the band index packed above —
-            # equal bands always collide, unequal bands collide with
-            # ~2^-32 probability, which the verify stage's real-band
-            # equality check already tolerates
-            with np.errstate(over="ignore"):
-                k = np.zeros(band.shape[0], dtype=np.uint64)
-                for c in range(r):
-                    k = (k + band[:, c]) * _R1
-                k ^= k >> np.uint64(31)
-                k = k * _R2
-                k ^= k >> np.uint64(29)
-            keys = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            out = out.append_column(f"band_{b}", pa.array(keys + (b << 32)))
+            out = out.append_column(f"band_{b}", pa.array(self.band_keys(sigs, b)))
         # fixed-width binary, not list<uint64>: ~half the Arrow transport
         # size through the band-replicated shuffle, and a hashable schema
         # (the list column's metadata made Ray's schema dedup warn).
@@ -533,6 +539,122 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow",
+    )
+
+
+def exact_jaccard_pairs(
+    ds,
+    threshold: float = 0.7,
+    hasher: MinHasher | None = None,
+    id_column: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Near-dup pairs with EXACT n-gram (shingle) Jaccard ≥ threshold.
+
+    Same LSH banding as :func:`jaccard_pairs` generates the candidates
+    (no all-pairs), but verification computes the TRUE Jaccard of the
+    two documents' shingle-hash SETS (|A∩B| / |A∪B|) instead of the
+    minhash estimate — the "n-gram Jaccard" dedup family, used when
+    estimator noise at the threshold boundary is unacceptable. Costs:
+    each exploded row carries the doc's sorted-unique shingle set
+    (list<uint64>) instead of a fixed 512-byte signature, so transport
+    grows with document length; candidate recall is still bounded by the
+    banding (a pair no band catches is never verified — inherent to LSH).
+
+    One big all-to-all (band-bucket groupby) + one small dedup shuffle
+    over the verified pair set (pairs matched by several bands emit once).
+    """
+    hasher = hasher or MinHasher()
+    num_buckets = num_buckets or adaptive_buckets()
+
+    def explode_with_sets(batch: pa.Table) -> pa.Table:
+        S, seg = hasher._shingle_hashes(batch["text"])
+        sigs = hasher.signatures_from(S, seg)
+        n = batch.num_rows
+        seg_all = np.append(seg, len(S))
+        # per-doc sorted-unique shingle sets as ONE flat buffer + offsets
+        uniq_parts = [np.unique(S[seg_all[i] : seg_all[i + 1]]) for i in range(n)]
+        lens = np.fromiter((len(u) for u in uniq_parts), dtype=np.int64, count=n)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        values = pa.array(
+            np.concatenate(uniq_parts) if n else np.array([], np.uint64), type=pa.uint64()
+        )
+        sets = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        ids = batch[id_column]
+        parts = []
+        for b in range(hasher.bands):
+            key = pa.array(hasher.band_keys(sigs, b))
+            parts.append(
+                pa.table(
+                    {
+                        "band_key": key,
+                        "_b": pc.bit_wise_and(key, num_buckets - 1),
+                        id_column: ids,
+                        "_shingles": sets,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def verified(group: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(["band_key", id_column], kind="mergesort")
+        keys = g["band_key"].to_numpy()
+        ids = g[id_column].to_numpy()
+        sets = g["_shingles"].to_numpy()
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(g)))
+        out_a, out_b, out_j = [], [], []
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            for x in range(int(L) - 1):
+                a = np.asarray(sets[s + x], dtype=np.uint64)
+                for y in range(x + 1, int(L)):
+                    bset = np.asarray(sets[s + y], dtype=np.uint64)
+                    inter = np.intersect1d(a, bset, assume_unique=True).size
+                    union = a.size + bset.size - inter
+                    j = inter / union if union else 0.0
+                    if j >= threshold:
+                        out_a.append(int(ids[s + x]))
+                        out_b.append(int(ids[s + y]))
+                        out_j.append(j)
+        if not out_a:
+            return empty
+        ia = np.asarray(out_a)
+        ib = np.asarray(out_b)
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pa.table(
+            {"id_a": pa.array(lo), "id_b": pa.array(hi), "jaccard": pa.array(out_j)}
+        )
+
+    def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"])
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = (a * _R1) ^ (b * _R2)
+        return t.append_column(
+            "_pb", pa.array((k & np.uint64(num_buckets - 1)).astype(np.int64))
+        )
+
+    sigs = ds.map_batches(explode_with_sets, batch_format="pyarrow", batch_size=4096)
+    pairs = sigs.groupby("_b").map_groups(verified, batch_format="pandas")
+    # pairs matched by several bands appear once per matching band —
+    # tiny second shuffle over the verified pair set dedupes them
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedupe_pairs, batch_format="pandas")
     )
 
 

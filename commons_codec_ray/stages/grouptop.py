@@ -1,0 +1,67 @@
+"""Per-key top-N (group capping) — the "at most N documents per domain"
+operator every pretraining pipeline needs.
+
+Scale shape: ONE shuffle on a coarse hash bucket of the key (never on
+the raw — possibly string — key), then a single vectorized pass per
+bucket: sort by (key, order desc, tiebreak), find key runs, rank =
+position − run start, keep rank < n. No per-key UDF calls, no window
+function materializing global row numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from commons_codec_ray.util import adaptive_buckets
+
+
+def top_n_per_key(
+    ds,
+    key: str,
+    order_by: str,
+    n: int,
+    tiebreak: str,
+    ascending: bool = False,
+    num_buckets: int | None = None,
+):
+    """Keep the top ``n`` rows per ``key`` ordered by ``order_by``
+    (descending by default), ties broken by ``tiebreak`` ascending —
+    the deterministic-boundary contract (mirror any SQL oracle with
+    ``ORDER BY order_by DESC, tiebreak``).
+
+    String keys are hashed with pandas' C siphash for the bucket column;
+    the full key value still decides run boundaries inside the bucket.
+    """
+    num_buckets = num_buckets or adaptive_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_gb", pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
+        )
+
+    def cap_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            [key, order_by, tiebreak],
+            ascending=[True, ascending, True],
+            kind="mergesort",
+        )
+        keys_np = g[key].to_numpy()
+        m = len(g)
+        if m == 0:
+            return df.drop(columns=["_gb"])
+        new_key = np.empty(m, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        run_start = np.maximum.accumulate(np.where(new_key, np.arange(m), 0))
+        rank = np.arange(m) - run_start
+        return g[rank < n].drop(columns=["_gb"])
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("_gb").map_groups(
+        cap_bucket, batch_format="pandas"
+    )

@@ -1,0 +1,121 @@
+"""Distributed EXACT quantiles via iterative histogram refinement.
+
+The 100 TB shape for percentiles: no global sort, no sampling error.
+Each round is ONE ``map_batches`` pass that histograms the column into
+``bins`` fixed buckets over the current search interval and emits a
+kilobyte count vector per batch; the driver merges counts (bytes, not
+data), locates the bucket containing each target rank, and either
+narrows the interval (rare: only when a bucket still holds more than
+``scan_limit`` values) or pulls the (small) bucket's values with one
+filtered pass for an exact rank selection. 2–3 passes end-to-end for
+double-precision data in practice.
+
+Rank semantics match DuckDB's ``quantile_disc``: the result is the
+element of sorted order-statistic rank ``max(1, ceil(q·n))`` (verified
+empirically against DuckDB — this is what makes the oracle comparison
+bit-exact, no interpolation involved).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rank_for(q: float, n: int) -> int:
+    """DuckDB quantile_disc rank (1-indexed)."""
+    return max(1, int(np.ceil(q * n)))
+
+
+def distributed_quantiles(
+    ds,
+    column: str,
+    qs: list[float],
+    bins: int = 4096,
+    scan_limit: int = 262_144,
+    max_rounds: int = 8,
+) -> list[float]:
+    """Exact ``quantile_disc`` values of ``column`` for each q in ``qs``.
+
+    NaNs are excluded (DuckDB aggregate semantics ignore NULL; parquet
+    NaN/NULL handling is the caller's concern — the test tables carry
+    neither).
+    """
+
+    # pass 0: count + global min/max in one native aggregate each
+    n = ds.count()
+    if n == 0:
+        return [float("nan")] * len(qs)
+    lo = ds.min(column)
+    hi = ds.max(column)
+
+    ranks = [_rank_for(q, n) for q in qs]
+    out: list[float | None] = [None] * len(qs)
+
+    # active targets: (index into qs, remaining rank within the current
+    # interval, interval lo/hi, whether hi is inclusive). All targets
+    # start in the closed global interval; a child interval is half-open
+    # [blo, bhi) unless it is the parent's last bucket — tracking this
+    # keeps ranks exact when values sit exactly on a bucket edge.
+    pending = [(i, ranks[i], float(lo), float(hi), True) for i in range(len(qs))]
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        nxt: list[tuple[int, int, float, float, bool]] = []
+        # group targets sharing an interval so one histogram pass serves
+        # them all (round 1: everything shares the global interval)
+        groups: dict[tuple[float, float, bool], list[tuple[int, int]]] = {}
+        for i, r, a, b, incl in pending:
+            groups.setdefault((a, b, incl), []).append((i, r))
+        for (a, b, incl), targets in groups.items():
+            if a == b:
+                for i, _r in targets:
+                    out[i] = a
+                continue
+            edges = np.linspace(a, b, bins + 1)
+
+            def hist(t: pa.Table, _edges=edges, _a=a, _b=b, _incl=incl) -> pa.Table:
+                v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+                v = v[(v >= _a) & ((v <= _b) if _incl else (v < _b))]
+                counts, _ = np.histogram(v, bins=_edges)
+                return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+            parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+            counts = np.zeros(bins, dtype=np.int64)
+            for row in parts:
+                counts += np.frombuffer(row["counts"], dtype=np.int64)
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            for i, r in targets:
+                # bucket containing the r-th smallest value in [a, b]
+                bi = int(np.searchsorted(cum, r, side="left")) - 1
+                bi = min(max(bi, 0), bins - 1)
+                r_in = r - int(cum[bi])
+                blo = float(edges[bi])
+                # np.histogram's last bin is closed on the right
+                bhi = float(edges[bi + 1])
+                bcount = int(counts[bi])
+                child_incl = (bi == bins - 1) and incl
+                if bcount <= scan_limit:
+
+                    def in_bucket(t: pa.Table, _blo=blo, _bhi=bhi, _incl=child_incl) -> pa.Table:
+                        v = t[column]
+                        m = pc.and_(
+                            pc.greater_equal(v, _blo),
+                            pc.less_equal(v, _bhi) if _incl else pc.less(v, _bhi),
+                        )
+                        return t.filter(m).select([column])
+
+                    vals = np.sort(
+                        ds.map_batches(in_bucket, batch_format="pyarrow")
+                        .to_pandas()[column]
+                        .to_numpy(dtype="float64")
+                    )
+                    out[i] = float(vals[r_in - 1])
+                else:
+                    nxt.append((i, r_in, blo, bhi, child_incl))
+        pending = nxt
+    if any(v is None for v in out):  # pragma: no cover — max_rounds exhausted
+        raise RuntimeError("quantile refinement did not converge (pathological data?)")
+    return [float(v) for v in out]
