@@ -134,6 +134,51 @@ def decode_documents(docs, treatment=None):
     return [decode_document(d, treatment) for d in docs]
 
 
+# --- native BSON plug-point (M5) --------------------------------------------
+# The sandbox ships no bson library, so the engine ingests MongoDB
+# Extended JSON directly; where a deployment has pymongo/bson installed,
+# decode_bson turns raw BSON bytes into the same decoded-document shape
+# (ref transform/mongodb.py:89-113 decode_bson). Import-gated, never a
+# hard dependency.
+
+try:  # pragma: no cover — exercised only where bson exists
+    import bson as _bson
+except ImportError:  # pragma: no cover
+    _bson = None
+
+
+def decode_bson(raw: bytes, treatment=None) -> dict:
+    """Raw BSON document bytes → decoded dict (same output contract as
+    :func:`decode_document`). Requires the ``bson`` package (pymongo);
+    raises ``NotImplementedError`` in environments without it."""
+    if _bson is None:
+        raise NotImplementedError(
+            "no bson library in this environment — install pymongo to ingest "
+            "raw BSON; Extended JSON ingestion (decode_document) needs nothing"
+        )
+    doc = _bson.BSON(raw).decode()
+    # bson yields native python types (datetime, ObjectId, Decimal128…);
+    # normalize the driver-specific wrappers to the engine's plain shapes
+    def _norm(v):
+        tname = type(v).__name__
+        if tname == "ObjectId":
+            return str(v)
+        if tname == "Decimal128":
+            return float(v.to_decimal())
+        if tname in ("Int64",):
+            return int(v)
+        if isinstance(v, dict):
+            return {k: _norm(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_norm(x) for x in v]
+        return v
+
+    out = {k: _norm(v) for k, v in doc.items()}
+    if treatment is not None:
+        out = treatment(out)
+    return out
+
+
 # --- converter flags (ST5) --------------------------------------------------
 
 

@@ -1691,6 +1691,21 @@ UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
 """
 
 
+def q_median_per_user(sf_dir: str):
+    """Per-key discrete median (stages/grouptop.py quantile_per_key):
+    one hash-bucket shuffle + vectorized per-run rank indexing —
+    GROUP BY + quantile_disc without per-key UDF calls."""
+    from commons_codec_ray.stages.grouptop import quantile_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return quantile_per_key(ds, key="user_id", column="value", q=0.5, out_name="median_value")
+
+
+_MEDIAN_PER_USER_SQL = """
+SELECT user_id, quantile_disc(value, 0.5) AS median_value FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_universal": q_cdc_replay_universal,
@@ -1737,6 +1752,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "vocab_df": q_vocab_df,
     "quantiles": q_quantiles,
+    "median_per_user": q_median_per_user,
 }
 
 ORACLE_SQL = {
@@ -1785,4 +1801,5 @@ ORACLE_SQL = {
     "anti_join": _ANTI_JOIN_SQL,
     "vocab_df": _VOCAB_DF_SQL,
     "quantiles": _QUANTILES_SQL,
+    "median_per_user": _MEDIAN_PER_USER_SQL,
 }

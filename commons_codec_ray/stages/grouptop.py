@@ -65,3 +65,55 @@ def top_n_per_key(
     return ds.map_batches(bucketize, batch_format="pyarrow").groupby("_gb").map_groups(
         cap_bucket, batch_format="pandas"
     )
+
+
+def quantile_per_key(
+    ds,
+    key: str,
+    column: str,
+    q: float = 0.5,
+    out_name: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Per-key discrete quantile (``quantile_disc`` semantics: the
+    element of rank ``max(1, ceil(q·count))`` within each key) — one
+    hash-bucket shuffle, then a single vectorized pass per bucket: sort
+    by (key, value), find key runs, index each run at its rank. No
+    per-key UDF calls.
+
+    Assumes one key's rows fit a bucket group (same partitioning
+    contract as every bucketed groupby here); keys are never split
+    across buckets so ranks are exact.
+    """
+    num_buckets = num_buckets or adaptive_buckets()
+    out_name = out_name or f"q{q}"
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_gb", pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([key, column], kind="mergesort")
+        m = len(g)
+        if m == 0:
+            return pd.DataFrame({key: df[key], out_name: df[column]}).iloc[:0]
+        keys_np = g[key].to_numpy()
+        new_key = np.empty(m, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, m))
+        ranks = np.maximum(1, np.ceil(q * counts).astype(np.int64))
+        idx = starts + ranks - 1
+        return pd.DataFrame(
+            {key: keys_np[starts], out_name: g[column].to_numpy()[idx]}
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("_gb").map_groups(
+        pick, batch_format="pandas"
+    )
