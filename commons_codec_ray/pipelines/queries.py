@@ -1610,13 +1610,18 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey NOT IN (
 
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary with document frequency, top-100: per-batch
-    (doc, token)-distinct partial counts (the combiner), ONE groupby-sum
-    over (token) partials, then partial top-100 + a ≤100·num_batches-row
-    driver reduce — the vocab/token-stats pass of a training-data
-    pipeline. Tokenization is a single-space split to match the SQL
-    oracle's ``string_split(text, ' ')`` exactly."""
+    (doc, token)-distinct partial counts (the combiner), then ONE
+    shuffle keyed on an INT64 token-hash bucket (string sort-shuffle
+    keys measured 2-3× slower than int keys — same integer-exchange
+    rule as the CDC shuffle). All partials of a token land in the same
+    bucket, so each bucket computes exact totals AND its own top-100;
+    the driver reduces ≤ 100·num_buckets bucket winners. Tokenization
+    is a single-space split to match the SQL oracle's
+    ``string_split(text, ' ')`` exactly."""
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    K = 100
+    B = 256  # token-hash buckets: the exchange key space
 
     def partial_df(t: pa.Table) -> pa.Table:
         la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
@@ -1627,30 +1632,28 @@ def q_vocab_df(sf_dir: str):
         df = pd.DataFrame({"d": doc_of, "token": toks})
         df = df[df["token"] != ""].drop_duplicates()
         counts = df["token"].value_counts()
+        tok_arr = counts.index.to_numpy()
+        bucket = (pd.util.hash_array(tok_arr) & np.uint64(B - 1)).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array(counts.index.to_numpy(), pa.string()),
+                "_vb": pa.array(bucket),
+                "token": pa.array(tok_arr, pa.string()),
                 "df_part": pa.array(counts.to_numpy(), pa.int64()),
             }
         )
 
-    agg = (
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("token", sort=False)["df_part"].sum().reset_index(name="df")
+        return totals.sort_values(
+            ["df", "token"], ascending=[False, True], kind="mergesort"
+        ).head(K)
+
+    top = (
         docs.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
+        .groupby("_vb")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
     )
-
-    K = 100
-
-    def partial_top(t: pa.Table) -> pa.Table:
-        if t.num_rows <= K:
-            return t
-        d = t["df"].to_numpy(zero_copy_only=False)
-        tok = t["token"].to_numpy(zero_copy_only=False)
-        idx = np.lexsort((tok, -d))[:K]
-        return t.take(pa.array(np.sort(idx)))
-
-    top = agg.map_batches(partial_top, batch_format="pyarrow").to_pandas()
     top = top.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(K)
     return pa.table(
         {
