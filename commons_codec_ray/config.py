@@ -138,9 +138,21 @@ class PipelineConfig:
     # partitions load LAZILY on first touch and cold partitions EVICT
     # back to their committed files (LRU) — required when lake ≫ RAM.
     applier_state_budget_bytes: int | None = None
+    # emit a row-level change feed (insert/update/delete with before
+    # images for deletes) per epoch under lake/changes/ — the CDC OUTPUT
+    # stream downstream consumers / incremental view maintenance read.
+    # Requires the rewrite sink (the feed classification needs the
+    # partition's current state, which delta mode deliberately skips).
+    emit_changes: bool = False
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
 
     def __post_init__(self) -> None:
+        if self.emit_changes and self.sink_mode == "delta":
+            raise ValueError(
+                "emit_changes requires sink_mode='rewrite': the change feed "
+                "classifies ops against current partition state, which the "
+                "delta sink does not load per epoch"
+            )
         if not self.registry.column_types:
             self.registry.column_types = {
                 self.table: {

@@ -85,6 +85,7 @@ def _make_apply_fn(
     compact_ratio: float = 0.5,
     compact_max_deltas: int = 8,
     watermark_us: int | None = None,
+    emit_changes: bool = False,
 ):
     """Per-(table, partition) applier run inside map_groups tasks.
 
@@ -134,6 +135,7 @@ def _make_apply_fn(
         from commons_codec_ray.sink.manifest import entry_files
         from commons_codec_ray.stages.applier import epoch_delta, merge_base_with_deltas
 
+        n_changes = 0
         entry = base_partitions.get(partition_key(table, pid))
         base_rel, delta_rels = entry_files(entry)
         epoch_dir = Path(lake_root) / "epochs" / f"epoch-{epoch:08d}" / safe_table_dir(table)
@@ -166,6 +168,21 @@ def _make_apply_fn(
                 base = merge_base_with_deltas(base, deltas, extra_columns)
             out = apply_ops_to_base(base, group, extra_columns)
 
+        if emit_changes and kind == "full" and sink_mode != "delta":
+            from commons_codec_ray.stages.applier import change_feed
+
+            cf = change_feed(base, group, extra_columns)
+            n_changes = cf.num_rows
+            if n_changes:
+                ch_dir = (
+                    Path(lake_root) / "changes" / f"epoch-{epoch:08d}" / safe_table_dir(table)
+                )
+                ch_dir.mkdir(parents=True, exist_ok=True)
+                cpath = ch_dir / f"changes-{pid:04d}.parquet"
+                ctmp = cpath.with_suffix(f".tmp-{os.getpid()}")
+                pq.write_table(cf, ctmp)
+                os.replace(ctmp, cpath)
+
         suffix = "delta" if kind == "delta" else "parquet"
         path = epoch_dir / f"part-{pid:04d}.{suffix}.parquet" if kind == "delta" else epoch_dir / f"part-{pid:04d}.parquet"
         tmp = path.with_suffix(f".tmp-{os.getpid()}")
@@ -186,6 +203,7 @@ def _make_apply_fn(
                 "kind": pa.array([kind], pa.string()),
                 "max_event_ts_us": pa.array([max_ev], pa.int64()),
                 "late_events": pa.array([late], pa.int64()),
+                "n_changes": pa.array([n_changes], pa.int64()),
             }
         )
 
@@ -327,6 +345,7 @@ class CDCPipeline:
             compact_ratio=cfg.compact_ratio,
             compact_max_deltas=cfg.compact_max_deltas,
             watermark_us=prev_wm,
+            emit_changes=cfg.emit_changes,
         )
         self.store.ensure_dirs(epoch)
         lineage = (
@@ -337,6 +356,7 @@ class CDCPipeline:
 
         n_dead = sum(r["n_dead"] for r in lineage)
         metrics = {
+            "changes": sum(int(r.get("n_changes", 0) or 0) for r in lineage),
             "events": sum(r["ops_applied"] for r in lineage),
             "rows_out": sum(r["rows"] for r in lineage),
             "partitions_touched": len(lineage),
@@ -664,6 +684,35 @@ class CDCPipeline:
                 lambda t: final_state(t, with_lsn=False), batch_format="pyarrow"
             )
         return ds
+
+    def read_changes(self, epoch: int | None = None, table: str | None = None):
+        """Read the committed change feed (``emit_changes=True`` runs) as
+        a Ray Dataset — one epoch's feed or the whole history. Empty
+        epochs (no changes) simply have no files."""
+        table = table or self.config.table
+        root = self.store.root / "changes"
+        if epoch is not None:
+            dirs = [root / f"epoch-{epoch:08d}" / safe_table_dir(table)]
+        else:
+            dirs = sorted(root.glob("epoch-*")) if root.exists() else []
+            dirs = [d / safe_table_dir(table) for d in dirs]
+        files = [str(f) for d in dirs if d.exists() for f in sorted(d.glob("changes-*.parquet"))]
+        if not files:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "change": pa.array([], pa.string()),
+                        "conv_id": pa.array([], pa.string()),
+                        "turn_idx": pa.array([], pa.int32()),
+                        "role": pa.array([], pa.string()),
+                        "text": pa.array([], pa.string()),
+                        "tool": pa.array([], pa.string()),
+                        "ts": pa.array([], pa.timestamp("us")),
+                        "lsn": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return rd.read_parquet(files)
 
     def _partitions_at(self, epoch: int) -> dict[str, str]:
         """partition → file mapping as of committed epoch ``epoch``."""

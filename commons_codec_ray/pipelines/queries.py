@@ -1694,6 +1694,78 @@ UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
 """
 
 
+def q_cdc_change_feed(sf_dir: str):
+    """CDC OUTPUT stream (change feed): replay in two epochs with
+    ``emit_changes=True`` and return epoch 2's row-level feed —
+    insert/update classified against the epoch-1 lake state, deletes
+    carrying the BEFORE image, stale ops and deletes of absent keys
+    suppressed. The downstream-consumer / incremental-view-maintenance
+    surface of the engine (stages/applier.py ``change_feed``). The SQL
+    oracle re-derives the identical feed from the event mapping with the
+    same lsn-boundary split."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    boundary = n // 2
+    env = EventsToEnvelopes(duplicates=True)(events)
+    e1 = env.filter(pc.less(env["lsn"], boundary))
+    e2 = env.filter(pc.greater_equal(env["lsn"], boundary))
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    lake = _tempfile.mkdtemp(prefix="ccr_changefeed_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16, emit_changes=True))
+        for epoch, part in enumerate((e1, e2)):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        feed = pipe.read_changes(epoch=1)
+        return pa.Table.from_pandas(
+            feed.to_pandas(), preserve_index=False
+        ).select(["change", "conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"])
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_CHANGE_FEED_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+boundary AS (SELECT CAST(count(*) // 2 AS BIGINT) AS b FROM events),
+state1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops WHERE lsn < (SELECT b FROM boundary)) WHERE rn = 1 AND op = 1),
+ops2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops WHERE lsn >= (SELECT b FROM boundary)) WHERE rn = 1)
+SELECT CASE WHEN o.op = 1 AND s.conv_id IS NULL THEN 'insert'
+            WHEN o.op = 1 THEN 'update' ELSE 'delete' END AS change,
+       o.conv_id, o.turn_idx,
+       CASE WHEN o.op = 1 THEN o.role ELSE s.role END AS role,
+       CASE WHEN o.op = 1 THEN o.text ELSE s.text END AS text,
+       CASE WHEN o.op = 1 THEN o.tool ELSE s.tool END AS tool,
+       CASE WHEN o.op = 1 THEN o.ts ELSE s.ts END AS ts,
+       o.lsn
+FROM ops2 o LEFT JOIN state1 s ON o.conv_id = s.conv_id AND o.turn_idx = s.turn_idx
+WHERE NOT (o.op = 0 AND s.conv_id IS NULL)
+"""
+
+
 def q_median_per_user(sf_dir: str):
     """Per-key discrete median (stages/grouptop.py quantile_per_key):
     one hash-bucket shuffle + vectorized per-run rank indexing —
@@ -1756,6 +1828,7 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "quantiles": q_quantiles,
     "median_per_user": q_median_per_user,
+    "cdc_change_feed": q_cdc_change_feed,
 }
 
 ORACLE_SQL = {
@@ -1805,4 +1878,5 @@ ORACLE_SQL = {
     "vocab_df": _VOCAB_DF_SQL,
     "quantiles": _QUANTILES_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
+    "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
 }

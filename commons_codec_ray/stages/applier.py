@@ -268,6 +268,101 @@ def merge_base_with_deltas(
     return out
 
 
+def change_feed(
+    base: pa.Table | None,
+    ops: pa.Table,
+    extra_columns: list[tuple[str, pa.DataType]] | None = None,
+) -> pa.Table:
+    """Row-level change feed for one epoch's ops against the partition's
+    base state — the CDC OUTPUT stream (Debezium-style downstream feed):
+
+    - ``insert``: UPSERT winner for a key absent from base (new image)
+    - ``update``: UPSERT winner with lsn > base row's lsn (new image)
+    - ``delete``: DELETE winner for a present key (BEFORE image — what
+      downstream consumers need to retract)
+    - stale ops (lsn ≤ base lsn) and deletes of absent keys emit nothing,
+      so re-applying a committed epoch yields an EMPTY feed (idempotent).
+
+    Deterministic given (base, ops); one vectorized pandas merge, no row
+    loop. Downstream incremental view maintenance consumes this feed:
+    +new-image contribution on insert, −old +new on update, −old on
+    delete — verified in tests against full recomputation.
+    """
+    import pandas as pd
+
+    if extra_columns:
+        ops = materialize_aux_columns(ops, extra_columns)
+    extra_names = [n for n, _ in (extra_columns or []) if n in ops.column_names]
+    image_cols = ["role", "text", "tool", "ts", *extra_names]
+    keep = [c for c in _OP_COLUMNS if c in ops.column_names] + extra_names
+    red = lww_reduce(ops.select(keep)).to_pandas()
+    empty = pa.table(
+        {
+            "change": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "lsn": pa.array([], pa.int64()),
+        }
+    )
+    if red.empty:
+        return empty
+    if base is not None and base.num_rows:
+        b = base.to_pandas()
+        bcols = ["conv_id", "turn_idx", LSN_COLUMN] + [
+            c for c in image_cols if c in b.columns
+        ]
+        m = red.merge(
+            b[bcols], on=["conv_id", "turn_idx"], how="left", suffixes=("", "__old")
+        )
+        in_base = m[LSN_COLUMN].notna()
+        base_lsn = m[LSN_COLUMN].fillna(-(1 << 62)).astype("int64")
+    else:
+        m = red.copy()
+        in_base = pd.Series(False, index=m.index)
+        base_lsn = pd.Series(-(1 << 62), index=m.index, dtype="int64")
+    wins = m["lsn"].astype("int64") > base_lsn
+    is_up = m["op"] == OP_UPSERT
+    kind = np.where(
+        is_up & ~in_base, "insert", np.where(is_up, "update", "delete")
+    )
+    emit = wins & (is_up | in_base)
+    m = m[emit]
+    kind = kind[emit.to_numpy()]
+    # delete rows carry the BEFORE image
+    is_del = kind == "delete"
+    out = {"change": kind, "conv_id": m["conv_id"].to_numpy(), "turn_idx": m["turn_idx"].to_numpy()}
+    for c in image_cols:
+        old_c = f"{c}__old" if f"{c}__old" in m.columns else (c if c in m.columns else None)
+        new_vals = m[c].to_numpy() if c in m.columns else np.full(len(m), None)
+        if old_c is not None and is_del.any():
+            vals = np.where(is_del, m[old_c].to_numpy(), new_vals)
+        else:
+            vals = new_vals
+        out[c] = vals
+    out["lsn"] = m["lsn"].to_numpy(dtype="int64")
+    df = pd.DataFrame(out).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    tbl = pa.table(
+        {
+            "change": pa.array(df["change"].to_numpy(), pa.string()),
+            "conv_id": pa.array(df["conv_id"].to_numpy(), pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy()).cast(pa.int32()),
+            "role": pa.array(df["role"].to_numpy()).cast(pa.string()),
+            "text": pa.array(df["text"].to_numpy()).cast(pa.string()),
+            "tool": pa.array(df["tool"].to_numpy()).cast(pa.string()),
+            "ts": pa.array(df["ts"].to_numpy()).cast(pa.timestamp("us")),
+            "lsn": pa.array(df["lsn"].to_numpy(), pa.int64()),
+        }
+    )
+    types = dict(extra_columns or [])
+    for c in extra_names:
+        tbl = tbl.append_column(c, pa.array(df[c].to_numpy()).cast(types[c]))
+    return tbl
+
+
 def apply_ops_universal(base: pa.Table | None, ops: pa.Table) -> pa.Table:
     """LWW apply for the UNIVERSAL layout: typed key columns + full-doc
     ``data`` JSON + ``aux`` (the reference's 3-column pk/data/aux target,
