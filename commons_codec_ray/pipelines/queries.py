@@ -1766,6 +1766,86 @@ WHERE NOT (o.op = 0 AND s.conv_id IS NULL)
 """
 
 
+def q_cdc_ivm(sf_dir: str):
+    """Incremental view maintenance over the change feed: a
+    turns-per-conversation view maintained from insert(+1)/delete(−1)
+    feed rows alone — never recomputed from the lake — across a
+    three-epoch replay. Distributed consumption: the feed Datasets
+    stream through a map_batches signed-count stage into ONE groupby-sum.
+    The oracle recomputes the view from scratch on the final state; the
+    maintained view must match it exactly."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    env = EventsToEnvelopes(duplicates=True)(events)
+    parts = [
+        env.filter(pc.less(env["lsn"], n // 3)),
+        env.filter(
+            pc.and_(pc.greater_equal(env["lsn"], n // 3), pc.less(env["lsn"], 2 * n // 3))
+        ),
+        env.filter(pc.greater_equal(env["lsn"], 2 * n // 3)),
+    ]
+    lake = _tempfile.mkdtemp(prefix="ccr_ivm_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16, emit_changes=True))
+        for epoch, part in enumerate(parts):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        feed = pipe.read_changes()  # all epochs
+
+        def signed(t: pa.Table) -> pa.Table:
+            ch = t["change"].combine_chunks()
+            sign = pc.case_when(
+                pc.make_struct(pc.equal(ch, "insert"), pc.equal(ch, "delete")),
+                pa.scalar(1, pa.int64()),
+                pa.scalar(-1, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            return pa.table({"conv_id": t["conv_id"], "delta": sign})
+
+        view = (
+            feed.map_batches(signed, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(Sum("delta", alias_name="n_turns"))
+        ).map_batches(
+            lambda t: t.filter(pc.greater(t["n_turns"], 0)), batch_format="pyarrow"
+        )
+        out = view.to_pandas()
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"].to_numpy(), pa.string()),
+                "n_turns": pa.array(out["n_turns"].to_numpy(dtype="int64")),
+            }
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_IVM_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_id AS lsn
+  FROM events),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops) WHERE rn = 1 AND op = 1)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM final GROUP BY conv_id
+"""
+
+
 def q_median_per_user(sf_dir: str):
     """Per-key discrete median (stages/grouptop.py quantile_per_key):
     one hash-bucket shuffle + vectorized per-run rank indexing —
@@ -1829,6 +1909,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_ivm": q_cdc_ivm,
 }
 
 ORACLE_SQL = {
@@ -1879,4 +1960,5 @@ ORACLE_SQL = {
     "quantiles": _QUANTILES_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
+    "cdc_ivm": _CDC_IVM_SQL,
 }
