@@ -175,6 +175,8 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "exact_dedup",
         "ann_topk",
         "minhash_dedup",
+        "vocab_df",
+        "quantiles",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []
