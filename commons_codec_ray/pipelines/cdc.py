@@ -556,6 +556,7 @@ class CDCPipeline:
                     dl_dir.mkdir(parents=True, exist_ok=True)
                     pq.write_table(dead, dl_dir / "dead-0000.parquet")
                 metrics = {
+                    "changes": sum(int(r.get("n_changes", 0) or 0) for r in lineage),
                     "events": sum(r["ops_applied"] for r in lineage),
                     "rows_out": sum(r["rows"] for r in lineage),
                     "partitions_touched": len(lineage),

@@ -108,6 +108,7 @@ class PartitionApplier:
         compact_ratio: float = 0.5,
         compact_max_deltas: int = 8,
         state_budget_bytes: int | None = None,
+        emit_changes: bool = False,
     ):
         from collections import OrderedDict
 
@@ -122,6 +123,7 @@ class PartitionApplier:
         self.compact_ratio = compact_ratio
         self.compact_max_deltas = compact_max_deltas
         self.state_budget_bytes = state_budget_bytes
+        self.emit_changes = emit_changes
         self.extra_columns = [
             (n, _type_from_str(t)) for n, t in json.loads(extra_columns_json)
         ]
@@ -274,6 +276,25 @@ class PartitionApplier:
             wm_max, wm_late = _watermark_stats(group, watermark_us)
             out = apply_ops_to_base(base, group, self.extra_columns)
 
+            # change feed: the actor already holds base state in memory,
+            # so feed emission costs one vectorized merge — no file reads
+            # (the Dataset path re-reads base; here it's free)
+            n_changes = 0
+            if self.emit_changes and self.sink_mode != "delta":
+                from commons_codec_ray.stages.applier import change_feed
+
+                cf = change_feed(base, group, self.extra_columns)
+                n_changes = cf.num_rows
+                if n_changes:
+                    ch_dir = (
+                        self.lake_root / "changes" / f"epoch-{epoch:08d}" / safe_table_dir(table)
+                    )
+                    ch_dir.mkdir(parents=True, exist_ok=True)
+                    cpath = ch_dir / f"changes-{pid:04d}.parquet"
+                    ctmp = cpath.with_suffix(f".tmp-{os.getpid()}")
+                    pq.write_table(cf, ctmp)
+                    os.replace(ctmp, cpath)
+
             # choose what to WRITE: full state, or just this epoch's delta
             kind = "full"
             write_tbl = out
@@ -328,6 +349,7 @@ class PartitionApplier:
                     "kind": kind,
                     "max_event_ts_us": wm_max,
                     "late_events": wm_late,
+                    "n_changes": n_changes,
                 }
             )
         return lineage
@@ -450,6 +472,7 @@ class ActorPoolApplyRunner:
                 config.compact_ratio,
                 config.compact_max_deltas,
                 config.applier_state_budget_bytes,
+                config.emit_changes,
             )
             for a in range(self.num_actors)
         ]

@@ -97,6 +97,28 @@ def test_incremental_view_maintenance_matches_recompute(ray_session, tmp_path):
     assert view == truth
 
 
+def test_change_feed_actor_mode_matches_groupby_mode(ray_session, tmp_path):
+    """The actor pool emits the feed from its in-memory state; must be
+    identical (modulo row order) to the Dataset path's feed across a
+    multi-epoch replay."""
+    events = pq.read_table(f"{SF_DIR}/events.parquet")
+    env = EventsToEnvelopes(duplicates=True)(events).sort_by("source_offset")
+    log = tmp_path / "env.parquet"
+    pq.write_table(env, log, row_group_size=100)
+
+    feeds = {}
+    for mode in ("groupby", "actors"):
+        pipe = CDCPipeline(
+            tmp_path / f"lake_{mode}",
+            PipelineConfig(num_partitions=8, emit_changes=True, epoch_size=400),
+        )
+        pipe.replay(str(log), mode=mode, epoch_size=400)
+        df = pipe.read_changes().to_pandas()
+        feeds[mode] = df.sort_values(["lsn", "conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(feeds["groupby"], feeds["actors"])
+    assert len(feeds["actors"]) > 0
+
+
 def test_change_feed_epoch1_is_all_inserts(ray_session, tmp_path):
     events = pq.read_table(f"{SF_DIR}/events.parquet")
     env = EventsToEnvelopes(duplicates=False)(events)
