@@ -1608,6 +1608,59 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey NOT IN (
 """
 
 
+def q_semi_join_bloom(sf_dir: str):
+    """Bloom-accelerated broadcast semi-join (stages/bloom.py): the
+    dimension key set is broadcast as a ~1%-FP Bloom filter (10-20×
+    smaller than the exact set at scale); the fact table streams through
+    vectorized bit probes and only the tiny bloom-surviving fraction
+    pays the exact membership re-check — composed result is EXACT, so
+    the oracle is the same SQL as q_semi_join."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.stages.bloom import BloomFilter
+
+    region = _pq.read_table(f"{sf_dir}/region.parquet")
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"]
+    nkeys = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))[
+        "n_nationkey"
+    ].combine_chunks()
+    custkeys = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    bloom = BloomFilter(len(custkeys), fp_rate=0.01).add(custkeys)
+    bloom_ref = _ray.put(bloom.serialize())
+    exact_ref = _ray.put(pa.array(np.sort(custkeys)))
+
+    class BloomSemiFilter:
+        def __init__(self):
+            self.bloom = BloomFilter.deserialize(_ray.get(bloom_ref))
+            self.exact = _ray.get(exact_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            maybe = self.bloom.contains(keys)  # no false negatives
+            cand = t.filter(pa.array(maybe))
+            # exact re-check only on the bloom survivors
+            out = cand.filter(pc.is_in(cand["o_custkey"], value_set=self.exact))
+            return out.select(["o_orderkey", "o_totalprice"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return orders.map_batches(BloomSemiFilter, batch_format="pyarrow", concurrency=pool_size(2))
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary with document frequency, top-100: per-batch
     (doc, token)-distinct partial counts (the combiner), then ONE
@@ -1905,6 +1958,7 @@ QUERIES = {
     "cap_per_source": q_cap_per_source,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "semi_join_bloom": q_semi_join_bloom,
     "vocab_df": q_vocab_df,
     "quantiles": q_quantiles,
     "median_per_user": q_median_per_user,
@@ -1956,6 +2010,7 @@ ORACLE_SQL = {
     "cap_per_source": _CAP_PER_SOURCE_SQL,
     "semi_join": _SEMI_JOIN_SQL,
     "anti_join": _ANTI_JOIN_SQL,
+    "semi_join_bloom": _SEMI_JOIN_SQL,
     "vocab_df": _VOCAB_DF_SQL,
     "quantiles": _QUANTILES_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
