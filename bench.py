@@ -226,6 +226,107 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
     }
 
 
+def _prepare_docs(sf_dir: str, tiles: int) -> str:
+    """Amplified documents table for dedup scaling (cached, untimed):
+    ``tiles`` copies of the sf documents, each with distinct doc_ids and
+    a tile token appended so shingle sets differ across tiles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = WORK_ROOT / f"docs-{Path(sf_dir).name}-t{tiles}.parquet"
+    if out.exists():
+        return str(out)
+    WORK_ROOT.mkdir(parents=True, exist_ok=True)
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = base.num_rows
+    ids, texts = [], []
+    for j in range(tiles):
+        ids.extend((base["doc_id"].to_numpy(zero_copy_only=False) + j * n).tolist())
+        texts.extend(f"{t} tile{j}" for t in base["text"].to_pylist())
+    tmp = out.with_suffix(".tmp.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        tmp,
+        row_group_size=2_500,
+    )
+    os.replace(tmp, out)
+    return str(out)
+
+
+def dedup_once(num_cpus: int) -> dict:
+    """One timed MinHash+LSH pair-detection run over the amplified docs —
+    the shuffle-heavy leg for --scaling-dedup (the CDC headline evidences
+    the integer-keyed exchange; this evidences the band-replicated
+    all-to-all + vectorized verify)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+
+    from commons_codec_ray.stages.dedup import jaccard_pairs
+
+    tiles = int(os.environ.get("GRAFT_DEDUP_TILES", "40"))
+    path = _prepare_docs(SF_DIR, tiles)
+    # parallelism follows input block count through every downstream
+    # stage (map -> sort partitions -> verify groups): a 10-row-group
+    # file caps the whole pipeline at 10-way regardless of CPUs
+    ds = rd.read_parquet(path, override_num_blocks=4 * num_cpus)
+    n_docs = ds.count()
+    ds.map_batches(lambda t: t.slice(0, 1), batch_format="pyarrow").count()  # warm pool
+    t0 = time.time()
+    n_pairs = jaccard_pairs(ds, threshold=0.7).count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "metric": "minhash pair-detection seconds (amplified documents)",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "docs_per_s": round(n_docs / dt, 1),
+        "num_cpus": num_cpus,
+    }
+
+
+def scaling_dedup() -> None:
+    n_lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "16"))
+
+    def run(ncpu: int) -> dict:
+        e = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__, "--dedup-only"], env=e,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    load_before = os.getloadavg()[0]
+    hi1, lo1 = run(n_hi), run(n_lo)
+    hi2, lo2 = run(n_hi), run(n_lo)
+    t_lo = min(lo1["value"], lo2["value"])
+    t_hi = min(hi1["value"], hi2["value"])
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"minhash dedup scaling (num_cpus {n_lo} vs {n_hi}, fresh processes, min of 2 interleaved runs)",
+                f"sec_{n_lo}": t_lo,
+                f"sec_{n_hi}": t_hi,
+                "docs": hi1["docs"],
+                "pairs": hi1["pairs"],
+                "scaling_efficiency": round(eff, 3),
+                "loadavg_before": round(load_before, 1),
+                "loadavg_after": round(os.getloadavg()[0], 1),
+            }
+        )
+    )
+
+
 def scaling() -> None:
     env = dict(os.environ)
     # The scaling criterion compares the SAME job at N vs 4N parallelism
@@ -276,7 +377,11 @@ def scaling() -> None:
 
 if __name__ == "__main__":
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    if "--scaling" in sys.argv:
+    if "--scaling-dedup" in sys.argv:
+        scaling_dedup()
+    elif "--dedup-only" in sys.argv:
+        print(json.dumps(dedup_once(NUM_CPUS)))
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         print(json.dumps(bench_once(NUM_CPUS, headline_only="--headline-only" in sys.argv)))

@@ -218,12 +218,18 @@ class MinHasher:
         out = batch
         for b in range(self.bands):
             out = out.append_column(f"band_{b}", pa.array(self.band_keys(sigs, b)))
-        # fixed-width binary, not list<uint64>: ~half the Arrow transport
-        # size through the band-replicated shuffle, and a hashable schema
-        # (the list column's metadata made Ray's schema dedup warn).
-        # Zero-copy from the contiguous sig matrix — no per-row tobytes.
-        width = self.num_perm * 8
-        sig_buf = pa.py_buffer(np.ascontiguousarray(sigs).tobytes())
+        # fixed-width binary, not list<uint64>: a hashable schema
+        # (the list column's metadata made Ray's schema dedup warn) and
+        # zero-copy from the contiguous sig matrix — no per-row tobytes.
+        # Minima are TRUNCATED to uint32 for transport: equality of equal
+        # minima is preserved exactly; unequal minima falsely match with
+        # prob 2^-32 per permutation (can only nudge an estimate UP by
+        # 1/num_perm with negligible probability) — and the verify stage
+        # is memory-bandwidth-bound, so halving signature bytes halves
+        # both the band-replicated shuffle and the verify gathers.
+        sigs32 = (sigs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        width = self.num_perm * 4
+        sig_buf = pa.py_buffer(np.ascontiguousarray(sigs32).tobytes())
         out = out.append_column(
             "_sig",
             pa.Array.from_buffers(pa.binary(width), sigs.shape[0], [None, sig_buf]),
@@ -306,26 +312,38 @@ def jaccard_pairs(
     rows_per_band = hasher.rows_per_band
     n_bands = hasher.bands
 
-    def verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
+    sig_width = hasher.num_perm * 4  # uint32-truncated minima, see MinHasher.__call__
+
+    def verified_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
         )
-        if len(group) < 2:
+        n = group.num_rows
+        if n < 2:
             return empty
-        # ONE sort finds every band bucket as a run — no pandas groupby
-        # over tens of thousands of tiny band keys (~50 µs each)
-        g = group.sort_values(["band_key", id_column], kind="mergesort")
-        keys = g["band_key"].to_numpy()
-        ids = g[id_column].to_numpy()
-        sigs = np.frombuffer(b"".join(g["_sig"].to_numpy()), dtype=np.uint64).reshape(
-            len(g), -1
-        )
-        brk = np.empty(len(g), dtype=bool)
+        # Arrow-native on purpose: a pandas group would materialize every
+        # 512-byte signature as a Python bytes object (measured: the
+        # conversion + b"".join dominated the whole verify stage). The
+        # fixed-width binary column's data buffer IS the (n, num_perm)
+        # uint64 matrix — one zero-copy frombuffer, then ONE lexsort
+        # finds every band bucket as a run.
+        keys0 = group["band_key"].to_numpy(zero_copy_only=False)
+        ids0 = group[id_column].to_numpy(zero_copy_only=False)
+        sig_col = group["_sig"].combine_chunks()
+        buf = sig_col.buffers()[-1]
+        start = sig_col.offset * sig_width
+        sigs0 = np.frombuffer(buf, dtype=np.uint32, count=n * hasher.num_perm,
+                              offset=start).reshape(n, -1)
+        order = np.lexsort((ids0, keys0))
+        keys = keys0[order]
+        ids = ids0[order]
+        sigs = sigs0[order]
+        brk = np.empty(n, dtype=bool)
         brk[0] = True
         brk[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(brk)
-        lens = np.diff(np.append(starts, len(g)))
+        lens = np.diff(np.append(starts, n))
         ia_parts = [np.empty(0, dtype=np.int64)]
         ib_parts = [np.empty(0, dtype=np.int64)]
         two = starts[lens == 2]  # the dominant case, fully vectorized
@@ -349,13 +367,14 @@ def jaccard_pairs(
         prior = np.arange(n_bands)[None, :] < cur_b[:, None]
         keep &= ~(band_eq & prior).any(axis=1)
         # ids ascend within a run, so ia < ib ⇒ id_a < id_b
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "jaccard": est[keep]}
+        return pa.table(
+            {"id_a": pa.array(ids[ia][keep]), "id_b": pa.array(ids[ib][keep]),
+             "jaccard": pa.array(est[keep])}
         )
 
     sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
     exploded = sigs.map_batches(explode_with_sig, batch_format="pyarrow")
-    return exploded.groupby("_b").map_groups(verified_pairs, batch_format="pandas")
+    return exploded.groupby("_b").map_groups(verified_pairs, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
