@@ -1899,6 +1899,36 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM final GROUP BY conv_id
 """
 
 
+def q_approx_quantiles(sf_dir: str):
+    """ONE-pass mergeable quantile sketch (stages/sketches.py
+    QuantileSketch: stratified weighted order statistics, kilobyte
+    merge), gated like the ANN queries: a second distributed pass
+    computes each estimate's TRUE rank, and the gate asserts the rank
+    error ≤ 2% of n (theory: ≤ n/2k ≈ 0.05% at k=1024). The exact
+    2-3-pass alternative is the `quantiles` query."""
+    from commons_codec_ray.stages.sketches import approx_quantiles
+
+    qs = [0.5, 0.9, 0.99]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_quantiles(ds, "value", qs, k=1024)
+    n = ds.count()
+
+    def rank_counts(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {f"c{i}": pa.array([int((v <= est[i]).sum())], pa.int64()) for i in range(len(qs))}
+        )
+
+    parts = ds.map_batches(rank_counts, batch_format="pyarrow").to_pandas().sum()
+    ok = [abs(int(parts[f"c{i}"]) - qs[i] * n) <= 0.02 * n for i in range(len(qs))]
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "rank_ok": pa.array(ok, pa.bool_())}
+    )
+
+
+_APPROX_QUANTILES_SQL = "SELECT unnest([0.5, 0.9, 0.99]) AS q, true AS rank_ok"
+
+
 def q_median_per_user(sf_dir: str):
     """Per-key discrete median (stages/grouptop.py quantile_per_key):
     one hash-bucket shuffle + vectorized per-run rank indexing —
@@ -1961,6 +1991,7 @@ QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "vocab_df": q_vocab_df,
     "quantiles": q_quantiles,
+    "approx_quantiles": q_approx_quantiles,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
@@ -2013,6 +2044,7 @@ ORACLE_SQL = {
     "semi_join_bloom": _SEMI_JOIN_SQL,
     "vocab_df": _VOCAB_DF_SQL,
     "quantiles": _QUANTILES_SQL,
+    "approx_quantiles": _APPROX_QUANTILES_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,

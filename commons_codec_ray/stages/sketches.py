@@ -170,6 +170,100 @@ def heavy_hitters(
     return acc.top(n)
 
 
+class QuantileSketch:
+    """Mergeable one-pass quantile sketch: per update, keep ``k`` evenly
+    spaced order statistics of the sorted input, each carrying weight
+    n/k; merge concatenates weighted samples; a quantile estimate is the
+    value at the target rank of the weighted union.
+
+    Per-batch rank error is ≤ n_batch/k (the stratified-sample gap), so
+    the merged estimate's GLOBAL rank error is ≤ total_n/k summed over
+    strata — in practice ≪ 1% of rank at k=1024 per batch. The exact
+    path (stages/quantiles.py histogram refinement) costs 2-3 full
+    passes; this sketch is ONE pass + a kilobyte merge — use it when a
+    bounded-error answer per pass matters more than exactness.
+    """
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.values = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def update(self, arr) -> "QuantileSketch":
+        v = np.sort(np.asarray(arr, dtype=np.float64))
+        n = len(v)
+        if n == 0:
+            return self
+        if n <= self.k:
+            sample, w = v, np.ones(n)
+        else:
+            # centered stratified picks: element at the middle of each of
+            # k equal-rank strata, weight n/k each
+            idx = ((np.arange(self.k) + 0.5) * n / self.k).astype(np.int64)
+            sample, w = v[idx], np.full(self.k, n / self.k)
+        self.values = np.concatenate([self.values, sample])
+        self.weights = np.concatenate([self.weights, w])
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        out = QuantileSketch(self.k)
+        out.values = np.concatenate([self.values, other.values])
+        out.weights = np.concatenate([self.weights, other.weights])
+        return out
+
+    def compress(self) -> "QuantileSketch":
+        """Re-sample the weighted union back to ~k entries (bounds sketch
+        size when merging many partials; adds one more n/k rank error)."""
+        if len(self.values) <= self.k:
+            return self
+        order = np.argsort(self.values, kind="mergesort")
+        v, w = self.values[order], self.weights[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        targets = (np.arange(self.k) + 0.5) * total / self.k
+        idx = np.searchsorted(cum, targets, side="left")
+        out = QuantileSketch(self.k)
+        out.values = v[np.minimum(idx, len(v) - 1)]
+        out.weights = np.full(self.k, total / self.k)
+        return out
+
+    def estimate(self, q: float) -> float:
+        if len(self.values) == 0:
+            return float("nan")
+        order = np.argsort(self.values, kind="mergesort")
+        v, w = self.values[order], self.weights[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(i, len(v) - 1)])
+
+    def serialize(self) -> bytes:
+        return self.values.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def deserialize(cls, k: int, data: bytes) -> "QuantileSketch":
+        arr = np.frombuffer(data, dtype=np.float64)
+        out = cls(k)
+        out.values = arr[: len(arr) // 2].copy()
+        out.weights = arr[len(arr) // 2 :].copy()
+        return out
+
+
+def approx_quantiles(ds, column: str, qs: list[float], k: int = 1024) -> list[float]:
+    """One-pass distributed quantile estimates: one sketch per batch,
+    kilobyte merge on the driver (same shape as approx_distinct)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).update(batch[column].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([sk.serialize()], type=pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = QuantileSketch(k)
+    for row in parts:
+        acc = acc.merge(QuantileSketch.deserialize(k, row["sketch"]))
+    return [acc.estimate(q) for q in qs]
+
+
 def approx_distinct(ds, column: str, k: int = 1024) -> float:
     """Distributed distinct-count estimate: one sketch per batch → merge.
 

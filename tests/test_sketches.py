@@ -115,6 +115,38 @@ def test_heavy_hitters_require_exact_raises_on_shrink(ray_session, tmp_path):
     assert sorted(v for v, _ in top) == [0, 1, 2, 3, 4]
 
 
+def test_quantile_sketch_bounded_rank_error():
+    from commons_codec_ray.stages.sketches import QuantileSketch
+
+    rng = np.random.RandomState(2)
+    data = rng.lognormal(0, 2, 200_000)
+    # simulate the distributed shape: per-batch sketches merged
+    acc = QuantileSketch(k=1024)
+    for lo in range(0, len(data), 16_384):
+        acc = acc.merge(QuantileSketch(1024).update(data[lo : lo + 16_384]))
+    s = np.sort(data)
+    n = len(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = acc.estimate(q)
+        rank = np.searchsorted(s, est, side="right")
+        assert abs(rank - q * n) <= 0.01 * n, (q, rank / n)
+
+
+def test_quantile_sketch_compress_and_serialize():
+    from commons_codec_ray.stages.sketches import QuantileSketch
+
+    rng = np.random.RandomState(5)
+    data = rng.uniform(0, 1, 100_000)
+    sk = QuantileSketch(512).update(data[:50_000]).merge(
+        QuantileSketch(512).update(data[50_000:])
+    )
+    compact = sk.compress()
+    assert len(compact.values) <= 512
+    rt = QuantileSketch.deserialize(512, compact.serialize())
+    for q in (0.25, 0.75):
+        assert abs(rt.estimate(q) - q) < 0.02  # uniform data: value ≈ q
+
+
 def test_kmv_zero_is_not_a_fixed_point():
     h = KMVSketch._hash(np.array([0], dtype=np.int64))
     assert int(h[0]) != 0
