@@ -1899,6 +1899,66 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM final GROUP BY conv_id
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing over the document corpus: email-like tokens →
+    [EMAIL], long digit runs (phone-ish) → [NUMBER] — vectorized Arrow
+    RE2 kernels (pc.replace_substring_regex), no Python per row. Arrow
+    and DuckDB both compile RE2, so the oracle's regexp_replace(...,'g')
+    is byte-identical by construction. A count of changed docs rides
+    along so the query proves the kernels actually fired."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    email = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    number = r"\d{6,}"
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        clean = pc.replace_substring_regex(txt, pattern=email, replacement="[EMAIL]")
+        clean = pc.replace_substring_regex(clean, pattern=number, replacement="[NUMBER]")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": clean,
+                "changed": pc.not_equal(clean, txt),
+            }
+        )
+
+    def plant(t: pa.Table) -> pa.Table:
+        # the synthetic corpus carries no PII-shaped tokens, so the
+        # kernels would be vacuous; plant deterministic email/phone
+        # strings on doc_id % 5 == 0 in a SQL-re-derivable way (the
+        # oracle plants the identical text) — proving the scrub fires
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        planted = [
+            f"{x} contact user{i}@example.com tel 55512{i:05d}" if i % 5 == 0 else x
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(planted, pa.string())})
+
+    return docs.map_batches(plant, batch_format="pyarrow").map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+_PII_SCRUB_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com tel 55512' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\d{6,}', '[NUMBER]', 'g') AS clean_text,
+       regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\d{6,}', '[NUMBER]', 'g') <> text AS changed
+FROM planted
+"""
+
+
 def q_approx_quantiles(sf_dir: str):
     """ONE-pass mergeable quantile sketch (stages/sketches.py
     QuantileSketch: stratified weighted order statistics, kilobyte
@@ -1992,6 +2052,7 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "quantiles": q_quantiles,
     "approx_quantiles": q_approx_quantiles,
+    "pii_scrub": q_pii_scrub,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
@@ -2045,6 +2106,7 @@ ORACLE_SQL = {
     "vocab_df": _VOCAB_DF_SQL,
     "quantiles": _QUANTILES_SQL,
     "approx_quantiles": _APPROX_QUANTILES_SQL,
+    "pii_scrub": _PII_SCRUB_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
