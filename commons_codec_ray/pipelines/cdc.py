@@ -687,32 +687,49 @@ class CDCPipeline:
         return ds
 
     def read_changes(self, epoch: int | None = None, table: str | None = None):
-        """Read the committed change feed (``emit_changes=True`` runs) as
-        a Ray Dataset — one epoch's feed or the whole history. Empty
+        """Read the COMMITTED change feed (``emit_changes=True`` runs) as
+        a Ray Dataset — one epoch's feed or the whole history.
+
+        Commit-gated like ``read_lake``: change files are written by
+        apply tasks BEFORE the epoch commits, so a crashed epoch leaves
+        orphan files on disk — only epochs ≤ the checkpoint's last
+        committed epoch are served (a committed epoch's files are
+        deterministic, so a retry rewrites identical bytes). Empty
         epochs (no changes) simply have no files."""
         table = table or self.config.table
         root = self.store.root / "changes"
+        last = self.store.read_checkpoint().last_epoch
         if epoch is not None:
+            if epoch > last:
+                raise ValueError(f"epoch {epoch} not committed (last={last})")
             dirs = [root / f"epoch-{epoch:08d}" / safe_table_dir(table)]
         else:
             dirs = sorted(root.glob("epoch-*")) if root.exists() else []
-            dirs = [d / safe_table_dir(table) for d in dirs]
+            dirs = [
+                d / safe_table_dir(table)
+                for d in dirs
+                if int(d.name.split("-")[1]) <= last
+            ]
         files = [str(f) for d in dirs if d.exists() for f in sorted(d.glob("changes-*.parquet"))]
         if not files:
-            return rd.from_arrow(
-                pa.table(
-                    {
-                        "change": pa.array([], pa.string()),
-                        "conv_id": pa.array([], pa.string()),
-                        "turn_idx": pa.array([], pa.int32()),
-                        "role": pa.array([], pa.string()),
-                        "text": pa.array([], pa.string()),
-                        "tool": pa.array([], pa.string()),
-                        "ts": pa.array([], pa.timestamp("us")),
-                        "lsn": pa.array([], pa.int64()),
-                    }
-                )
+            # schema must match real feed files, including schema-evolved
+            # extra columns — a consumer unioning per-epoch feeds would
+            # otherwise crash only on quiet epochs
+            empty = pa.table(
+                {
+                    "change": pa.array([], pa.string()),
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "role": pa.array([], pa.string()),
+                    "text": pa.array([], pa.string()),
+                    "tool": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "lsn": pa.array([], pa.int64()),
+                }
             )
+            for name, typ in _extra_columns(self.config.registry, table):
+                empty = empty.append_column(name, pa.array([], typ))
+            return rd.from_arrow(empty)
         return rd.read_parquet(files)
 
     def _partitions_at(self, epoch: int) -> dict[str, str]:

@@ -1503,15 +1503,10 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <=
 """
 
 
-def q_semi_join(sf_dir: str):
-    """Broadcast semi-join: orders whose customer sits in the EUROPE
-    region. The dimension chain (region → nation → customer keys) is
-    resolved driver-side on the tiny side and broadcast ONCE via
-    ``ray.put``; the fact table streams through an ``is_in`` filter — no
-    shuffle at all. At scales where the key set outgrows memory, swap the
-    exact set for a bloom filter + exact re-check (same pipeline shape)."""
-    import ray as _ray
-
+def _europe_custkeys(sf_dir: str) -> np.ndarray:
+    """Shared dimension-chain resolution for the broadcast join family:
+    region(EUROPE) → nations → customer keys, sorted. The region/nation
+    side is driver-read (tiny); customers stream through a filter."""
     import pyarrow.parquet as _pq
 
     region = _pq.read_table(f"{sf_dir}/region.parquet")
@@ -1531,7 +1526,19 @@ def q_semi_join(sf_dir: str):
         .to_pandas()["c_custkey"]
         .to_numpy()
     )
-    keys_ref = _ray.put(pa.array(np.sort(custkeys)))
+    return np.sort(custkeys)
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join: orders whose customer sits in the EUROPE
+    region. The dimension chain (region → nation → customer keys) is
+    resolved driver-side on the tiny side and broadcast ONCE via
+    ``ray.put``; the fact table streams through an ``is_in`` filter — no
+    shuffle at all. At scales where the key set outgrows memory, swap the
+    exact set for a bloom filter + exact re-check (q_semi_join_bloom)."""
+    import ray as _ray
+
+    keys_ref = _ray.put(pa.array(_europe_custkeys(sf_dir)))
 
     class SemiFilter:
         def __init__(self):
@@ -1563,26 +1570,7 @@ def q_anti_join(sf_dir: str):
     inverted (the delete-list / exclusion-list pattern)."""
     import ray as _ray
 
-    import pyarrow.parquet as _pq
-
-    region = _pq.read_table(f"{sf_dir}/region.parquet")
-    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
-    rkeys = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"]
-    nkeys = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))[
-        "n_nationkey"
-    ].combine_chunks()
-    custkeys = (
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys)).select(
-                ["c_custkey"]
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["c_custkey"]
-        .to_numpy()
-    )
-    keys_ref = _ray.put(pa.array(np.sort(custkeys)))
+    keys_ref = _ray.put(pa.array(_europe_custkeys(sf_dir)))
 
     class AntiFilter:
         def __init__(self):
@@ -1617,30 +1605,12 @@ def q_semi_join_bloom(sf_dir: str):
     the oracle is the same SQL as q_semi_join."""
     import ray as _ray
 
-    import pyarrow.parquet as _pq
-
     from commons_codec_ray.stages.bloom import BloomFilter
 
-    region = _pq.read_table(f"{sf_dir}/region.parquet")
-    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
-    rkeys = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"]
-    nkeys = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))[
-        "n_nationkey"
-    ].combine_chunks()
-    custkeys = (
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys)).select(
-                ["c_custkey"]
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["c_custkey"]
-        .to_numpy()
-    )
+    custkeys = _europe_custkeys(sf_dir)
     bloom = BloomFilter(len(custkeys), fp_rate=0.01).add(custkeys)
     bloom_ref = _ray.put(bloom.serialize())
-    exact_ref = _ray.put(pa.array(np.sort(custkeys)))
+    exact_ref = _ray.put(pa.array(custkeys))
 
     class BloomSemiFilter:
         def __init__(self):

@@ -315,8 +315,14 @@ def change_feed(
         bcols = ["conv_id", "turn_idx", LSN_COLUMN] + [
             c for c in image_cols if c in b.columns
         ]
+        b = b[bcols].copy()
+        # nullable Int64, NOT float64: a left merge would otherwise route
+        # base lsns through float64 (NaN for missing keys) and lose
+        # precision above 2^53 — enough to break replay idempotency for
+        # 64-bit CDC LSNs (e.g. WAL positions)
+        b[LSN_COLUMN] = b[LSN_COLUMN].astype("Int64")
         m = red.merge(
-            b[bcols], on=["conv_id", "turn_idx"], how="left", suffixes=("", "__old")
+            b, on=["conv_id", "turn_idx"], how="left", suffixes=("", "__old")
         )
         in_base = m[LSN_COLUMN].notna()
         base_lsn = m[LSN_COLUMN].fillna(-(1 << 62)).astype("int64")

@@ -138,11 +138,23 @@ class MinHasher:
         H = th_all[nonempty]
         starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
         N = len(H)
+        k = self.shingle_k
+        # distinct odd multiplier per shingle position (position 0 gets
+        # weight 1) so permuted token orders hash differently; computed
+        # for ANY k, not just the default 3
+        muls = [np.uint64(1)]
         with np.errstate(over="ignore"):
-            h2 = np.concatenate([H[1:], np.zeros(1, np.uint64)])
-            h3 = np.concatenate([H[2:], np.zeros(2, np.uint64)])
-            comb = H + _R1 * h2 + _R2 * h3
-        m = np.maximum(cnt - (self.shingle_k - 1), 1)
+            cur = np.uint64(1)
+            for _ in range(k - 1):
+                cur = cur * _R1 + _R2
+                muls.append(cur | np.uint64(1))
+            comb = np.zeros(N, dtype=np.uint64)
+            for j_off in range(k):
+                shifted = np.concatenate(
+                    [H[j_off:], np.zeros(min(j_off, N), np.uint64)]
+                ) if j_off else H
+                comb = comb + muls[j_off] * shifted
+        m = np.maximum(cnt - (k - 1), 1)
         out_starts = np.concatenate([[0], np.cumsum(m)])
         total = int(out_starts[-1])
         doc_of = np.repeat(np.arange(n), m)
@@ -152,17 +164,20 @@ class MinHasher:
             S = comb[np.minimum(src, N - 1)]
         else:
             S = np.zeros(total, np.uint64)
-        sp = cnt < self.shingle_k  # <k tokens: one shingle over them all
+        # < k tokens: ONE shingle over the tokens the doc has. Built
+        # per-count (c tokens -> sum of the first c weighted hashes), so
+        # a short doc can never fold in a NEIGHBOR document's tokens —
+        # the full-width comb above would read past the doc's segment.
+        sp = cnt < k
         if sp.any():
             sidx = out_starts[:-1][sp]
             s0 = starts[sp]
             c = cnt[sp]
             with np.errstate(over="ignore"):
                 v = np.zeros(int(sp.sum()), dtype=np.uint64)
-                has1 = c >= 1
-                v[has1] = H[s0[has1]]
-                has2 = c >= 2
-                v[has2] = v[has2] + _R1 * H[s0[has2] + 1]
+                for j_off in range(k - 1):
+                    has = c >= j_off + 1
+                    v[has] = v[has] + muls[j_off] * H[s0[has] + j_off]
             S[sidx] = v
         with np.errstate(over="ignore"):
             S = (S + _R1) * _R1
@@ -527,11 +542,18 @@ def dedup_clusters_distributed(pairs_ds, rounds: int | None = None, num_buckets:
 
     max_rounds = rounds if rounds is not None else 64
     prev_sum = None
-    # fixed per-round block budget: labels re-union with edges every
-    # round, and without a bound the block count grows round over round
-    # (union blocks → sort partitions → next union), inflating task
-    # counts and driver memory by round ~10
-    label_blocks = 8
+    # per-round block budget: labels re-union with edges every round, and
+    # without a bound the block count grows round over round (union
+    # blocks → sort partitions → next union), inflating task counts and
+    # driver memory by round ~10. Scaled with the cluster so label maps
+    # don't under-parallelize on wide clusters, but always bounded.
+    try:
+        import ray as _ray
+
+        _cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    except Exception:  # noqa: BLE001
+        _cpus = 8
+    label_blocks = max(8, min(256, 2 * _cpus))
     for _ in range(max_rounds):
         # each node sends its label to every neighbor (self-loops carry
         # the keep-own-label message), takes the min of what it received,

@@ -17,6 +17,22 @@ import pyarrow as pa
 from commons_codec_ray.util import adaptive_buckets
 
 
+def _bucketize_by_key(key: str, num_buckets: int):
+    """map_batches fn appending ``_gb`` = siphash(key) & (B-1); handles
+    string keys (pandas' C siphash), shared by both grouped operators."""
+
+    def _b(t: pa.Table) -> pa.Table:
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_gb", pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
+        )
+
+    return _b
+
+
 def top_n_per_key(
     ds,
     key: str,
@@ -36,15 +52,6 @@ def top_n_per_key(
     """
     num_buckets = num_buckets or adaptive_buckets()
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        keys = t[key]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "_gb", pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
-        )
-
     def cap_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values(
             [key, order_by, tiebreak],
@@ -62,9 +69,9 @@ def top_n_per_key(
         rank = np.arange(m) - run_start
         return g[rank < n].drop(columns=["_gb"])
 
-    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("_gb").map_groups(
-        cap_bucket, batch_format="pandas"
-    )
+    return ds.map_batches(
+        _bucketize_by_key(key, num_buckets), batch_format="pyarrow"
+    ).groupby("_gb").map_groups(cap_bucket, batch_format="pandas")
 
 
 def quantile_per_key(
@@ -88,15 +95,6 @@ def quantile_per_key(
     num_buckets = num_buckets or adaptive_buckets()
     out_name = out_name or f"q{q}"
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        keys = t[key]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "_gb", pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
-        )
-
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values([key, column], kind="mergesort")
         m = len(g)
@@ -114,6 +112,6 @@ def quantile_per_key(
             {key: keys_np[starts], out_name: g[column].to_numpy()[idx]}
         )
 
-    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("_gb").map_groups(
-        pick, batch_format="pandas"
-    )
+    return ds.map_batches(
+        _bucketize_by_key(key, num_buckets), batch_format="pyarrow"
+    ).groupby("_gb").map_groups(pick, batch_format="pandas")

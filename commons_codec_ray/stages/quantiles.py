@@ -43,12 +43,17 @@ def distributed_quantiles(
     neither).
     """
 
-    # pass 0: count + global min/max in one native aggregate each
+    # pass 0: count (parquet-metadata-cheap) + global min/max in ONE
+    # combined aggregate pass (separate .min()/.max() calls would each
+    # scan the full dataset)
+    from ray.data.aggregate import Max, Min
+
     n = ds.count()
     if n == 0:
         return [float("nan")] * len(qs)
-    lo = ds.min(column)
-    hi = ds.max(column)
+    mm = ds.aggregate(Min(column), Max(column))
+    lo = mm[f"min({column})"]
+    hi = mm[f"max({column})"]
 
     ranks = [_rank_for(q, n) for q in qs]
     out: list[float | None] = [None] * len(qs)

@@ -260,7 +260,10 @@ def approx_quantiles(ds, column: str, qs: list[float], k: int = 1024) -> list[fl
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     acc = QuantileSketch(k)
     for row in parts:
-        acc = acc.merge(QuantileSketch.deserialize(k, row["sketch"]))
+        # compress each step so the accumulator stays ~k entries — pure
+        # concatenation would grow linearly with batch count (16 GB at
+        # 10^6 batches), defeating the kilobyte-merge design
+        acc = acc.merge(QuantileSketch.deserialize(k, row["sketch"])).compress()
     return [acc.estimate(q) for q in qs]
 
 

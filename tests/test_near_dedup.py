@@ -35,6 +35,32 @@ def test_distributed_clusters_match_union_find():
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_minhasher_nondefault_k_no_neighbor_leakage():
+    """Regression (r3 review): the batch shingle combine must fold
+    exactly shingle_k tokens for ANY k — with k=2 the old code folded 3,
+    reading the NEXT document's first token, so signatures depended on
+    batch neighbors."""
+    import pyarrow as pa
+
+    from commons_codec_ray.stages.dedup import MinHasher
+
+    for k in (1, 2, 3, 4, 5):
+        h = MinHasher(shingle_k=k)
+        # same doc, different neighbors and batch positions
+        s1 = h.signatures(pa.array(["alpha beta gamma delta", "xxx yyy zzz qqq rrr"]))[0]
+        s2 = h.signatures(pa.array(["completely other words here now", "alpha beta gamma delta"]))[1]
+        assert (s1 == s2).all(), f"k={k}: signature depends on neighbors"
+        # and a doc shorter than k must not absorb its neighbor either
+        s3 = h.signatures(pa.array(["lone", "alpha beta gamma delta"]))[0]
+        s4 = h.signatures(pa.array(["lone", "totally different neighbor text"]))[0]
+        assert (s3 == s4).all(), f"k={k}: short-doc signature depends on neighbors"
+        # different token ORDER must hash differently for k >= 2
+        if k >= 2:
+            a = h.signatures(pa.array(["one two three four five six"]))[0]
+            b = h.signatures(pa.array(["six five four three two one"]))[0]
+            assert not (a == b).all(), f"k={k}: order-insensitive shingles"
+
+
 def test_distributed_clusters_path_graph_converges_log_rounds():
     """Pointer-jumping (VERDICT r2 #6): a 1000-node PATH graph (diameter
     999 — the worst case for one-hop propagation) must converge within a
