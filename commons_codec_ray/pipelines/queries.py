@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.envelopes import EventsToEnvelopes
@@ -1869,6 +1869,72 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM final GROUP BY conv_id
 """
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status) without re-scanning per level:
+    per-batch partial aggregates (combiner) → ONE small groupby to the
+    finest level, then the coarser levels (priority, grand total) are
+    derived from the finest AGGREGATE rows — a few dozen rows — never
+    from the data again. Measures are count and max (exactly
+    re-aggregable under any association; a float SUM derived from
+    partials could differ from the oracle's by an ulp)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "pri": t["o_orderpriority"],
+                    "st": t["o_orderstatus"],
+                    "price": t["o_totalprice"],
+                }
+            )
+            .group_by(["pri", "st"])
+            .aggregate([("price", "count"), ("price", "max")])
+        )
+
+    finest = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pri", "st"])
+        .aggregate(
+            Sum("price_count", alias_name="n_orders"),
+            Max("price_max", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    lvl1 = (
+        finest.groupby("pri", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), max_price=("max_price", "max"))
+        .assign(st=None)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "pri": [None],
+            "st": [None],
+            "n_orders": [finest["n_orders"].sum()],
+            "max_price": [finest["max_price"].max()],
+        }
+    )
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["pri"].tolist(), pa.string()),
+            "o_orderstatus": pa.array(out["st"].tolist(), pa.string()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(dtype="int64")),
+            "max_price": pa.array(out["max_price"].to_numpy(dtype="float64")),
+        }
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII scrubbing over the document corpus: email-like tokens →
     [EMAIL], long digit runs (phone-ish) → [NUMBER] — vectorized Arrow
@@ -2023,6 +2089,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "approx_quantiles": q_approx_quantiles,
     "pii_scrub": q_pii_scrub,
+    "rollup": q_rollup,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
@@ -2077,6 +2144,7 @@ ORACLE_SQL = {
     "quantiles": _QUANTILES_SQL,
     "approx_quantiles": _APPROX_QUANTILES_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
+    "rollup": _ROLLUP_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
