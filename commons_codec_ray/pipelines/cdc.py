@@ -686,6 +686,53 @@ class CDCPipeline:
             )
         return ds
 
+    def replay_dead_letters(self) -> dict[str, Any]:
+        """Re-ingest every committed dead letter through the (presumably
+        fixed) decode path as ONE new epoch.
+
+        Dead letters are self-describing ({dialect, payload} in ``aux``),
+        so this needs no out-of-band bookkeeping. Re-decoded ops apply
+        with their ORIGINAL lsn — LWW means an op that was superseded
+        while it sat in the dead-letter queue correctly loses. Rows that
+        still fail decode are dead-lettered again under the new epoch.
+        The epoch commits with a zero-width offset range at the current
+        high-water mark so the tail position never regresses."""
+        root = self.store.root / "dead_letters"
+        files = sorted(str(f) for f in root.glob("epoch-*/*.parquet")) if root.exists() else []
+        ckpt = self.store.read_checkpoint()
+        if not files:
+            return {"epoch": ckpt.last_epoch, "events": 0, "skipped": True}
+
+        def to_envelopes(t: pa.Table) -> pa.Table:
+            auxes = t["aux"].to_pylist()
+            dialects, payloads = [], []
+            for a in auxes:
+                try:
+                    d = json.loads(a or "{}")
+                    dialects.append(d.get("dialect") or "debezium")
+                    payloads.append(d.get("payload") or "")
+                except ValueError:  # pre-r3 dead letters stored the raw payload
+                    dialects.append("debezium")
+                    payloads.append(a or "")
+            return pa.table(
+                {
+                    "lsn": t["lsn"],
+                    "source_offset": t["source_offset"],
+                    "dialect": pa.array(dialects, pa.string()),
+                    "payload": pa.array(payloads, pa.string()),
+                }
+            )
+
+        env = rd.read_parquet(files).map_batches(to_envelopes, batch_format="pyarrow")
+        epoch = ckpt.last_epoch + 1
+        hwm = ckpt.next_offset
+        res = self.run_epoch(env, epoch=epoch, offset_range=(hwm, hwm))
+        # the replayed letters are now applied (or re-dead-lettered under
+        # the new epoch) — retire the consumed queue files
+        for f in files:
+            Path(f).unlink(missing_ok=True)
+        return res
+
     def read_changes(self, epoch: int | None = None, table: str | None = None):
         """Read the COMMITTED change feed (``emit_changes=True`` runs) as
         a Ray Dataset — one epoch's feed or the whole history.

@@ -1266,6 +1266,45 @@ WHERE CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 10 = 0
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-group hash sampling: each ``source`` stratum keeps its own
+    deterministic fraction (web 10%, wiki 50%, everything else 20%) —
+    the domain-rebalancing sampler of pretraining mixes. Membership is a
+    pure function of the row (md5 bucket of text, same rule as
+    q_hash_sample), so the mix is reproducible across runs and cluster
+    sizes and the oracle re-derives it exactly; no coordination, no
+    stored row lists."""
+    import hashlib as _hashlib
+
+    rates = {"src0": 10, "src1": 50}  # percent; default 20
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        srcs = t["source"].to_pylist()
+        keep = np.fromiter(
+            (
+                int(_hashlib.md5((x or "").encode("utf-8")).hexdigest()[:8], 16) % 100
+                < rates.get(s, 20)
+                for x, s in zip(texts, srcs)
+            ),
+            dtype=bool,
+            count=len(texts),
+        )
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source, text FROM documents
+WHERE CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 100
+      < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 ELSE 20 END
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Top-10 most frequent users via a mergeable Misra–Gries sketch
     (one sketch per batch, kilobyte merge — the 100 TB pattern for
@@ -2071,6 +2110,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "simhash_dedup": q_simhash_dedup,
@@ -2126,6 +2166,7 @@ ORACLE_SQL = {
     "approx_distinct": _APPROX_DISTINCT_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
     "hash_sample": _HASH_SAMPLE_SQL,
+    "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_dedup": _SIMHASH_DEDUP_SQL,

@@ -163,7 +163,10 @@ class DecodeEnvelopes:
                 tool.append(None)
                 ts_raw.append(None)
                 data_col.append(None)
-                aux.append(payloads[i])
+                # self-describing dead letter: dialect + raw payload, so
+                # replay_dead_letters can re-ingest through the right
+                # decoder after a fix without out-of-band bookkeeping
+                aux.append(json.dumps({"dialect": dialects[i], "payload": payloads[i]}))
                 lsn_out.append(lsns[i])
                 off_out.append(offsets[i])
                 error.append(f"{type(exc).__name__}: {exc}")
