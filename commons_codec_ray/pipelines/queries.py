@@ -217,6 +217,73 @@ _DEAD_LETTER_SQL = (
 # ---------------------------------------------------------------------------
 
 
+def q_cdc_multi_table(sf_dir: str):
+    """Multi-table CDC routing end-to-end: one stream carries envelopes
+    for TWO tables (odd lsns readdressed to ``archive`` via the
+    Debezium table metadata), one replay routes each table into its own
+    partition space and files, and the result is the union of both
+    lakes tagged by table — verifying the reference's TableAddress
+    semantics (model.py:20-29) through the full distributed path."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    env = EventsToEnvelopes(duplicates=False, dialect="debezium")(events)
+    odd = pc.equal(pc.bit_wise_and(env["lsn"], 1), 1)
+    redirected = pc.replace_substring(
+        env["payload"], '"table-name":"transcripts"', '"table-name":"archive"'
+    )
+    payload = pc.if_else(odd, redirected, env["payload"])
+    env = env.set_column(env.schema.get_field_index("payload"), "payload", payload)
+
+    lake = _tempfile.mkdtemp(prefix="ccr_multitable_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16))
+        offs = env["source_offset"]
+        pipe.run_epoch(
+            rd.from_arrow(env),
+            epoch=0,
+            offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+        )
+        parts = []
+        for table in ("transcripts", "archive"):
+            t = pa.Table.from_pandas(
+                pipe.read_lake(table=table).to_pandas(), preserve_index=False
+            )
+            parts.append(
+                t.add_column(0, "table_name", pa.array([table] * t.num_rows, pa.string()))
+            )
+        out = pa.concat_tables(parts, promote_options="permissive")
+        return out.select(
+            ["table_name", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_MULTI_TABLE_SQL = """
+WITH ops AS (
+  SELECT CASE WHEN event_id % 2 = 1 THEN 'archive' ELSE 'transcripts' END AS table_name,
+         'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY table_name, conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM ops)
+SELECT table_name, conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op = 1
+"""
+
+
 def q_windowed_agg(sf_dir: str):
     """Tumbling 1-day window per user: pre-aggregated inside map_batches
     (combiner), then a small groupby over partials — the scalable
@@ -2133,6 +2200,7 @@ QUERIES = {
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
+    "cdc_multi_table": q_cdc_multi_table,
 }
 
 ORACLE_SQL = {
@@ -2189,4 +2257,5 @@ ORACLE_SQL = {
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
+    "cdc_multi_table": _CDC_MULTI_TABLE_SQL,
 }
