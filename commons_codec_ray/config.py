@@ -141,18 +141,15 @@ class PipelineConfig:
     # emit a row-level change feed (insert/update/delete with before
     # images for deletes) per epoch under lake/changes/ — the CDC OUTPUT
     # stream downstream consumers / incremental view maintenance read.
-    # Requires the rewrite sink (the feed classification needs the
-    # partition's current state, which delta mode deliberately skips).
+    # With sink_mode='delta' the Dataset path must merge-on-read the
+    # committed base+deltas per partition to classify ops (the delta
+    # write path is otherwise read-free); the actor path holds state in
+    # memory, so its feed is free in both modes. Identical feed bytes
+    # across all four (mode × sink) combinations.
     emit_changes: bool = False
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
 
     def __post_init__(self) -> None:
-        if self.emit_changes and self.sink_mode == "delta":
-            raise ValueError(
-                "emit_changes requires sink_mode='rewrite': the change feed "
-                "classifies ops against current partition state, which the "
-                "delta sink does not load per epoch"
-            )
         if not self.registry.column_types:
             self.registry.column_types = {
                 self.table: {

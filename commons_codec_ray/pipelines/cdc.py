@@ -142,6 +142,7 @@ def _make_apply_fn(
         epoch_dir.mkdir(parents=True, exist_ok=True)
 
         kind = "full"
+        pre_state = None  # partition state BEFORE this epoch (feed baseline)
         if sink_mode == "delta" and (base_rel or delta_rels):
             new_delta = epoch_delta(group, extra_columns)
             base_rows = (
@@ -157,21 +158,33 @@ def _make_apply_fn(
             if compact:
                 base = pq.read_table(Path(lake_root) / base_rel) if base_rel else None
                 deltas = [pq.read_table(Path(lake_root) / d) for d in delta_rels]
+                if emit_changes:
+                    pre_state = merge_base_with_deltas(base, deltas, extra_columns)
                 out = merge_base_with_deltas(base, deltas + [new_delta], extra_columns)
             else:
                 kind = "delta"
                 out = new_delta
+                if emit_changes:
+                    # merge-on-read purely for the feed: the delta WRITE
+                    # path stays read-free; asking for a change feed on a
+                    # delta sink pays one base+deltas read per partition
+                    # (manifest-committed files only, so a retried task
+                    # reconstructs the identical pre-state)
+                    base = pq.read_table(Path(lake_root) / base_rel) if base_rel else None
+                    deltas = [pq.read_table(Path(lake_root) / d) for d in delta_rels]
+                    pre_state = merge_base_with_deltas(base, deltas, extra_columns)
         else:
             base = pq.read_table(Path(lake_root) / base_rel) if base_rel else None
             if delta_rels:  # entering rewrite mode over a delta lake
                 deltas = [pq.read_table(Path(lake_root) / d) for d in delta_rels]
                 base = merge_base_with_deltas(base, deltas, extra_columns)
             out = apply_ops_to_base(base, group, extra_columns)
+            pre_state = base
 
-        if emit_changes and kind == "full" and sink_mode != "delta":
+        if emit_changes:
             from commons_codec_ray.stages.applier import change_feed
 
-            cf = change_feed(base, group, extra_columns)
+            cf = change_feed(pre_state, group, extra_columns)
             n_changes = cf.num_rows
             if n_changes:
                 ch_dir = (

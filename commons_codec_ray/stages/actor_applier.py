@@ -278,9 +278,10 @@ class PartitionApplier:
 
             # change feed: the actor already holds base state in memory,
             # so feed emission costs one vectorized merge — no file reads
-            # (the Dataset path re-reads base; here it's free)
+            # in EITHER sink mode (the Dataset delta path must merge-on-
+            # read the committed base+deltas for its feed; here it's free)
             n_changes = 0
-            if self.emit_changes and self.sink_mode != "delta":
+            if self.emit_changes:
                 from commons_codec_ray.stages.applier import change_feed
 
                 cf = change_feed(base, group, self.extra_columns)

@@ -58,9 +58,47 @@ def test_change_feed_idempotent_on_replay():
     assert change_feed(base, e1).num_rows == 0  # committed epoch re-applied → empty
 
 
-def test_emit_changes_rejected_with_delta_sink():
-    with pytest.raises(ValueError, match="rewrite"):
-        PipelineConfig(sink_mode="delta", emit_changes=True)
+def test_change_feed_identical_across_sink_modes_and_apply_modes(ray_session, tmp_path):
+    """The feed must be byte-identical across all four (apply mode ×
+    sink mode) combinations over a multi-epoch replay whose epoch size
+    is small enough to exercise BOTH delta writes and compaction — the
+    delta Dataset path merge-on-reads its pre-state, the actor paths
+    emit from in-memory state."""
+    events = pq.read_table(f"{SF_DIR}/events.parquet")
+    env = EventsToEnvelopes(duplicates=True)(events).sort_by("source_offset")
+    log = tmp_path / "env.parquet"
+    pq.write_table(env, log, row_group_size=100)
+
+    feeds = {}
+    for mode in ("groupby", "actors"):
+        for sink in ("rewrite", "delta"):
+            pipe = CDCPipeline(
+                tmp_path / f"lake_{mode}_{sink}",
+                PipelineConfig(
+                    num_partitions=8, emit_changes=True, epoch_size=300,
+                    sink_mode=sink, compact_max_deltas=3,
+                ),
+            )
+            pipe.replay(str(log), mode=mode, epoch_size=300)
+            df = pipe.read_changes().to_pandas()
+            feeds[(mode, sink)] = df.sort_values(
+                ["lsn", "conv_id", "turn_idx"]
+            ).reset_index(drop=True)
+    ref = feeds[("groupby", "rewrite")]
+    assert len(ref) > 0
+    for key, df in feeds.items():
+        pd.testing.assert_frame_equal(df, ref), key
+    # the delta legs genuinely exercised delta writes AND (via the small
+    # compact_max_deltas) later-epoch full rewrites = compactions
+    delta_lake = tmp_path / "lake_groupby_delta"
+    delta_files = list(delta_lake.rglob("part-*.delta.parquet"))
+    later_fulls = [
+        p
+        for p in delta_lake.rglob("part-[0-9]*.parquet")
+        if ".delta." not in p.name and "epoch-00000000" not in str(p)
+    ]
+    assert delta_files, "delta sink never wrote a delta file"
+    assert later_fulls, "delta sink never compacted"
 
 
 def test_incremental_view_maintenance_matches_recompute(ray_session, tmp_path):
