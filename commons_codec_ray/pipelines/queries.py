@@ -1274,6 +1274,111 @@ GROUP BY l.event_id
 """
 
 
+def q_hash_join(sf_dir: str):
+    """Shuffled large×large INNER equi-join (stages/joins.py hash_join):
+    lineitem ⋈ orders on orderkey — both sides scale with the data, so
+    neither can be broadcast; one tagged-union shuffle on hash(key),
+    vectorized pandas merge per bucket."""
+    from commons_codec_ray.stages.joins import hash_join
+
+    left = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)).select(
+            ["l_orderkey", "l_linenumber"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, on="l_orderkey", how="inner")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"].to_numpy(dtype="int64")),
+                "l_linenumber": pa.array(df["l_linenumber"].to_numpy(dtype="int64")),
+                "o_custkey": pa.array(
+                    pd.array(df["o_custkey"], dtype="Int64"), type=pa.int64()
+                ),
+                "o_totalprice": pa.array(
+                    duckdb_round(df["o_totalprice"].to_numpy(dtype="float64"), 2)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+_HASH_JOIN_SQL = """
+SELECT l.l_orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       o.o_custkey,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 45
+"""
+
+
+def q_hash_join_left(sf_dir: str):
+    """Shuffled LEFT equi-join with genuine misses and one-to-many
+    fan-out: every customer against their URGENT orders — customers with
+    none surface once with typed nulls (Int64 keys stay integers through
+    the null fill, not NaN-degraded float64)."""
+    from commons_codec_ray.stages.joins import hash_join
+
+    left = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    right = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .select(["o_custkey", "o_orderkey", "o_totalprice"])
+        .rename_columns(["c_custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        left, right, on="c_custkey", how="left",
+        right_columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pa.array(df["c_custkey"].to_numpy(dtype="int64")),
+                "c_acctbal": pa.array(
+                    duckdb_round(df["c_acctbal"].to_numpy(dtype="float64"), 2)
+                ),
+                "o_orderkey": pa.array(
+                    pd.array(df["o_orderkey"], dtype="Int64"), type=pa.int64()
+                ),
+                "o_totalprice": pa.array(
+                    duckdb_round(df["o_totalprice"].to_numpy(dtype="float64"), 2)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+_HASH_JOIN_LEFT_SQL = """
+SELECT c.c_custkey,
+       round(c.c_acctbal, 2) AS c_acctbal,
+       o.o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+"""
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values of a column (ds.unique — a shuffle)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -2172,6 +2277,8 @@ QUERIES = {
     "bcast_join_agg": q_bcast_join_agg,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "hash_join": q_hash_join,
+    "hash_join_left": q_hash_join_left,
     "top_orders": q_top_orders,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
@@ -2229,6 +2336,8 @@ ORACLE_SQL = {
     "bcast_join_agg": _BCAST_JOIN_SQL,
     "asof_join": _ASOF_JOIN_SQL,
     "range_join": _RANGE_JOIN_SQL,
+    "hash_join": _HASH_JOIN_SQL,
+    "hash_join_left": _HASH_JOIN_LEFT_SQL,
     "top_orders": _TOP_ORDERS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,

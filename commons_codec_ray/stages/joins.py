@@ -131,6 +131,50 @@ def asof_join(
     return tagged.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    right_columns: list[str] | None = None,
+    suffix: str = "_right",
+    num_buckets: int | None = None,
+):
+    """Shuffled large×large equi-join (inner or left) — the join shape
+    broadcast joins can't cover: BOTH sides are partitioned on
+    ``hash(on) % num_buckets`` in ONE tagged-union shuffle, then each
+    bucket is joined with a vectorized ``pandas.merge``. Neither side is
+    materialized on the driver or broadcast; per-bucket memory is
+    |bucket_left| + |bucket_right| + |matches in bucket|, bounded by the
+    adaptive bucket count (grows with input / cluster CPUs).
+
+    Many-to-many keys multiply within their bucket only; a single hot
+    key still lands in one group — salt upstream if one key dominates
+    (same contract as every keyed join).
+
+    Right non-key columns are cast to NULLABLE pandas dtypes before the
+    merge so ``how="left"`` misses don't degrade int64 columns to
+    float64 (NaN coercion) — the classic pandas silent-precision trap.
+    """
+    assert how in ("inner", "left"), how
+    num_buckets = num_buckets or adaptive_buckets()
+    left_cols = left_ds.schema().names
+    right_columns = right_columns or [
+        c for c in right_ds.schema().names if c != on
+    ]
+    types = _union_types(left_ds, right_ds)
+    all_cols = list(dict.fromkeys([*left_cols, on, *right_columns]))
+    right_dtypes = {c: _pandas_null_dtype(types.get(c)) for c in right_columns}
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[~df["_right"], left_cols]
+        r = df.loc[df["_right"], [on, *right_columns]].astype(right_dtypes)
+        return l.merge(r, on=on, how=how, suffixes=("", suffix))
+
+    tagged = _tagged_union(left_ds, right_ds, all_cols, types, on, num_buckets)
+    return tagged.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
+
+
 def range_join_agg(
     left_ds,
     right_ds,

@@ -7,7 +7,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from commons_codec_ray.stages.joins import asof_join, range_join_agg
+from commons_codec_ray.stages.joins import asof_join, hash_join, range_join_agg
 
 
 def _ds(rows):
@@ -64,3 +64,52 @@ def test_range_join_counts_and_sums():
     )
     assert out["n_in_range"].tolist() == [3, 0, 0]
     assert out["sum_in_range"].tolist() == [7.0, 0.0, 0.0]
+
+
+def test_hash_join_inner_many_to_many():
+    left = _ds([
+        {"k": 1, "lv": 10},
+        {"k": 1, "lv": 11},
+        {"k": 2, "lv": 20},
+        {"k": 3, "lv": 30},  # no right match
+    ])
+    right = _ds([
+        {"k": 1, "rv": 100},
+        {"k": 1, "rv": 101},
+        {"k": 2, "rv": 200},
+        {"k": 9, "rv": 900},  # no left match
+    ])
+    out = (
+        hash_join(left, right, on="k", how="inner")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # 2 left x 2 right rows for k=1 (cartesian within key), 1 for k=2
+    assert len(out) == 5
+    assert out.loc[out["k"] == 1, "rv"].tolist() == [100, 101, 100, 101]
+    assert 3 not in out["k"].tolist() and 9 not in out["k"].tolist()
+
+
+def test_hash_join_left_null_fill_keeps_int_dtype():
+    left = _ds([{"k": 1, "lv": 10}, {"k": 3, "lv": 30}])
+    right = _ds([{"k": 1, "rv": 100}])
+    out = (
+        hash_join(left, right, on="k", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0, "rv"] == 100
+    assert pd.isna(out.loc[1, "rv"])
+    # the unmatched row must not have degraded matched rv values to float
+    assert float(out.loc[0, "rv"]) == 100.0
+
+
+def test_hash_join_name_collision_gets_suffix():
+    left = _ds([{"k": 1, "v": 10}])
+    right = _ds([{"k": 1, "v": 99}])
+    out = hash_join(left, right, on="k", how="inner").to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_right"]
+    assert out.loc[0, "v"] == 10 and out.loc[0, "v_right"] == 99
