@@ -1379,6 +1379,80 @@ FROM customer c LEFT JOIN orders o
 """
 
 
+def q_window_rank(sf_dir: str):
+    """Partitioned ranking analytics — row_number / rank / dense_rank
+    over (PARTITION BY o_custkey ORDER BY price_k DESC): rows co-locate
+    by hash(partition key) in ONE coarse-bucket shuffle (adaptive bucket
+    count), then each bucket ranks ALL its partitions with vectorized
+    pandas groupby.rank / cumcount — no per-partition Python loop. The
+    order key is an integer (floor(price/1000)) so ties are real and
+    rank vs dense_rank semantics are actually exercised; row_number gets
+    a deterministic (price_k DESC, o_orderkey) total order."""
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    num_buckets = adaptive_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price_k = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) / 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_wb": hash_bucket(keys, num_buckets),
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_k": pa.array(price_k),
+            }
+        )
+
+    def rank_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["o_custkey", "price_k", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        by_key = df.groupby("o_custkey", sort=False)
+        rn = by_key.cumcount().to_numpy() + 1
+        rank = by_key["price_k"].rank(method="min", ascending=False)
+        dense = by_key["price_k"].rank(method="dense", ascending=False)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(dtype="int64")),
+                "o_custkey": pa.array(df["o_custkey"].to_numpy(dtype="int64")),
+                "price_k": pa.array(df["price_k"].to_numpy(dtype="int64")),
+                "row_number": pa.array(rn.astype(np.int64)),
+                "rank": pa.array(rank.to_numpy().astype(np.int64)),
+                "dense_rank": pa.array(dense.to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+_WINDOW_RANK_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_k,
+       CAST(row_number() OVER w2 AS BIGINT) AS row_number,
+       CAST(rank() OVER w AS BIGINT) AS rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rank
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY price_k DESC),
+       w2 AS (PARTITION BY o_custkey ORDER BY price_k DESC, o_orderkey)
+"""
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values of a column (ds.unique — a shuffle)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -1906,6 +1980,120 @@ WHERE token <> '' GROUP BY token ORDER BY df DESC, token LIMIT 100
 """
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top-K terms by tf-idf. Two passes over the corpus:
+
+    pass 1 — EXACT document frequency for the whole vocabulary (the
+    vocab_df integer-keyed exchange, without the top-100 cut); the
+    resulting token→df table is the classic small side (vocab ≪ corpus)
+    and is broadcast ONCE via ray.put, read per actor in __init__.
+
+    pass 2 — per-batch term frequency (each document is one row, so tf
+    never crosses batches = no shuffle), df lookup against the broadcast
+    vocab, and a vectorized per-doc top-K.
+
+    Scoring uses idf = 1/df in FIXED-POINT (score = tf·10⁹ // df,
+    int64): monotone in tf/df, and all-integer so engine and SQL oracle
+    rank and compare bit-exactly — no libm log() whose last ulp could
+    differ across engines. tf·10⁹ stays far below 2⁶³ for any real
+    document. Ties rank deterministically by (score DESC, token ASC)."""
+    import ray as _ray
+
+    B = 256
+    SCALE = 1_000_000_000
+    K = 5
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _doc_tokens(t: pa.Table) -> pd.DataFrame:
+        la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        toks = la.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), np.diff(offsets)
+        )
+        df = pd.DataFrame({"doc_id": doc_of, "token": toks})
+        return df[df["token"] != ""]
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        counts = _doc_tokens(t).drop_duplicates()["token"].value_counts()
+        tok_arr = counts.index.to_numpy()
+        bucket = (pd.util.hash_array(tok_arr) & np.uint64(B - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "_vb": pa.array(bucket),
+                "token": pa.array(tok_arr, pa.string()),
+                "df_part": pa.array(counts.to_numpy(), pa.int64()),
+            }
+        )
+
+    def bucket_totals(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["df_part"].sum().reset_index(name="df")
+
+    vocab = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("_vb")
+        .map_groups(bucket_totals, batch_format="pandas")
+        .to_pandas()  # vocab-sized, not corpus-sized
+    )
+    df_ref = _ray.put(vocab.set_index("token")["df"])
+
+    class ScoreTopK:
+        def __init__(self):
+            self.df = _ray.get(df_ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = _doc_tokens(t)
+            tf = (
+                toks.groupby(["doc_id", "token"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            dfv = self.df.reindex(tf["token"].to_numpy()).to_numpy()
+            score = (tf["tf"].to_numpy() * np.int64(SCALE)) // dfv
+            out = pd.DataFrame(
+                {
+                    "doc_id": tf["doc_id"].to_numpy(),
+                    "token": tf["token"].to_numpy(),
+                    "tf": tf["tf"].to_numpy().astype(np.int64),
+                    "df": dfv.astype(np.int64),
+                    "score": score.astype(np.int64),
+                }
+            ).sort_values(
+                ["doc_id", "score", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+            out = out[out["rank"] <= K]
+            return pa.Table.from_pandas(
+                out[["doc_id", "rank", "token", "tf", "df", "score"]],
+                preserve_index=False,
+            )
+
+    return docs.map_batches(ScoreTopK, batch_format="pyarrow", concurrency=pool_size(4))
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE token <> '' GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * 1000000000 // dfreq.df AS score
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, token, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
 def q_quantiles(sf_dir: str):
     """Distributed EXACT quantiles (stages/quantiles.py): iterative
     histogram refinement — kilobyte count vectors per pass, no global
@@ -1925,6 +2113,29 @@ _QUANTILES_SQL = """
 SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events
 UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
 UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
+"""
+
+
+def q_quantiles_cont(sf_dir: str):
+    """Distributed INTERPOLATED quantiles (quantile_cont semantics):
+    same histogram-refinement exchange as the discrete path, selecting
+    BOTH bracketing order statistics in one refinement and lerping with
+    the exact double expression DuckDB uses (bit-exact oracle compare,
+    no rounding)."""
+    from commons_codec_ray.stages.quantiles import distributed_quantiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qs = [0.25, 0.5, 0.95]
+    vals = distributed_quantiles_cont(ds, "value", qs)
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(vals, pa.float64())}
+    )
+
+
+_QUANTILES_CONT_SQL = """
+SELECT 0.25 AS q, quantile_cont(value, 0.25) AS value FROM events
+UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events
+UNION ALL SELECT 0.95, quantile_cont(value, 0.95) FROM events
 """
 
 
@@ -2279,6 +2490,7 @@ QUERIES = {
     "range_join": q_range_join,
     "hash_join": q_hash_join,
     "hash_join_left": q_hash_join_left,
+    "window_rank": q_window_rank,
     "top_orders": q_top_orders,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
@@ -2300,7 +2512,9 @@ QUERIES = {
     "anti_join": q_anti_join,
     "semi_join_bloom": q_semi_join_bloom,
     "vocab_df": q_vocab_df,
+    "tfidf": q_tfidf,
     "quantiles": q_quantiles,
+    "quantiles_cont": q_quantiles_cont,
     "approx_quantiles": q_approx_quantiles,
     "pii_scrub": q_pii_scrub,
     "rollup": q_rollup,
@@ -2338,6 +2552,7 @@ ORACLE_SQL = {
     "range_join": _RANGE_JOIN_SQL,
     "hash_join": _HASH_JOIN_SQL,
     "hash_join_left": _HASH_JOIN_LEFT_SQL,
+    "window_rank": _WINDOW_RANK_SQL,
     "top_orders": _TOP_ORDERS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
@@ -2359,7 +2574,9 @@ ORACLE_SQL = {
     "anti_join": _ANTI_JOIN_SQL,
     "semi_join_bloom": _SEMI_JOIN_SQL,
     "vocab_df": _VOCAB_DF_SQL,
+    "tfidf": _TFIDF_SQL,
     "quantiles": _QUANTILES_SQL,
+    "quantiles_cont": _QUANTILES_CONT_SQL,
     "approx_quantiles": _APPROX_QUANTILES_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
     "rollup": _ROLLUP_SQL,

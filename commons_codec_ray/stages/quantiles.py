@@ -42,20 +42,69 @@ def distributed_quantiles(
     NaN/NULL handling is the caller's concern — the test tables carry
     neither).
     """
-
-    # pass 0: count (parquet-metadata-cheap) + global min/max in ONE
-    # combined aggregate pass (separate .min()/.max() calls would each
-    # scan the full dataset)
-    from ray.data.aggregate import Max, Min
-
     n = ds.count()
     if n == 0:
         return [float("nan")] * len(qs)
+    ranks = [_rank_for(q, n) for q in qs]
+    return distributed_order_stats(ds, column, ranks, bins, scan_limit, max_rounds)
+
+
+def distributed_quantiles_cont(
+    ds,
+    column: str,
+    qs: list[float],
+    bins: int = 4096,
+    scan_limit: int = 262_144,
+    max_rounds: int = 8,
+) -> list[float]:
+    """INTERPOLATED quantiles matching DuckDB's ``quantile_cont``: for
+    h = q·(n-1) (0-indexed), lerp between order statistics ⌊h⌋ and
+    ⌊h⌋+1 as ``lo + (hi - lo)·frac`` — the same double-precision
+    expression DuckDB evaluates, so results stay bit-exact. Costs the
+    same histogram passes as the discrete path (both bracketing ranks
+    are selected in one refinement)."""
+    n = ds.count()
+    if n == 0:
+        return [float("nan")] * len(qs)
+    want: list[tuple[int, int, float]] = []  # (rank_lo, rank_hi, frac), 1-indexed
+    ranks_needed: set[int] = set()
+    for q in qs:
+        h = q * (n - 1)
+        k = int(np.floor(h))
+        frac = h - k
+        r_lo = k + 1
+        r_hi = min(k + 2, n)
+        want.append((r_lo, r_hi, frac))
+        ranks_needed.update((r_lo, r_hi))
+    uniq = sorted(ranks_needed)
+    vals = distributed_order_stats(ds, column, uniq, bins, scan_limit, max_rounds)
+    by_rank = dict(zip(uniq, vals))
+    out = []
+    for r_lo, r_hi, frac in want:
+        lo_v, hi_v = by_rank[r_lo], by_rank[r_hi]
+        out.append(lo_v if frac == 0.0 else lo_v + (hi_v - lo_v) * frac)
+    return out
+
+
+def distributed_order_stats(
+    ds,
+    column: str,
+    ranks: list[int],
+    bins: int = 4096,
+    scan_limit: int = 262_144,
+    max_rounds: int = 8,
+) -> list[float]:
+    """Exact 1-indexed order statistics of ``column`` for each rank, by
+    the histogram-refinement exchange described in the module docstring."""
+
+    # pass 0: global min/max in ONE combined aggregate pass (separate
+    # .min()/.max() calls would each scan the full dataset)
+    from ray.data.aggregate import Max, Min
+
     mm = ds.aggregate(Min(column), Max(column))
     lo = mm[f"min({column})"]
     hi = mm[f"max({column})"]
-
-    ranks = [_rank_for(q, n) for q in qs]
+    qs = ranks  # positional correspondence below
     out: list[float | None] = [None] * len(qs)
 
     # active targets: (index into qs, remaining rank within the current

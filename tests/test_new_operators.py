@@ -80,6 +80,30 @@ def test_distributed_quantiles_refinement_path(ray_session, tmp_path):
         assert g == want, (q, g, want)
 
 
+def test_distributed_quantiles_cont_vs_duckdb(ray_session, tmp_path):
+    """Interpolated (quantile_cont) path: bit-exact against DuckDB,
+    including q=0/1 endpoints and a q whose h lands exactly on an
+    integer (no interpolation)."""
+    import duckdb
+
+    from commons_codec_ray.stages.quantiles import distributed_quantiles_cont
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.lognormal(0, 2, 15_000), np.full(3_000, 2.5), rng.uniform(-9, 9, 12_000)]
+    )
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    pq.write_table(tbl, tmp_path / "v.parquet")
+    ds = rd.read_parquet(str(tmp_path / "v.parquet"))
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = distributed_quantiles_cont(ds, "v", qs)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{tmp_path}/v.parquet')")
+    for q, g in zip(qs, got):
+        want = con.execute("SELECT quantile_cont(v, ?) FROM t", [q]).fetchone()[0]
+        assert g == want, (q, g, want)
+
+
 def test_exact_jaccard_pairs_threshold_and_dedupe(ray_session):
     from commons_codec_ray.stages.dedup import exact_jaccard_pairs
 
