@@ -1453,6 +1453,135 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY price_k DESC),
 """
 
 
+def q_window_lag(sf_dir: str):
+    """Per-key ordered window navigation + running aggregates: lag(value),
+    row_number and a running sum per user in (ts, event_id) order. Same
+    one-shuffle coarse-bucket contract as window_rank; inside a bucket
+    everything is pandas shift / cumcount / cumsum over the sorted frame
+    — running sums accumulate in the SAME left-to-right order as the SQL
+    window, so the float path stays deterministic (rounded to 2 to
+    absorb the last-ulp association differences of DuckDB's windowed
+    sum)."""
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    num_buckets = adaptive_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_wb", hash_bucket(keys, num_buckets))
+
+    def lag_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        prev = g["value"].shift(1)
+        nth = g.cumcount().to_numpy() + 1
+        run = g["value"].cumsum()
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(dtype="int64")),
+                "user_id": pa.array(df["user_id"].to_numpy(dtype="int64")),
+                "prev_value": pa.array(prev.to_numpy(dtype="float64")),
+                "nth_event": pa.array(nth.astype(np.int64)),
+                "running_sum": pa.array(
+                    duckdb_round(run.to_numpy(dtype="float64"), 2)
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(lag_bucket, batch_format="pandas")
+    )
+
+
+_WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       CAST(row_number() OVER w AS BIGINT) AS nth_event,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_pivot_event_types(sf_dir: str):
+    """Pivot / crosstab: one row per user, one count column per event
+    type. Per-batch vectorized crosstab partials (the combiner — each
+    batch emits at most |users-in-batch| rows), then ONE small groupby
+    sum over already-collapsed partials; the fact stream itself is never
+    shuffled row-by-row."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for c in TYPES:
+            if c not in ct.columns:
+                ct[c] = 0
+        ct = ct[TYPES].reset_index()
+        ct.columns = ["user_id", *(f"n_{c}" for c in TYPES)]
+        return ct
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in TYPES])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"].cast(pa.int64())}
+        for c in TYPES:
+            cols[f"n_{c}"] = t[f"n_{c}"].cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_quantile_filter(sf_dir: str):
+    """Quantile-thresholded filtering — the training-data shape "keep
+    documents above the corpus P90": pass 1 computes the EXACT P90 of
+    n_chars with the histogram-refinement operator (kilobyte exchanges,
+    integer column so no float risk), pass 2 filters the stream against
+    the broadcast threshold. No sort, no materialization."""
+    from commons_codec_ray.stages.quantiles import distributed_quantiles
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    p90 = distributed_quantiles(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"]),
+        "n_chars",
+        [0.9],
+    )[0]
+
+    return docs.map_batches(
+        lambda t, _thr=p90: t.filter(pc.greater(t["n_chars"], _thr)),
+        batch_format="pyarrow",
+    )
+
+
+_QUANTILE_FILTER_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE n_chars > (SELECT quantile_disc(n_chars, 0.9) FROM documents)
+"""
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values of a column (ds.unique — a shuffle)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -2491,6 +2620,9 @@ QUERIES = {
     "hash_join": q_hash_join,
     "hash_join_left": q_hash_join_left,
     "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
+    "pivot_event_types": q_pivot_event_types,
+    "quantile_filter": q_quantile_filter,
     "top_orders": q_top_orders,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
@@ -2553,6 +2685,9 @@ ORACLE_SQL = {
     "hash_join": _HASH_JOIN_SQL,
     "hash_join_left": _HASH_JOIN_LEFT_SQL,
     "window_rank": _WINDOW_RANK_SQL,
+    "window_lag": _WINDOW_LAG_SQL,
+    "pivot_event_types": _PIVOT_SQL,
+    "quantile_filter": _QUANTILE_FILTER_SQL,
     "top_orders": _TOP_ORDERS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
