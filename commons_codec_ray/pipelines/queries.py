@@ -284,6 +284,141 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_set_ops(sf_dir: str):
+    """Distributed set operations (INTERSECT / EXCEPT) without a
+    row-level shuffle of either input: each batch collapses to distinct
+    (user_id, in_left, in_right) presence partials (the combiner), one
+    small groupby ORs the flags per key, and both set results fall out
+    of one pass — users with a purchase ∩ users with an error, and the
+    purchase-only EXCEPT, tagged in one output."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        mask = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "error"))
+        sub = t.filter(mask)
+        df = pd.DataFrame(
+            {
+                "user_id": sub["user_id"].to_numpy(zero_copy_only=False),
+                "in_l": pc.equal(sub["event_type"], "purchase")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", sort=False)["in_l"].agg(["max", "min"])
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(dtype="int64")),
+                "in_l": pa.array(g["max"].to_numpy(dtype="int64")),
+                # in_r: had at least one error row → min over in_l flags is 0
+                "in_r": pa.array((1 - g["min"]).to_numpy(dtype="int64")),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        l = t["in_l"].to_numpy(zero_copy_only=False).astype(bool)
+        r = t["in_r"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        both = uid[l & r]
+        only_l = uid[l & ~r]
+        return pa.table(
+            {
+                "set_op": pa.array(
+                    ["intersect"] * len(both) + ["except_l"] * len(only_l), pa.string()
+                ),
+                "user_id": pa.array(np.concatenate([both, only_l])),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SET_OPS_SQL = """
+WITH l AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'intersect' AS set_op, user_id FROM (SELECT user_id FROM l INTERSECT SELECT user_id FROM r)
+UNION ALL
+SELECT 'except_l', user_id FROM (SELECT user_id FROM l EXCEPT SELECT user_id FROM r)
+"""
+
+
+def q_cdc_time_travel(sf_dir: str):
+    """Snapshot isolation / time travel over the committed lake: replay
+    in two epochs, then read BOTH the epoch-0 snapshot (via the
+    per-epoch manifest fold, ``read_lake(epoch=0)``) and the current
+    checkpoint state from the SAME lake — each a consistent LWW state,
+    returned tagged by snapshot. Vacuum bounds how far back this reaches
+    (``CDCPipeline.vacuum``); un-vacuumed history is exactly
+    reconstructible, which the SQL oracle re-derives from the lsn
+    split."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    boundary = n // 2
+    env = EventsToEnvelopes(duplicates=True)(events)
+    e1 = env.filter(pc.less(env["lsn"], boundary))
+    e2 = env.filter(pc.greater_equal(env["lsn"], boundary))
+
+    lake = _tempfile.mkdtemp(prefix="ccr_timetravel_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16))
+        for epoch, part in enumerate((e1, e2)):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        parts = []
+        for label, epoch in (("epoch0", 0), ("current", None)):
+            t = pa.Table.from_pandas(
+                pipe.read_lake(epoch=epoch).to_pandas(), preserve_index=False
+            )
+            parts.append(
+                t.add_column(0, "snapshot", pa.array([label] * t.num_rows, pa.string()))
+            )
+        out = pa.concat_tables(parts, promote_options="permissive")
+        return out.select(
+            ["snapshot", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_TIME_TRAVEL_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+boundary AS (SELECT CAST(count(*) // 2 AS BIGINT) AS b FROM events),
+snap0 AS (
+  SELECT 'epoch0' AS snapshot, conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops WHERE lsn < (SELECT b FROM boundary)) WHERE rn = 1 AND op = 1),
+cur AS (
+  SELECT 'current' AS snapshot, conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops) WHERE rn = 1 AND op = 1)
+SELECT * FROM snap0 UNION ALL SELECT * FROM cur
+"""
+
+
 def q_windowed_agg(sf_dir: str):
     """Tumbling 1-day window per user: pre-aggregated inside map_batches
     (combiner), then a small groupby over partials — the scalable
@@ -2654,6 +2789,8 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_time_travel": q_cdc_time_travel,
+    "set_ops": q_set_ops,
 }
 
 ORACLE_SQL = {
@@ -2719,4 +2856,6 @@ ORACLE_SQL = {
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
     "cdc_multi_table": _CDC_MULTI_TABLE_SQL,
+    "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
+    "set_ops": _SET_OPS_SQL,
 }
