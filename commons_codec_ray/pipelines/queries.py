@@ -284,6 +284,94 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_unnest_tokens(sf_dir: str):
+    """Explode / flat_map with ordinality: one output row per token with
+    its 1-based position — pure Arrow ListArray arithmetic (flatten +
+    offset-repeat + arange-minus-start), zero Python per-row work. Kept
+    to every-50th doc so the result stays compare-sized at any sf."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sel = t.filter(
+            pc.equal(
+                pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 50), 50)), 0
+            )
+        )
+        la = pc.split_pattern(sel["text"].combine_chunks(), pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        n_tok = np.diff(offsets)
+        doc_of = np.repeat(sel["doc_id"].to_numpy(zero_copy_only=False), n_tok)
+        pos = np.arange(offsets[-1] - offsets[0], dtype=np.int64) - np.repeat(
+            offsets[:-1] - offsets[0], n_tok
+        ) + 1
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc_of),
+                "pos": pa.array(pos),
+                "token": la.flatten(),
+            }
+        )
+        return out.filter(pc.not_equal(out["token"], ""))
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+_UNNEST_SQL = """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS token
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents WHERE doc_id % 50 = 0
+)
+WHERE toks[pos] <> ''
+"""
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered per-group string aggregation (string_agg / listagg): the
+    event types of each user in (ts, event_id) order, comma-joined. One
+    coarse-bucket shuffle; inside a bucket the concatenation is a single
+    pandas groupby-apply over pre-sorted rows — deterministic because
+    the order key is total."""
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    num_buckets = adaptive_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_wb", hash_bucket(keys, num_buckets))
+
+    def agg_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        joined = g["event_type"].agg(",".join)
+        n = g.size()
+        return pa.table(
+            {
+                "user_id": pa.array(joined.index.to_numpy(dtype="int64")),
+                "n_events": pa.array(n.to_numpy(dtype="int64")),
+                "type_seq": pa.array(joined.to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+FROM events GROUP BY user_id
+"""
+
+
 def q_set_ops(sf_dir: str):
     """Distributed set operations (INTERSECT / EXCEPT) without a
     row-level shuffle of either input: each batch collapses to distinct
@@ -2791,6 +2879,8 @@ QUERIES = {
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_time_travel": q_cdc_time_travel,
     "set_ops": q_set_ops,
+    "unnest_tokens": q_unnest_tokens,
+    "string_agg": q_string_agg,
 }
 
 ORACLE_SQL = {
@@ -2858,4 +2948,6 @@ ORACLE_SQL = {
     "cdc_multi_table": _CDC_MULTI_TABLE_SQL,
     "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
     "set_ops": _SET_OPS_SQL,
+    "unnest_tokens": _UNNEST_SQL,
+    "string_agg": _STRING_AGG_SQL,
 }
