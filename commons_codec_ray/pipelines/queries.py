@@ -2814,6 +2814,290 @@ SELECT user_id, quantile_disc(value, 0.5) AS median_value FROM events GROUP BY u
 """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style multi-way join: lineitem JOIN orders (large x
+    large -> shuffled hash join, stages/joins.py) JOIN customer JOIN
+    nation (dimension side -> built once on the driver, broadcast via
+    ray.put). Per-item revenue and the custkey->nation projection are
+    applied BEFORE the shuffle so the exchange moves exactly two int64
+    + one float64 column; the nation-level aggregate is pre-combined
+    per batch so the final groupby is 25 rows."""
+    import ray as _ray
+    from commons_codec_ray.stages.joins import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    lookup = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    lookup_ref = _ray.put(lookup)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def item_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join(
+        line.map_batches(item_revenue, batch_format="pyarrow"), orders, on="l_orderkey"
+    )
+
+    class NationPartial:
+        def __init__(self):
+            self.lookup = _ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            proj = pd.DataFrame(
+                {"nation": df["o_custkey"].map(self.lookup), "revenue": df["revenue"]}
+            )
+            g = proj.groupby("nation", sort=False).agg(
+                n_items=("revenue", "size"), rev=("revenue", "sum")
+            )
+            return g.reset_index()
+
+    agg = joined.map_batches(
+        NationPartial, batch_format="pandas", concurrency=pool_size(4)
+    ).groupby("nation").aggregate(
+        Sum("n_items", alias_name="n_items"), Sum("rev", alias_name="rev")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": t["nation"],
+                "n_items": t["n_items"].cast(pa.int64()),
+                "revenue": duckdb_round(t["rev"].combine_chunks(), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-group bivariate statistics (corr / covar_samp / stddev_samp)
+    from mergeable moment sketches (stages/stats.py): each batch reduces
+    to one 7-float row per group, partials merge with Chan's
+    numerically-stable parallel-variance update — the shuffle moves
+    kilobytes, never the raw rows."""
+    from commons_codec_ray.stages.stats import finalize_stats, grouped_moments
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    merged = grouped_moments(line, "l_returnflag", "l_quantity", "l_extendedprice")
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = finalize_stats(t, "l_returnflag")
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pa.array(s["n"].astype(np.int64)),
+                "corr_qty_price": pa.array(duckdb_round(s["corr"], 6)),
+                "covar_qty_price": pa.array(duckdb_round(s["covar"], 4)),
+                "std_qty": pa.array(duckdb_round(s["sdx"], 6)),
+                "std_price": pa.array(duckdb_round(s["sdy"], 4)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_GROUPED_CORR_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(stddev_samp(l_extendedprice), 4) AS std_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_regex_extract(sf_dir: str):
+    """Vectorized structured extraction: pull (key, int value) pairs out
+    of the JSON-ish ``props`` string with ONE compiled RE2 kernel
+    (pc.extract_regex) — no per-row Python, no JSON parse. The filter
+    (value >= 90) is applied in the same batch so only matches leave the
+    stage."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            t["props"].combine_chunks(), r'"(?P<k>\w+)":\s*(?P<v>\d+)'
+        )
+        key = pc.struct_field(m, "k")
+        val = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        out = pa.table({"event_id": t["event_id"], "prop_key": key, "prop_val": val})
+        return out.filter(pc.greater_equal(out["prop_val"], 90))
+
+    return events.map_batches(extract, batch_format="pyarrow")
+
+
+_REGEX_EXTRACT_SQL = """
+SELECT event_id,
+       regexp_extract(props, '"(\\w+)":\\s*(\\d+)', 1) AS prop_key,
+       TRY_CAST(regexp_extract(props, '"(\\w+)":\\s*(\\d+)', 2) AS BIGINT) AS prop_val
+FROM events
+WHERE TRY_CAST(regexp_extract(props, '"(\\w+)":\\s*(\\d+)', 2) AS BIGINT) >= 90
+"""
+
+
+def q_embed_centroid(sf_dir: str):
+    """Per-label embedding centroid (the vector mean every clustering /
+    IVF build needs): each batch collapses to one (sum-vector, n) pair
+    per label via a zero-copy ``values``-buffer reshape + np.add.reduceat
+    on label-sorted rows; partial sums merge in a tiny groupby. Output
+    is long-form (label, dim, centroid) so the oracle can compare
+    scalars."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = len(labels), len(col[0])
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(n, d)
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, n])
+        uniq = sl[starts]
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for label, grp in df.groupby("label", sort=False):
+            vs = np.sort(np.stack(grp["vsum"].to_numpy()), axis=0)
+            total = vs.sum(axis=0)
+            n = int(grp["n"].sum())
+            cent = duckdb_round(total / n, 6)
+            d = len(total)
+            out.append(
+                pa.table(
+                    {
+                        "label": pa.array(np.full(d, label, dtype=np.int64)),
+                        "dim": pa.array(np.arange(d, dtype=np.int64)),
+                        "centroid": pa.array(cent),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+_EMBED_CENTROID_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(pos AS BIGINT) - 1 AS dim,
+       round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS centroid
+FROM (
+  SELECT label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
+def q_salted_join(sf_dir: str):
+    """Skew-resistant salted hash join (stages/joins.py
+    salted_hash_join): hot probe keys round-robin over salt sub-buckets,
+    build rows for those keys replicated per salt — same output as the
+    plain join (oracle-checked), no single-bucket straggler when one key
+    dominates. hot_frac=0 here forces EVERY key down the salted path so
+    the oracle exercises the replication logic, not just the cold
+    fallback."""
+    from commons_codec_ray.stages.joins import salted_hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["o_custkey"], "o_totalprice": t["o_totalprice"]}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = salted_hash_join(
+        orders, cust, on="c_custkey", num_salts=4, hot_frac=0.0005
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+        return g.reset_index()
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": t["n_orders"].cast(pa.int64()),
+                "total_price": duckdb_round(t["total"].combine_chunks(), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SALTED_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_universal": q_cdc_replay_universal,
@@ -2881,6 +3165,11 @@ QUERIES = {
     "set_ops": q_set_ops,
     "unnest_tokens": q_unnest_tokens,
     "string_agg": q_string_agg,
+    "revenue_by_nation": q_revenue_by_nation,
+    "grouped_corr": q_grouped_corr,
+    "regex_extract": q_regex_extract,
+    "embed_centroid": q_embed_centroid,
+    "salted_join": q_salted_join,
 }
 
 ORACLE_SQL = {
@@ -2950,4 +3239,9 @@ ORACLE_SQL = {
     "set_ops": _SET_OPS_SQL,
     "unnest_tokens": _UNNEST_SQL,
     "string_agg": _STRING_AGG_SQL,
+    "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+    "grouped_corr": _GROUPED_CORR_SQL,
+    "regex_extract": _REGEX_EXTRACT_SQL,
+    "embed_centroid": _EMBED_CENTROID_SQL,
+    "salted_join": _SALTED_JOIN_SQL,
 }

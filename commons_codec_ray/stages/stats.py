@@ -1,0 +1,111 @@
+"""Grouped second-moment statistics (corr / covariance / stddev) as
+mergeable partial sketches.
+
+Engine-added analytics operator (no reference counterpart — the
+reference stops at record translation; reference repo has no
+statistical aggregates): per-group bivariate moments computed the way a
+distributed engine must — each batch reduces to one tiny
+(n, mean_x, mean_y, M2x, M2y, Cxy) row per group, and partials merge
+with Chan et al.'s parallel-variance update, which is numerically
+stable (no ``n*sxx - sx**2`` catastrophic cancellation) and
+order-insensitive to ~1e-13 relative.
+
+Scale shape: the shuffle moves ``groups x 7 floats`` per input block —
+kilobytes — never the raw rows. Identical to the KMV / Misra-Gries
+sketch contract in :mod:`commons_codec_ray.stages.sketches`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+PARTIAL_COLS = ["n", "mx", "my", "m2x", "m2y", "cxy"]
+
+
+def moments_partial(df: pd.DataFrame, key: str, x: str, y: str) -> pd.DataFrame:
+    """One (n, mean, mean, M2x, M2y, Cxy) row per group present in the
+    batch — fully vectorized (transform-mean + centered products)."""
+    g = df.groupby(key, sort=False)
+    mx = g[x].transform("mean")
+    my = g[y].transform("mean")
+    dx = df[x].to_numpy(dtype="float64") - mx.to_numpy(dtype="float64")
+    dy = df[y].to_numpy(dtype="float64") - my.to_numpy(dtype="float64")
+    prod = pd.DataFrame(
+        {key: df[key], "m2x": dx * dx, "m2y": dy * dy, "cxy": dx * dy}
+    ).groupby(key, sort=False).sum()
+    out = pd.DataFrame(
+        {
+            "n": g[x].size().astype("float64"),
+            "mx": g[x].mean(),
+            "my": g[y].mean(),
+        }
+    ).join(prod)
+    return out.reset_index()
+
+
+def merge_moments(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Fold a group's partial rows with Chan's parallel update.
+
+    Rows are sorted by (n, mx, m2x) first so the fold order — and hence
+    the last-ulp float result — is deterministic across runs regardless
+    of block arrival order.
+    """
+    df = df.sort_values(["n", "mx", "m2x"], kind="mergesort")
+    out_rows = []
+    for k, grp in df.groupby(key, sort=False):
+        a = grp[PARTIAL_COLS].to_numpy(dtype="float64")
+        n1, mx1, my1, m2x1, m2y1, cxy1 = a[0]
+        for n2, mx2, my2, m2x2, m2y2, cxy2 in a[1:]:
+            n = n1 + n2
+            dx = mx2 - mx1
+            dy = my2 - my1
+            w = n1 * n2 / n
+            m2x1 = m2x1 + m2x2 + dx * dx * w
+            m2y1 = m2y1 + m2y2 + dy * dy * w
+            cxy1 = cxy1 + cxy2 + dx * dy * w
+            mx1 = mx1 + dx * n2 / n
+            my1 = my1 + dy * n2 / n
+            n1 = n
+        out_rows.append((k, n1, mx1, my1, m2x1, m2y1, cxy1))
+    return pd.DataFrame(out_rows, columns=[key, *PARTIAL_COLS])
+
+
+def grouped_moments(ds, key: str, x: str, y: str):
+    """Dataset of merged per-group moment rows: one row per distinct
+    ``key`` with columns ``n mx my m2x m2y cxy``.
+
+    Two stages: map_batches partial (rows -> groups x 7 floats), then a
+    small groupby over sketch rows only.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return moments_partial(df, key, x, y)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            merge_moments(df, key), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def finalize_stats(t: pa.Table, key: str) -> dict[str, np.ndarray]:
+    """Derive corr / sample covariance / sample stddevs from merged
+    moment rows (numpy arrays, caller rounds & names columns)."""
+    n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype="float64")
+    m2x = np.asarray(t["m2x"].to_numpy(zero_copy_only=False), dtype="float64")
+    m2y = np.asarray(t["m2y"].to_numpy(zero_copy_only=False), dtype="float64")
+    cxy = np.asarray(t["cxy"].to_numpy(zero_copy_only=False), dtype="float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cxy / np.sqrt(m2x * m2y)
+        covar = cxy / (n - 1.0)
+        sdx = np.sqrt(m2x / (n - 1.0))
+        sdy = np.sqrt(m2y / (n - 1.0))
+    return {"n": n, "corr": corr, "covar": covar, "sdx": sdx, "sdy": sdy}

@@ -113,3 +113,49 @@ def test_hash_join_name_collision_gets_suffix():
     out = hash_join(left, right, on="k", how="inner").to_pandas()
     assert sorted(out.columns) == ["k", "v", "v_right"]
     assert out.loc[0, "v"] == 10 and out.loc[0, "v_right"] == 99
+
+
+def test_salted_join_matches_plain_on_skewed_data():
+    from commons_codec_ray.stages.joins import salted_hash_join
+
+    rng = np.random.default_rng(7)
+    # one hot key carries half the probe side
+    keys = np.where(rng.random(4000) < 0.5, 42, rng.integers(0, 200, 4000))
+    left = rd.from_arrow(pa.table({"k": keys.astype("int64"),
+                                   "lv": np.arange(4000, dtype="int64")}))
+    right = rd.from_arrow(pa.table({"k": np.arange(0, 150, dtype="int64"),
+                                    "rv": np.arange(0, 150, dtype="int64") * 10}))
+    for how in ("inner", "left"):
+        plain = hash_join(left, right, on="k", how=how).to_pandas()
+        salted = salted_hash_join(left, right, on="k", how=how,
+                                  num_salts=4, hot_frac=0.05).to_pandas()
+        a = plain.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+        b = salted.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_hot_keys_estimate_finds_dominant_key():
+    from commons_codec_ray.stages.joins import hot_keys_estimate
+
+    rng = np.random.default_rng(11)
+    keys = np.where(rng.random(10000) < 0.3, 7, rng.integers(100, 5000, 10000))
+    ds = rd.from_arrow(pa.table({"k": keys.astype("int64")}))
+    hot = hot_keys_estimate(ds, "k", hot_frac=0.05)
+    assert 7 in hot
+    assert len(hot) <= 64
+
+
+def test_salted_join_replicates_hot_build_rows_exactly_once_per_match():
+    """Many-to-one on a 100%-hot key: every probe row must match its
+    build row exactly once despite S-way replication."""
+    from commons_codec_ray.stages.joins import salted_hash_join
+
+    left = rd.from_arrow(pa.table({"k": np.full(64, 5, dtype="int64"),
+                                   "lv": np.arange(64, dtype="int64")}))
+    right = rd.from_arrow(pa.table({"k": np.array([5], dtype="int64"),
+                                    "rv": np.array([99], dtype="int64")}))
+    out = salted_hash_join(left, right, on="k", num_salts=8,
+                           hot_keys=np.array([5], dtype="int64")).to_pandas()
+    assert len(out) == 64
+    assert (out["rv"] == 99).all()
+    assert sorted(out["lv"]) == list(range(64))

@@ -1,0 +1,87 @@
+"""Mergeable grouped-moment sketches (stages/stats.py): Chan-merge
+partials must equal a single-pass numpy computation regardless of how
+the rows are split into batches."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from commons_codec_ray.stages.stats import (
+    finalize_stats,
+    grouped_moments,
+    merge_moments,
+    moments_partial,
+)
+
+
+def _ref_stats(df, key, x, y):
+    out = {}
+    for k, g in df.groupby(key):
+        xs, ys = g[x].to_numpy(float), g[y].to_numpy(float)
+        out[k] = (
+            len(xs),
+            np.corrcoef(xs, ys)[0, 1],
+            np.cov(xs, ys, ddof=1)[0, 1],
+            np.std(xs, ddof=1),
+        )
+    return out
+
+
+def _rand_df(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, n),
+            "x": rng.normal(10, 3, n),
+            "y": rng.normal(-2, 7, n),
+        }
+    )
+
+
+def test_partial_merge_matches_single_pass_any_split():
+    df = _rand_df()
+    ref = _ref_stats(df, "g", "x", "y")
+    for splits in (1, 3, 17):
+        parts = [
+            moments_partial(chunk, "g", "x", "y")
+            for chunk in np.array_split(df, splits)
+        ]
+        merged = merge_moments(pd.concat(parts, ignore_index=True), "g")
+        s = finalize_stats(pa.Table.from_pandas(merged), "g")
+        for i, k in enumerate(merged["g"]):
+            n, corr, cov, sd = ref[k]
+            assert s["n"][i] == n
+            assert abs(s["corr"][i] - corr) < 1e-10
+            assert abs(s["covar"][i] - cov) < 1e-8
+            assert abs(s["sdx"][i] - sd) < 1e-10
+
+
+def test_merge_is_order_deterministic():
+    df = _rand_df(seed=9)
+    parts = pd.concat(
+        [moments_partial(c, "g", "x", "y") for c in np.array_split(df, 7)],
+        ignore_index=True,
+    )
+    a = merge_moments(parts, "g").sort_values("g").reset_index(drop=True)
+    b = (
+        merge_moments(parts.sample(frac=1.0, random_state=1), "g")
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # bit-identical despite shuffled input
+
+
+def test_grouped_moments_dataset(ray_session):
+    df = _rand_df(seed=5)
+    ref = _ref_stats(df, "g", "x", "y")
+    ds = rd.from_pandas(df).repartition(6)
+    t = pa.concat_tables(
+        grouped_moments(ds, "g", "x", "y").iter_batches(batch_format="pyarrow")
+    )
+    s = finalize_stats(t, "g")
+    got = {int(k): i for i, k in enumerate(t["g"].to_pylist())}
+    for k, (n, corr, cov, sd) in ref.items():
+        i = got[int(k)]
+        assert s["n"][i] == n
+        assert abs(s["corr"][i] - corr) < 1e-10
