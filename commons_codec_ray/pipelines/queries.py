@@ -3098,6 +3098,174 @@ GROUP BY 1
 """
 
 
+def q_distinct_per_group(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per day at shuffle-light cost: the
+    user space is hash-partitioned into buckets, each (day, bucket)
+    group deduplicates ITS users, and per-bucket distinct counts ADD
+    because buckets partition the key space — no day-level group ever
+    holds more than |users|/B pairs, so a 1e9-distinct-users day cannot
+    OOM a worker. Event totals ride the same partial-agg pattern."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    num_buckets = adaptive_buckets()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        users = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.asarray(hash_bucket(users, num_buckets))
+        local = pa.table(
+            {"day": day, "user_id": t["user_id"], "_db": pa.array(b)}
+        )
+        return local.group_by(["day", "user_id", "_db"]).aggregate([])
+
+    def bucket_distinct(df: pd.DataFrame) -> pa.Table:
+        part = (
+            df.drop_duplicates(["day", "user_id"])
+            .groupby("day", sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "day": pa.array(part.index.to_numpy(dtype="int64")),
+                "du": pa.array(part.to_numpy(dtype="int64")),
+            }
+        )
+
+    distinct = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("du", alias_name="distinct_users"))
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        g = pa.table({"day": day}).group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "n_events"])
+
+    counts = (
+        events.map_batches(totals, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    left = distinct.to_pandas()
+    right = counts.to_pandas()
+    out = left.merge(right, on="day")
+    out["day"] = pd.to_datetime(out["day"], unit="us")
+    out["distinct_users"] = out["distinct_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["day", "distinct_users", "n_events"]]
+
+
+_DISTINCT_PER_GROUP_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_funnel(sf_dir: str):
+    """Sequential-event conversion funnel: per user, the first 'click'
+    and the last 'purchase'; converted iff some purchase strictly
+    follows some click (equivalently min(click) < max(purchase)). One
+    conditional-min/max partial per batch, merged in a coarse-bucket
+    groupby — never a per-user shuffle of raw events."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    num_buckets = adaptive_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["event_type"] == "click"].groupby("user_id", sort=False)["ts"].min()
+        purch = df[df["event_type"] == "purchase"].groupby("user_id", sort=False)["ts"].max()
+        out = pd.DataFrame({"first_click_ts": clicks, "last_purchase_ts": purch})
+        out = out.reset_index()
+        keys = out["user_id"].to_numpy(dtype="int64")
+        out["_fb"] = np.asarray(hash_bucket(keys, num_buckets))
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)
+        out = pd.DataFrame(
+            {
+                "first_click_ts": g["first_click_ts"].min(),
+                "last_purchase_ts": g["last_purchase_ts"].max(),
+            }
+        ).reset_index()
+        fc, lp = out["first_click_ts"], out["last_purchase_ts"]
+        conv = pd.array((fc < lp).to_numpy(), dtype="boolean")
+        conv[(fc.isna() | lp.isna()).to_numpy()] = pd.NA
+        out["converted"] = conv
+        return out
+
+    return (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+_FUNNEL_SQL = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'click' THEN ts END) AS first_click_ts,
+       max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts,
+       min(CASE WHEN event_type = 'click' THEN ts END)
+         < max(CASE WHEN event_type = 'purchase' THEN ts END) AS converted
+FROM events GROUP BY user_id
+"""
+
+
+def q_outer_join(sf_dir: str):
+    """FULL OUTER shuffled hash join (stages/joins.py hash_join
+    how='outer'): both sides filtered so each contributes unmatched
+    rows; unmatched rows null-pad the OTHER side's columns with real
+    nullable dtypes (no int64→float64 degradation in either
+    direction)."""
+    from commons_codec_ray.stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_custkey": t["o_custkey"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        ).filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], 7), 0)),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["c_custkey"], pc.multiply(pc.divide(t["c_custkey"], 3), 3)
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(orders, cust, on="c_custkey", how="outer")
+
+
+_OUTER_JOIN_SQL = """
+SELECT COALESCE(o.c_custkey, c.c_custkey) AS c_custkey,
+       o.o_orderkey, o.o_totalprice, c.c_mktsegment
+FROM (
+  SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 8 = 0
+) o
+FULL OUTER JOIN (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+) c ON o.c_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_universal": q_cdc_replay_universal,
@@ -3170,6 +3338,9 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "embed_centroid": q_embed_centroid,
     "salted_join": q_salted_join,
+    "distinct_per_group": q_distinct_per_group,
+    "funnel": q_funnel,
+    "outer_join": q_outer_join,
 }
 
 ORACLE_SQL = {
@@ -3244,4 +3415,7 @@ ORACLE_SQL = {
     "regex_extract": _REGEX_EXTRACT_SQL,
     "embed_centroid": _EMBED_CENTROID_SQL,
     "salted_join": _SALTED_JOIN_SQL,
+    "distinct_per_group": _DISTINCT_PER_GROUP_SQL,
+    "funnel": _FUNNEL_SQL,
+    "outer_join": _OUTER_JOIN_SQL,
 }

@@ -156,7 +156,7 @@ def hash_join(
     merge so ``how="left"`` misses don't degrade int64 columns to
     float64 (NaN coercion) — the classic pandas silent-precision trap.
     """
-    assert how in ("inner", "left"), how
+    assert how in ("inner", "left", "outer"), how
     num_buckets = num_buckets or adaptive_buckets()
     left_cols = left_ds.schema().names
     right_columns = right_columns or [
@@ -165,9 +165,16 @@ def hash_join(
     types = _union_types(left_ds, right_ds)
     all_cols = list(dict.fromkeys([*left_cols, on, *right_columns]))
     right_dtypes = {c: _pandas_null_dtype(types.get(c)) for c in right_columns}
+    # full outer: unmatched RIGHT rows null-pad the left columns, so those
+    # need nullable dtypes too (same int64→float64 trap, mirrored)
+    left_dtypes = (
+        {c: _pandas_null_dtype(types.get(c)) for c in left_cols if c != on}
+        if how == "outer"
+        else {}
+    )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df.loc[~df["_right"], left_cols]
+        l = df.loc[~df["_right"], left_cols].astype(left_dtypes)
         r = df.loc[df["_right"], [on, *right_columns]].astype(right_dtypes)
         return l.merge(r, on=on, how=how, suffixes=("", suffix))
 

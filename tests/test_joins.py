@@ -159,3 +159,21 @@ def test_salted_join_replicates_hot_build_rows_exactly_once_per_match():
     assert len(out) == 64
     assert (out["rv"] == 99).all()
     assert sorted(out["lv"]) == list(range(64))
+
+
+def test_hash_join_outer_pads_both_sides_with_nullable_ints():
+    left = _ds([
+        {"k": 1, "lv": 10},
+        {"k": 2, "lv": 20},
+    ])
+    right = _ds([
+        {"k": 2, "rv": 200},
+        {"k": 3, "rv": 300},
+    ])
+    out = hash_join(left, right, on="k", how="outer").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3]
+    assert out["lv"].tolist()[:2] == [10, 20] and pd.isna(out["lv"][2])
+    assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [200, 300]
+    # unmatched rows must not degrade int columns to float
+    assert str(out["lv"].dtype) == "Int64" and str(out["rv"].dtype) == "Int64"
