@@ -891,6 +891,26 @@ def q_near_dedup(sf_dir: str):
 _NEAR_DEDUP_SQL = "SELECT doc_id FROM documents"
 
 
+def q_near_dedup_best(sf_dir: str):
+    """Near-dedup with the keep-BEST survivor policy (keep_by): same
+    planted clusters as q_near_dedup, but the survivor is the max-doc_id
+    member — i.e. the re-crawl copy, not the original. Survivors ≡
+    {doc_id + 1e6} proves the policy (not tie-order luck) picked the
+    winner."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("crawl_score", pc.cast(t["doc_id"], pa.float64())),
+        batch_format="pyarrow",
+    )
+    survivors = dedup_stage.near_dedup(
+        corpus, threshold=0.7, keep_by=("crawl_score", "max")
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+_NEAR_DEDUP_BEST_SQL = "SELECT doc_id + 1000000 AS doc_id FROM documents"
+
+
 def q_text_stats(sf_dir: str):
     """Per-language corpus stats via partial-aggregate + small groupby."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
@@ -3098,6 +3118,90 @@ GROUP BY 1
 """
 
 
+def q_corpus_prep(sf_dir: str):
+    """The composed training-data prep pipeline — the flagship shape a
+    100-TB corpus run takes: exact dedup (content-hash bucketed
+    keep-first) → length filter → vectorized token count → deterministic
+    md5 train/eval split → per-split stats. Every stage streams; the
+    only shuffle is the dedup's content-hash exchange; the final
+    groupby sees two rows per block."""
+    import hashlib as _hashlib
+
+    docs = _documents(sf_dir)
+    deduped = dedup_stage.exact_dedup(docs, column="text", order_by="doc_id")
+    filtered = deduped.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 60)),
+        batch_format="pyarrow",
+    )
+    counted = filtered.map_batches(text_stage.token_count, batch_format="pyarrow")
+
+    def split_and_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        is_eval = np.fromiter(
+            (
+                int(_hashlib.md5((x or "").encode("utf-8")).hexdigest()[:8], 16) % 10
+                == 0
+                for x in texts
+            ),
+            dtype=bool,
+            count=len(texts),
+        )
+        toks = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for name, mask in (("eval", is_eval), ("train", ~is_eval)):
+            if mask.any():
+                rows.append((name, int(mask.sum()), int(toks[mask].sum())))
+        return pa.table(
+            {
+                "split": pa.array([r[0] for r in rows]),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    agg = (
+        counted.map_batches(split_and_partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].cast(pa.float64())
+        tot = t["total_tokens"].cast(pa.float64())
+        return pa.table(
+            {
+                "split": t["split"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "total_tokens": t["total_tokens"].cast(pa.int64()),
+                "avg_tokens": duckdb_round(pc.divide(tot, n), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_CORPUS_PREP_SQL = """
+WITH dedup AS (
+  SELECT doc_id, text, n_chars FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+tok AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 10 = 0
+              THEN 'eval' ELSE 'train' END AS split,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM dedup WHERE n_chars >= 60
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens
+FROM tok GROUP BY 1
+"""
+
+
 def q_distinct_per_group(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per day at shuffle-light cost: the
     user space is hash-partitioned into buckets, each (day, bucket)
@@ -3341,6 +3445,8 @@ QUERIES = {
     "distinct_per_group": q_distinct_per_group,
     "funnel": q_funnel,
     "outer_join": q_outer_join,
+    "near_dedup_best": q_near_dedup_best,
+    "corpus_prep": q_corpus_prep,
 }
 
 ORACLE_SQL = {
@@ -3418,4 +3524,6 @@ ORACLE_SQL = {
     "distinct_per_group": _DISTINCT_PER_GROUP_SQL,
     "funnel": _FUNNEL_SQL,
     "outer_join": _OUTER_JOIN_SQL,
+    "near_dedup_best": _NEAR_DEDUP_BEST_SQL,
+    "corpus_prep": _CORPUS_PREP_SQL,
 }

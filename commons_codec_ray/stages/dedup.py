@@ -705,24 +705,40 @@ def near_dedup(
     hasher: MinHasher | None = None,
     id_column: str = "doc_id",
     max_driver_pairs: int = 2_000_000,
+    keep_by: tuple[str, str] | None = None,
 ):
-    """Near-duplicate removal: MinHash+LSH pairs → clusters → keep the
-    min-id member of each cluster. Returns the surviving Dataset.
+    """Near-duplicate removal: MinHash+LSH pairs → clusters → one
+    survivor per cluster. Returns the surviving Dataset.
+
+    Survivor policy: by default the min-id member. ``keep_by=(column,
+    "max"|"min")`` keeps the best member by that score column instead
+    (ties broken by min id) — the "keep the highest-quality page of the
+    mirror set" rule of crawl curation.
 
     Pair count ≤ ``max_driver_pairs`` (the common case: pairs ≈ true
     near-dups ≪ corpus) uses driver union-find + a broadcast loser set;
     above the guard, clustering runs distributed
     (``dedup_clusters_distributed``) and losers are removed with a
     bucketed anti-join — nothing corpus-sized ever lands on the driver.
+    With ``keep_by``, scores reach the small clusters table via one
+    member-filtered scan (driver path) or a bucketed hash join
+    (distributed path) — never the reverse.
     """
+    if keep_by is not None:
+        assert keep_by[1] in ("min", "max"), keep_by
     pairs_ds = jaccard_pairs(ds, threshold=threshold, hasher=hasher, id_column=id_column)
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() <= max_driver_pairs:
         pairs = pairs_ds.to_pandas()
         clusters = dedup_clusters(pairs)
-        losers = set(
-            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
-        )
+        if keep_by is None:
+            losers = set(
+                clusters.loc[
+                    clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+                ].tolist()
+            )
+        else:
+            losers = _driver_losers_by_score(ds, clusters, id_column, keep_by)
         if not losers:
             return ds
         loser_arr = pa.array(sorted(losers), type=pa.int64())
@@ -731,11 +747,76 @@ def near_dedup(
             batch_format="pyarrow",
         )
     clusters_ds = dedup_clusters_distributed(pairs_ds)
-    losers_ds = clusters_ds.map_batches(
-        lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
-        batch_format="pyarrow",
-    )
+    if keep_by is None:
+        losers_ds = clusters_ds.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["doc_id"], t["cluster_id"])
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+    else:
+        losers_ds = _distributed_losers_by_score(ds, clusters_ds, id_column, keep_by)
     return _anti_join(ds, losers_ds, id_column)
+
+
+def _driver_losers_by_score(ds, clusters: pd.DataFrame, id_column: str, keep_by) -> set:
+    """Driver-path keep-best: fetch (id, score) for CLUSTERED docs only
+    (one broadcast-filtered scan; bounded by the pair guard), pick the
+    best-scored member per cluster, losers are the rest."""
+    col, direction = keep_by
+    cl_map = clusters.set_index("doc_id")["cluster_id"]
+    member_arr = pa.array(sorted(cl_map.index.tolist()), type=pa.int64())
+    scores = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_column], value_set=member_arr)).select(
+            [id_column, col]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    scores["cluster_id"] = scores[id_column].map(cl_map)
+    scores = scores.sort_values(
+        ["cluster_id", col, id_column],
+        ascending=[True, direction == "min", True],
+        kind="mergesort",
+    )
+    winners = set(scores.drop_duplicates("cluster_id", keep="first")[id_column])
+    return set(cl_map.index) - winners
+
+
+def _distributed_losers_by_score(ds, clusters_ds, id_column: str, keep_by):
+    """Distributed keep-best: hash-join scores onto the clusters table
+    (both sides bucketed on doc id — the clusters table is
+    pairs-bounded, never corpus-sized), then one bucketed groupby on
+    cluster id emits each cluster's non-winners. Whole clusters
+    co-locate because the bucket key is cluster_id."""
+    from commons_codec_ray.stages.joins import hash_join
+
+    col, direction = keep_by
+    score_ds = ds.map_batches(
+        lambda t: t.select([id_column, col]), batch_format="pyarrow"
+    )
+    scored = hash_join(clusters_ds, score_ds, on=id_column)
+    num_buckets = adaptive_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_cb", hash_bucket(keys, num_buckets))
+
+    ascending = direction == "min"
+
+    def losers_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["cluster_id", col, id_column],
+            ascending=[True, ascending, True],
+            kind="mergesort",
+        )
+        is_winner = ~g["cluster_id"].duplicated(keep="first")
+        return g.loc[~is_winner, [id_column]].rename(columns={id_column: "doc_id"})
+
+    return (
+        scored.map_batches(tag, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(losers_bucket, batch_format="pandas")
+    )
 
 
 def _anti_join(ds, losers_ds, id_column: str, num_buckets: int | None = None):

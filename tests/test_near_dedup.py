@@ -116,3 +116,35 @@ def test_near_dedup_removes_planted_copies():
     # merging those is correct behavior, not a bug)
     originals = [i for i in ids if i < 1_000_000]
     assert len(originals) > 0.85 * n_orig
+
+
+def _scored_corpus():
+    """Three near-dup clusters (identical texts => Jaccard 1.0) with a
+    quality score; distinct vocab across clusters; one singleton."""
+    rows = []
+    for c, base in enumerate(["alpha beta gamma delta", "epsilon zeta eta theta",
+                              "iota kappa lam mu"]):
+        for j in range(3):
+            rows.append({"doc_id": c * 10 + j, "text": base,
+                         "quality": float(j if c != 1 else 2 - j)})
+    rows.append({"doc_id": 99, "text": "nu xi omicron pi", "quality": 0.0})
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_near_dedup_keep_best_driver_and_distributed():
+    # best quality in cluster 0/2 is doc *2 (ascending scores), in
+    # cluster 1 it's doc 10 (descending scores); singleton 99 survives
+    want = {2, 10, 22, 99}
+    for max_driver in (2_000_000, 0):  # driver path, then forced distributed
+        got = near_dedup(
+            _scored_corpus(), threshold=0.7,
+            max_driver_pairs=max_driver, keep_by=("quality", "max"),
+        ).to_pandas()
+        assert set(got["doc_id"]) == want, (max_driver, sorted(got["doc_id"]))
+
+
+def test_near_dedup_keep_min_score():
+    got = near_dedup(
+        _scored_corpus(), threshold=0.7, keep_by=("quality", "min")
+    ).to_pandas()
+    assert set(got["doc_id"]) == {0, 12, 20, 99}
