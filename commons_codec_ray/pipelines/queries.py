@@ -2842,13 +2842,17 @@ def q_revenue_by_nation(sf_dir: str):
     applied BEFORE the shuffle so the exchange moves exactly two int64
     + one float64 column; the nation-level aggregate is pre-combined
     per batch so the final groupby is 25 rows."""
+    import pyarrow.parquet as _pq
+
     import ray as _ray
     from commons_codec_ray.stages.joins import hash_join
 
-    cust = rd.read_parquet(
+    # dimension side: plain driver-local parquet reads (kilobytes) — a
+    # Ray job per dim table would cost more in scheduling than the scan
+    cust = _pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     lookup = cust.merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
     ).set_index("c_custkey")["n_name"]
@@ -2860,10 +2864,18 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
     def item_revenue(t: pa.Table) -> pa.Table:
+        # within-batch combiner: revenue/count per orderkey BEFORE the
+        # join shuffle — lineitem:orders is ~4:1, so the exchange moves
+        # ~4x fewer rows and the joined sum is unchanged (sum of partials)
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+            .group_by("l_orderkey")
+            .aggregate([("revenue", "sum"), ("revenue", "count")])
+        )
+        return g.rename_columns(["l_orderkey", "revenue", "n_items"])
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -2878,22 +2890,26 @@ def q_revenue_by_nation(sf_dir: str):
         line.map_batches(item_revenue, batch_format="pyarrow"), orders, on="l_orderkey"
     )
 
-    class NationPartial:
-        def __init__(self):
-            self.lookup = _ray.get(lookup_ref)
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # plain task (no actor pool): the broadcast lookup is fetched
+        # zero-copy-ish from plasma per task — at one partial per joined
+        # bucket that's far cheaper than spawning a dedicated actor pool
+        lookup_local = _ray.get(lookup_ref)
+        proj = pd.DataFrame(
+            {
+                "nation": df["o_custkey"].map(lookup_local),
+                "revenue": df["revenue"],
+                "n_items": df["n_items"],
+            }
+        )
+        g = proj.groupby("nation", sort=False).agg(
+            n_items=("n_items", "sum"), rev=("revenue", "sum")
+        )
+        return g.reset_index()
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            proj = pd.DataFrame(
-                {"nation": df["o_custkey"].map(self.lookup), "revenue": df["revenue"]}
-            )
-            g = proj.groupby("nation", sort=False).agg(
-                n_items=("revenue", "size"), rev=("revenue", "sum")
-            )
-            return g.reset_index()
-
-    agg = joined.map_batches(
-        NationPartial, batch_format="pandas", concurrency=pool_size(4)
-    ).groupby("nation").aggregate(
+    agg = joined.map_batches(nation_partial, batch_format="pandas").groupby(
+        "nation"
+    ).aggregate(
         Sum("n_items", alias_name="n_items"), Sum("rev", alias_name="rev")
     )
 
