@@ -3134,6 +3134,39 @@ GROUP BY 1
 """
 
 
+def q_global_rank(sf_dir: str):
+    """Exact distributed ROW_NUMBER over the whole table
+    (stages/ranking.py global_rank): hash-sampled range boundaries → one
+    range-partition shuffle → per-partition vectorized sort → broadcast
+    prefix offsets. Output thinned to every 100th rank so the compare
+    stays small at any sf."""
+    from commons_codec_ray.stages.ranking import global_rank
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ranked = global_rank(events, value="value", tiebreak="event_id")
+    return ranked.map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["global_rank"],
+                    pc.multiply(pc.divide(t["global_rank"], 100), 100),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_GLOBAL_RANK_SQL = """
+SELECT event_id, value, global_rank FROM (
+  SELECT event_id, value,
+         CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS global_rank
+  FROM events
+) WHERE global_rank % 100 = 0
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """The composed training-data prep pipeline — the flagship shape a
     100-TB corpus run takes: exact dedup (content-hash bucketed
@@ -3463,6 +3496,7 @@ QUERIES = {
     "outer_join": q_outer_join,
     "near_dedup_best": q_near_dedup_best,
     "corpus_prep": q_corpus_prep,
+    "global_rank": q_global_rank,
 }
 
 ORACLE_SQL = {
@@ -3542,4 +3576,5 @@ ORACLE_SQL = {
     "outer_join": _OUTER_JOIN_SQL,
     "near_dedup_best": _NEAR_DEDUP_BEST_SQL,
     "corpus_prep": _CORPUS_PREP_SQL,
+    "global_rank": _GLOBAL_RANK_SQL,
 }
