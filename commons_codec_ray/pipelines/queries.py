@@ -3134,6 +3134,79 @@ GROUP BY 1
 """
 
 
+def q_cdc_scd2(sf_dir: str):
+    """SCD2 version history from the change stream: every surviving
+    (non-delete) version of each (conv_id, turn_idx) key with its
+    [valid_from, valid_to) interval and a current flag; a later update
+    OR delete closes the previous version. Runs the REAL envelope
+    encode→decode path with duplicate deliveries (combine=False keeps
+    every version; duplicates collapse idempotently on (key, lsn)), then
+    one bucket shuffle on the decoder's key-derived shuffle_key and a
+    vectorized shift/lead per bucket — no per-key loop."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=False),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    num_buckets = adaptive_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "op", "role", "ts", "lsn", "shuffle_key"])
+        keys = t["shuffle_key"].to_numpy(zero_copy_only=False)
+        return t.append_column("_sb", hash_bucket(keys, num_buckets)).drop_columns(
+            ["shuffle_key"]
+        )
+
+    def scd2_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        df = df.drop_duplicates(["conv_id", "turn_idx", "lsn"], keep="first")
+        conv = df["conv_id"].to_numpy()
+        turn = df["turn_idx"].to_numpy()
+        n = len(df)
+        has_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            has_next[:-1] = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        ts = df["ts"].to_numpy()
+        valid_to = np.full(n, np.datetime64("NaT", "us"))
+        valid_to[has_next] = ts[1:][has_next[:-1]]
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].to_numpy(),
+                "role": df["role"].to_numpy(),
+                "valid_from": ts,
+                "valid_to": valid_to,
+                "is_current": ~has_next,
+            }
+        )
+        return out[df["op"].to_numpy() == 1]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(scd2_bucket, batch_format="pandas")
+    )
+
+
+_CDC_SCD2_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, ts, event_id AS lsn
+  FROM events),
+v AS (
+  SELECT *, lead(ts) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS valid_to
+  FROM ops)
+SELECT conv_id, turn_idx, role, ts AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v WHERE op = 1
+"""
+
+
 def q_global_rank(sf_dir: str):
     """Exact distributed ROW_NUMBER over the whole table
     (stages/ranking.py global_rank): hash-sampled range boundaries → one
@@ -3497,6 +3570,7 @@ QUERIES = {
     "near_dedup_best": q_near_dedup_best,
     "corpus_prep": q_corpus_prep,
     "global_rank": q_global_rank,
+    "cdc_scd2": q_cdc_scd2,
 }
 
 ORACLE_SQL = {
@@ -3577,4 +3651,5 @@ ORACLE_SQL = {
     "near_dedup_best": _NEAR_DEDUP_BEST_SQL,
     "corpus_prep": _CORPUS_PREP_SQL,
     "global_rank": _GLOBAL_RANK_SQL,
+    "cdc_scd2": _CDC_SCD2_SQL,
 }
