@@ -3134,6 +3134,133 @@ GROUP BY 1
 """
 
 
+def q_string_join(sf_dir: str):
+    """Shuffled hash join on a STRING key (stages/joins.py
+    _key_bucket: pandas C-siphash bucketing — deterministic across
+    processes): events keyed 'u-<user_id>' against a customer dim keyed
+    'u-<custkey>', then per-segment partial aggregation."""
+    from commons_codec_ray.stages.joins import hash_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda df: pa.table(
+            {
+                "skey": pa.array("u-" + df["user_id"].astype(str), pa.string()),
+                "value": pa.array(df["value"], pa.float64()),
+            }
+        ),
+        batch_format="pandas",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda df: pa.table(
+            {
+                "skey": pa.array("u-" + df["c_custkey"].astype(str), pa.string()),
+                "c_mktsegment": pa.array(df["c_mktsegment"], pa.string()),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(events, cust, on="skey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_events=("value", "size"), sv=("value", "sum")
+        )
+        return g.reset_index()
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby(
+        "c_mktsegment"
+    ).aggregate(Sum("n_events", alias_name="n_events"), Sum("sv", alias_name="sv"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "sum_value": duckdb_round(t["sv"].combine_chunks(), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_STRING_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c
+  ON 'u-' || CAST(e.user_id AS VARCHAR) = 'u-' || CAST(c.c_custkey AS VARCHAR)
+GROUP BY 1
+"""
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """Line-delimited JSON source path (S3-staging-file shape the
+    reference's DMS full load consumes): events staged as NDJSON shards
+    (untimed, cached prep), ingested with ray.data.read_json (pyarrow
+    block parser), aggregated per type. Closes the JSON-source box with
+    a real read_json pipeline rather than a parquet re-read."""
+    import orjson
+    from pathlib import Path
+
+    stage = Path("/tmp/ccr_jsonl") / Path(sf_dir).name
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        n_shards = 8
+        rows = t.num_rows
+        per = (rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            sl = t.slice(s * per, per)
+            with open(stage / f"part-{s:02d}.json", "wb") as f:
+                types = sl["event_type"].to_pylist()
+                vals = sl["value"].to_pylist()
+                for et, v in zip(types, vals):
+                    f.write(orjson.dumps({"event_type": et, "value": v}))
+                    f.write(b"\n")
+        done.touch()
+
+    ds = rd.read_json([str(p) for p in sorted(stage.glob("*.json"))])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["event_type", "sv", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(Sum("sv", alias_name="sv"), Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": t["n"].cast(pa.int64()),
+                "sum_value": duckdb_round(t["sv"].combine_chunks(), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_JSONL_INGEST_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def q_cdc_scd2(sf_dir: str):
     """SCD2 version history from the change stream: every surviving
     (non-delete) version of each (conv_id, turn_idx) key with its
@@ -3571,6 +3698,8 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "global_rank": q_global_rank,
     "cdc_scd2": q_cdc_scd2,
+    "string_join": q_string_join,
+    "jsonl_ingest": q_jsonl_ingest,
 }
 
 ORACLE_SQL = {
@@ -3652,4 +3781,6 @@ ORACLE_SQL = {
     "corpus_prep": _CORPUS_PREP_SQL,
     "global_rank": _GLOBAL_RANK_SQL,
     "cdc_scd2": _CDC_SCD2_SQL,
+    "string_join": _STRING_JOIN_SQL,
+    "jsonl_ingest": _JSONL_INGEST_SQL,
 }

@@ -46,16 +46,32 @@ def _union_types(left_ds, right_ds) -> dict[str, pa.DataType]:
     return types
 
 
+def _key_bucket(t: pa.Table, by: list[str], num_buckets: int) -> pa.Array:
+    """Bucket ids for a (possibly composite, possibly non-integer) join
+    key. Single int64 keys take the splitmix fast path; everything else
+    goes through pandas' C siphash (fixed key ⇒ deterministic across
+    processes and runs), column-combined — so joins work on string and
+    multi-column keys with the same co-location contract."""
+    if len(by) == 1 and pa.types.is_integer(t[by[0]].type):
+        keys = t[by[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        return hash_bucket(keys, num_buckets)
+    h = pd.util.hash_pandas_object(
+        t.select(by).to_pandas(), index=False
+    ).to_numpy()
+    return pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
+
+
 def _tagged_union(left_ds, right_ds, all_cols, types, by, num_buckets):
     """Shared join scaffolding: tag each side with its bucket (_jb =
-    splitmix(key) & (num_buckets-1)) and side (_right), null-pad to the union column
+    hash(key) & (num_buckets-1)) and side (_right), null-pad to the union column
     set with the REAL arrow types (float64 padding would degrade int
-    columns), and union into one schema-stable Dataset."""
+    columns), and union into one schema-stable Dataset. ``by`` may be a
+    column name or a list of names (composite key)."""
+    by_cols = [by] if isinstance(by, str) else list(by)
 
     def pad(is_right: bool):
         def _p(t: pa.Table) -> pa.Table:
-            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
-            t = t.append_column("_jb", hash_bucket(keys, num_buckets))
+            t = t.append_column("_jb", _key_bucket(t, by_cols, num_buckets))
             t = t.append_column(
                 "_right", pa.array(np.full(t.num_rows, is_right, dtype=bool))
             )
@@ -134,7 +150,7 @@ def asof_join(
 def hash_join(
     left_ds,
     right_ds,
-    on: str,
+    on: str | list[str],
     how: str = "inner",
     right_columns: list[str] | None = None,
     suffix: str = "_right",
@@ -157,26 +173,27 @@ def hash_join(
     float64 (NaN coercion) — the classic pandas silent-precision trap.
     """
     assert how in ("inner", "left", "outer"), how
+    on_cols = [on] if isinstance(on, str) else list(on)
     num_buckets = num_buckets or adaptive_buckets()
     left_cols = left_ds.schema().names
     right_columns = right_columns or [
-        c for c in right_ds.schema().names if c != on
+        c for c in right_ds.schema().names if c not in on_cols
     ]
     types = _union_types(left_ds, right_ds)
-    all_cols = list(dict.fromkeys([*left_cols, on, *right_columns]))
+    all_cols = list(dict.fromkeys([*left_cols, *on_cols, *right_columns]))
     right_dtypes = {c: _pandas_null_dtype(types.get(c)) for c in right_columns}
     # full outer: unmatched RIGHT rows null-pad the left columns, so those
     # need nullable dtypes too (same int64→float64 trap, mirrored)
     left_dtypes = (
-        {c: _pandas_null_dtype(types.get(c)) for c in left_cols if c != on}
+        {c: _pandas_null_dtype(types.get(c)) for c in left_cols if c not in on_cols}
         if how == "outer"
         else {}
     )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df.loc[~df["_right"], left_cols].astype(left_dtypes)
-        r = df.loc[df["_right"], [on, *right_columns]].astype(right_dtypes)
-        return l.merge(r, on=on, how=how, suffixes=("", suffix))
+        r = df.loc[df["_right"], [*on_cols, *right_columns]].astype(right_dtypes)
+        return l.merge(r, on=on_cols, how=how, suffixes=("", suffix))
 
     tagged = _tagged_union(left_ds, right_ds, all_cols, types, on, num_buckets)
     return tagged.groupby("_jb").map_groups(join_bucket, batch_format="pandas")

@@ -177,3 +177,34 @@ def test_hash_join_outer_pads_both_sides_with_nullable_ints():
     assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [200, 300]
     # unmatched rows must not degrade int columns to float
     assert str(out["lv"].dtype) == "Int64" and str(out["rv"].dtype) == "Int64"
+
+
+def test_hash_join_string_key():
+    left = _ds([
+        {"k": "ab", "lv": 1}, {"k": "cd", "lv": 2}, {"k": "ab", "lv": 3},
+        {"k": "zz", "lv": 4},
+    ])
+    right = _ds([{"k": "ab", "rv": 10}, {"k": "cd", "rv": 20}, {"k": "ee", "rv": 30}])
+    out = hash_join(left, right, on="k", how="left").to_pandas()
+    out = out.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert out["rv"].tolist()[:3] == [10, 10, 20] and pd.isna(out["rv"][3])
+
+
+def test_hash_join_composite_key():
+    left = _ds([
+        {"a": 1, "b": "x", "lv": 1},
+        {"a": 1, "b": "y", "lv": 2},
+        {"a": 2, "b": "x", "lv": 3},
+    ])
+    right = _ds([
+        {"a": 1, "b": "x", "rv": 100},
+        {"a": 2, "b": "x", "rv": 200},
+        {"a": 2, "b": "y", "rv": 300},
+    ])
+    for how, want_rows in (("inner", 2), ("left", 3), ("outer", 4)):
+        out = hash_join(left, right, on=["a", "b"], how=how).to_pandas()
+        assert len(out) == want_rows, (how, out)
+        inner = out.dropna(subset=["lv", "rv"]).sort_values("lv")
+        assert list(zip(inner["lv"].astype(int), inner["rv"].astype(int))) == [
+            (1, 100), (3, 200),
+        ]
