@@ -3134,6 +3134,98 @@ GROUP BY 1
 """
 
 
+def q_components(sf_dir: str):
+    """Connected components as a first-class operator
+    (stages/dedup.py dedup_clusters_distributed: bucketed min-label
+    propagation + pointer jumping, rounds ≈ log diameter): a
+    deterministic event-derived edge list (edges stay within 8-node
+    blocks, so the recursive-CTE oracle's transitive closure stays
+    bounded at every sf) → per-node min-reachable-id cluster labels."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    pairs = events.map_batches(edges, batch_format="pyarrow")
+    labels = dedup_stage.dedup_clusters_distributed(pairs)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t["doc_id"], "cluster_id": t["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_COMPONENTS_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT (event_id % 1200) AS a,
+         ((event_id % 1200) // 8) * 8 + (event_id * 3) % 8 AS b
+  FROM events
+),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges
+),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+def q_mode_per_group(sf_dir: str):
+    """Exact distributed MODE per group: per-batch (group, value) counts
+    (the mergeable partial), one small shuffle of count rows, then an
+    argmax with deterministic ties (max count, then min value)."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"].combine_chunks(), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .group_by(["event_type", "k"])
+            .aggregate([("k", "count")])
+        )
+        return g.rename_columns(["event_type", "k", "cnt"])
+
+    def pick_mode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("k")["cnt"].sum()
+        best = s.sort_index().sort_values(kind="mergesort", ascending=False)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "mode_k": [int(best.index[0])],
+                "n": [int(best.iloc[0])],
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(pick_mode, batch_format="pandas")
+    )
+
+
+_MODE_PER_GROUP_SQL = """
+WITH c AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, k AS mode_k, CAST(cnt AS BIGINT) AS n FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, k) = 1
+"""
+
+
 def q_string_join(sf_dir: str):
     """Shuffled hash join on a STRING key (stages/joins.py
     _key_bucket: pandas C-siphash bucketing — deterministic across
@@ -3700,6 +3792,8 @@ QUERIES = {
     "cdc_scd2": q_cdc_scd2,
     "string_join": q_string_join,
     "jsonl_ingest": q_jsonl_ingest,
+    "components": q_components,
+    "mode_per_group": q_mode_per_group,
 }
 
 ORACLE_SQL = {
@@ -3783,4 +3877,6 @@ ORACLE_SQL = {
     "cdc_scd2": _CDC_SCD2_SQL,
     "string_join": _STRING_JOIN_SQL,
     "jsonl_ingest": _JSONL_INGEST_SQL,
+    "components": _COMPONENTS_SQL,
+    "mode_per_group": _MODE_PER_GROUP_SQL,
 }
