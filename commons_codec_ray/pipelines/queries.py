@@ -3711,6 +3711,150 @@ FULL OUTER JOIN (
 """
 
 
+# ---------------------------------------------------------------------------
+# Transcript-native training-data prep (stages/transcripts.py)
+# ---------------------------------------------------------------------------
+
+# Shared oracle prologue: the final transcript lake state, computed by the
+# SQL side directly from the deterministic events→ops mapping (identical
+# to _CDC_REPLAY_SQL's CTEs).
+_TRANSCRIPT_CTE = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+t AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops) WHERE rn = 1 AND op = 1)
+"""
+
+
+def _transcript_buckets(sf_dir: str, columns: tuple[str, ...]):
+    """events → bucketed LWW op rows carrying only ``columns`` payload;
+    the shared front half of the transcript-analytics family (ONE int
+    shuffle on splitmix(user_id), within-batch LWW combine applied)."""
+    from commons_codec_ray.stages import transcripts as tr
+
+    nb = adaptive_buckets()
+    ds = _events(sf_dir).map_batches(
+        lambda t: tr.ops_from_events(t, nb, columns), batch_format="pyarrow"
+    )
+    return ds.groupby("_b"), nb
+
+
+def q_sft_pairs(sf_dir: str):
+    """Supervised fine-tuning pair extraction over the final transcript
+    state: for every surviving turn with ≥1 predecessor, emit
+    (conv_id, turn_idx, context, target) where context is the ordered
+    'role: text' concatenation of all prior turns. One bucketed shuffle;
+    context assembly builds per-conversation output strings (the work
+    itself), everything else vectorized."""
+    from commons_codec_ray.stages import transcripts as tr
+
+    grouped, _ = _transcript_buckets(sf_dir, ("role", "text"))
+    return grouped.map_groups(tr.sft_pairs_bucket, batch_format="pandas")
+
+
+_SFT_PAIRS_SQL = _TRANSCRIPT_CTE + """
+SELECT conv_id, turn_idx,
+       string_agg(role || ': ' || text, chr(10)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context,
+       text AS target
+FROM t
+QUALIFY context IS NOT NULL
+"""
+
+
+def q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup: per-conv content fingerprint
+    (md5 of the ordered role|text concat) in the conv-bucketed pass,
+    then a TINY second shuffle keyed on the fingerprint itself where
+    copies meet and the min conv_id survives with a copy count.
+    Exact duplicates are planted (user_id % 5 == 0 conversations are
+    re-fingerprinted under a 'dup-' shadow id through the REAL concat +
+    hash path) so survivors are oracle-predictable."""
+    from commons_codec_ray.stages import transcripts as tr
+
+    grouped, nb = _transcript_buckets(sf_dir, ("role", "text"))
+    fps = grouped.map_groups(
+        lambda df: tr.conv_fingerprints_bucket(df, clone_mod=5), batch_format="pandas"
+    )
+    fps = fps.map_batches(
+        lambda df: df.assign(_fb=tr.fp_bucket_column(df["fp"], nb)),
+        batch_format="pandas",
+    )
+    return fps.groupby("_fb").map_groups(tr.conv_dedup_bucket, batch_format="pandas")
+
+
+_CONV_DEDUP_SQL = _TRANSCRIPT_CTE + """,
+u AS (
+  SELECT conv_id, turn_idx, role, text FROM t
+  UNION ALL
+  SELECT 'dup-' || substr(conv_id, 3) AS conv_id, turn_idx, role, text FROM t
+  WHERE CAST(substr(conv_id, 3) AS BIGINT) % 5 = 0),
+fp AS (
+  SELECT conv_id,
+         md5(string_agg(role || '|' || text, chr(31) ORDER BY turn_idx)) AS fp
+  FROM u GROUP BY conv_id)
+SELECT min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY fp
+"""
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation validation stats for corpus QA: turn count,
+    tool-call count, adjacent same-role repeats (role-alternation
+    breaks), first/last timestamp. One bucketed shuffle, C-level
+    pandas groupby aggregation inside each bucket."""
+    from commons_codec_ray.stages import transcripts as tr
+
+    grouped, _ = _transcript_buckets(sf_dir, ("role", "tool", "ts"))
+    return grouped.map_groups(tr.conv_stats_bucket, batch_format="pandas")
+
+
+_CONV_STATS_SQL = _TRANSCRIPT_CTE + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(tool) AS BIGINT) AS n_tool,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_role_repeats,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        AS prev_role FROM t)
+GROUP BY conv_id
+"""
+
+
+def q_role_transitions(sf_dir: str):
+    """Corpus-level conversation-flow profile: counts of (prev_role →
+    role) bigrams across every conversation's turn order. Per-bucket
+    vectorized partial counts (≤|roles|² rows per bucket) → ONE tiny
+    global groupby-sum — the partial/combiner shape that never moves
+    the corpus."""
+    from commons_codec_ray.stages import transcripts as tr
+
+    grouped, _ = _transcript_buckets(sf_dir, ("role",))
+    partials = grouped.map_groups(tr.role_transitions_bucket, batch_format="pandas")
+    summed = partials.groupby("pair").aggregate(Sum("n", alias_name="n"))
+    return summed.map_batches(tr.split_transition_pairs, batch_format="pyarrow")
+
+
+_ROLE_TRANSITIONS_SQL = _TRANSCRIPT_CTE + """
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+      FROM t)
+WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_universal": q_cdc_replay_universal,
@@ -3794,6 +3938,10 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "components": q_components,
     "mode_per_group": q_mode_per_group,
+    "sft_pairs": q_sft_pairs,
+    "conv_dedup": q_conv_dedup,
+    "conv_stats": q_conv_stats,
+    "role_transitions": q_role_transitions,
 }
 
 ORACLE_SQL = {
@@ -3879,4 +4027,8 @@ ORACLE_SQL = {
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "components": _COMPONENTS_SQL,
     "mode_per_group": _MODE_PER_GROUP_SQL,
+    "sft_pairs": _SFT_PAIRS_SQL,
+    "conv_dedup": _CONV_DEDUP_SQL,
+    "conv_stats": _CONV_STATS_SQL,
+    "role_transitions": _ROLE_TRANSITIONS_SQL,
 }

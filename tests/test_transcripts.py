@@ -1,0 +1,143 @@
+"""Transcript-native prep operators (stages/transcripts.py): SFT pair
+extraction, conversation dedup, validation stats, role transitions —
+pure-kernel tests on hand-built frames plus end-to-end bucket-count
+invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from commons_codec_ray.stages import transcripts as tr
+
+
+def _frame(rows):
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "op", "lsn", "role", "text", "tool", "ts"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="s").astype("datetime64[us]")
+    return df
+
+
+BASE = _frame(
+    [
+        # conv A: three surviving turns; turn 1 superseded (lsn 10 < 11)
+        ("c-1", 0, 1, 1, "user", "hi", None, 100),
+        ("c-1", 1, 1, 10, "assistant", "OLD", None, 101),
+        ("c-1", 1, 1, 11, "assistant", "hello", "search", 102),
+        ("c-1", 2, 1, 12, "user", "bye", None, 103),
+        # conv B: one turn deleted (max-lsn delete wins), one survives
+        ("c-2", 0, 1, 2, "user", "x", None, 200),
+        ("c-2", 1, 1, 3, "assistant", "y", None, 201),
+        ("c-2", 1, 0, 4, "assistant", None, None, 202),
+        # conv C: single turn → no SFT pair
+        ("c-3", 0, 1, 5, "user", "solo", None, 300),
+    ]
+)
+
+
+def test_lww_finalize_keeps_max_lsn_and_drops_deletes():
+    out = tr.lww_finalize(BASE)
+    assert list(out["conv_id"]) == ["c-1", "c-1", "c-1", "c-2", "c-3"]
+    assert list(out["text"]) == ["hi", "hello", "bye", "x", "solo"]
+
+
+def test_sft_pairs_contexts():
+    out = tr.sft_pairs_bucket(BASE)
+    # conv A contributes turns 1 and 2; conv B/C have <2 surviving turns
+    assert list(out["conv_id"]) == ["c-1", "c-1"]
+    assert list(out["turn_idx"]) == [1, 2]
+    assert out["context"].iloc[0] == "user: hi"
+    assert out["context"].iloc[1] == "user: hi\nassistant: hello"
+    assert list(out["target"]) == ["hello", "bye"]
+
+
+def test_conv_fingerprints_and_dedup():
+    fps = tr.conv_fingerprints_bucket(BASE, clone_mod=None)
+    assert len(fps) == 3
+    want = hashlib.md5("user|hi\x1fassistant|hello\x1fuser|bye".encode()).hexdigest()
+    assert fps.set_index("conv_id")["fp"]["c-1"] == want
+
+    # clone_mod plants a shadow copy for user_id % 2 == 0 (c-2 here)
+    fps2 = tr.conv_fingerprints_bucket(BASE, clone_mod=2)
+    assert len(fps2) == 4
+    dedup = tr.conv_dedup_bucket(fps2)
+    by_id = dedup.set_index("conv_id")["n_copies"]
+    assert by_id["c-2"] == 2  # original + dup-2 collapse, min id survives
+    assert "dup-2" not in by_id.index
+    assert by_id["c-1"] == 1
+
+
+def test_conv_stats():
+    out = tr.conv_stats_bucket(BASE).set_index("conv_id")
+    assert out.loc["c-1", "n_turns"] == 3
+    assert out.loc["c-1", "n_tool"] == 1
+    # user → assistant → user alternates cleanly
+    assert out.loc["c-1", "n_role_repeats"] == 0
+    assert out.loc["c-2", "n_turns"] == 1
+    rep = _frame(
+        [
+            ("c-9", 0, 1, 1, "user", "a", None, 1),
+            ("c-9", 1, 1, 2, "user", "b", None, 2),
+            ("c-9", 2, 1, 3, "user", "c", None, 3),
+        ]
+    )
+    assert tr.conv_stats_bucket(rep)["n_role_repeats"].iloc[0] == 2
+
+
+def test_role_transitions_partials_and_split():
+    out = tr.role_transitions_bucket(BASE)
+    pairs = dict(zip(out["pair"], out["n"]))
+    # c-1: user→assistant, assistant→user; c-2 loses its turn 1 to the
+    # max-lsn delete so it contributes nothing; c-3 is a single turn
+    assert pairs == {"user\x1fassistant": 1, "assistant\x1fuser": 1}
+    split = tr.split_transition_pairs(
+        pa.table({"pair": list(pairs), "n": list(pairs.values())})
+    )
+    assert split["prev_role"].to_pylist() == ["user", "assistant"]
+    assert split["role"].to_pylist() == ["assistant", "user"]
+
+
+def test_ops_from_events_combines_within_batch():
+    events = pa.table(
+        {
+            "event_id": pa.array([0, 40, 80, 7], pa.int64()),  # turns 0,0,0 + delete(7)
+            "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": ["a", "b", "c", "d"],
+            "value": pa.array([0.0, 0.0, 99.0, 0.0]),
+            "props": ["t0", "t1", "t2", "t3"],
+        }
+    )
+    out = tr.ops_from_events(events, 8)
+    # three deliveries of (c-1, 0) collapse to lsn 80; delete row kept
+    assert out.num_rows == 2
+    d = {(r["conv_id"], r["turn_idx"]): r for r in out.to_pylist()}
+    assert d[("c-1", 0)]["lsn"] == 80 and d[("c-1", 0)]["tool"] == "search"
+    assert d[("c-1", 7)]["op"] == 0
+
+
+def test_bucket_count_invariance(sf_dir):
+    """Same answer at 8 and 64 buckets — the result never depends on the
+    bucket count, only parallelism/memory do."""
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet").limit(2000).materialize()
+
+    def run(nb):
+        ds = events.map_batches(
+            lambda t: tr.ops_from_events(t, nb, ("role", "text")),
+            batch_format="pyarrow",
+        )
+        out = (
+            ds.groupby("_b")
+            .map_groups(tr.sft_pairs_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(8), run(64))
