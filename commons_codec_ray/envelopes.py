@@ -80,7 +80,8 @@ def _iso_strings(ts_us: np.ndarray) -> np.ndarray:
     return np.datetime_as_string(ts_us.astype("datetime64[us]"), unit="us")
 
 
-def encode_debezium(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+def encode_debezium(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn,
+                    extra: dict | None = None) -> str:
     if is_del:
         data = {"conv_id": conv_id, "turn_idx": int(turn_idx), "role": None,
                 "text": None, "tool": None, "ts": None}
@@ -88,6 +89,8 @@ def encode_debezium(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) ->
     else:
         data = {"conv_id": conv_id, "turn_idx": int(turn_idx), "role": role,
                 "text": text, "tool": tool, "ts": ts_iso}
+        if extra:
+            data.update(extra)
         op = "update" if lsn % 2 else "insert"  # both map to UPSERT (full image)
     return json.dumps(
         {
@@ -169,6 +172,7 @@ class EventsToEnvelopes:
         duplicates: bool = True,
         corrupt: bool = False,
         lsn_offset: int = 0,
+        extra_int_field: str | None = None,
     ):
         self.dialect = dialect
         self.duplicates = duplicates
@@ -177,6 +181,14 @@ class EventsToEnvelopes:
         # the same key set repeatedly (replica r = one more update round
         # per key — deterministic LWW-heavy amplification, no external data)
         self.lsn_offset = lsn_offset
+        # extra_int_field: upsert payloads additionally carry
+        # ``{field: floor(value)}`` — the post-ALTER wider row shape for
+        # the schema-evolution replay (the engine must learn the column
+        # from an in-band control event, not from config). Debezium-only:
+        # other dialects' image encodings would change the field's type.
+        self.extra_int_field = extra_int_field
+        if extra_int_field is not None and dialect != "debezium":
+            raise ValueError("extra_int_field requires dialect='debezium'")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ops = logical_ops_from_events(batch)
@@ -196,6 +208,12 @@ class EventsToEnvelopes:
         text = ops["text"]
         tool = ops["tool"]
 
+        extra_vals = None
+        if self.extra_int_field is not None:
+            extra_vals = np.floor(
+                batch["value"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+
         payloads = np.empty(n, dtype=object)
         dialects = np.empty(n, dtype=object)
         for i in range(n):
@@ -203,6 +221,12 @@ class EventsToEnvelopes:
             dialects[i] = d
             if corrupt_mask[i]:
                 payloads[i] = '{"this-is": "not-a-valid-envelope", "lsn": %d' % lsn[i]
+            elif extra_vals is not None:
+                payloads[i] = encode_debezium(
+                    conv[i], turn[i], bool(is_del[i]), role[i], text[i], tool[i],
+                    ts_iso[i], int(lsn[i]),
+                    extra={self.extra_int_field: int(extra_vals[i])},
+                )
             else:
                 payloads[i] = _ENCODERS[d](
                     conv[i], turn[i], bool(is_del[i]), role[i], text[i], tool[i], ts_iso[i], int(lsn[i])

@@ -3711,6 +3711,107 @@ FULL OUTER JOIN (
 """
 
 
+def q_cdc_schema_evolution(sf_dir: str):
+    """Schema evolution end-to-end through the REAL pipeline (north-star
+    requirement): the first half of the stream carries the original
+    six-column rows; an in-band create-table control event then WIDENS
+    the table with ``rating:INT32``, and every later upsert carries the
+    new field. Two-epoch replay through decode → control prescan →
+    registry → apply; the final lake materializes ``rating`` with nulls
+    backfilled for rows whose winning version predates the ALTER —
+    Arrow schema unification, never a rewrite of committed files. The
+    oracle re-derives the widened state from the lsn split."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    b = n // 2
+    env1 = EventsToEnvelopes(dialect="debezium", duplicates=True)(
+        events.filter(pc.less(events["event_id"], b))
+    )
+    # phase-2 lsns shift +1 so the control event owns lsn=b; a uniform
+    # shift preserves per-key LWW order, so the oracle can keep event_id
+    env2 = EventsToEnvelopes(
+        dialect="debezium", duplicates=True, lsn_offset=1, extra_int_field="rating"
+    )(events.filter(pc.greater_equal(events["event_id"], b)))
+    control_payload = _json.dumps(
+        {
+            "control": {
+                "table-def": {
+                    "columns": {
+                        "conv_id": {"type": "STRING"},
+                        "turn_idx": {"type": "INT32"},
+                        "role": {"type": "STRING"},
+                        "text": {"type": "STRING"},
+                        "tool": {"type": "STRING"},
+                        "ts": {"type": "TIMESTAMP"},
+                        "rating": {"type": "INT32"},
+                    },
+                    "primary-key": ["conv_id", "turn_idx"],
+                }
+            },
+            "metadata": {
+                "operation": "create-table",
+                "schema-name": "public",
+                "table-name": "transcripts",
+                "record-type": "control",
+            },
+        }
+    )
+    control = pa.table(
+        {
+            "lsn": pa.array([b], pa.int64()),
+            "source_offset": pa.array([b], pa.int64()),
+            "dialect": pa.array(["debezium"]),
+            "payload": pa.array([control_payload]),
+            "conv_id": pa.array([None], pa.string()),
+        }
+    )
+    lake = _tempfile.mkdtemp(prefix="ccr_schemaevo_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16))
+        for epoch, part in enumerate((env1, pa.concat_tables([control, env2]))):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        out = pa.Table.from_pandas(
+            pipe.read_lake().to_pandas(), preserve_index=False
+        )
+        return out.select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts", "rating"]
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_SCHEMA_EVOLUTION_SQL = """
+WITH b AS (SELECT CAST(count(*) // 2 AS BIGINT) AS b FROM events),
+ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn,
+         CASE WHEN event_id >= (SELECT b FROM b) AND event_id % 10 != 7
+              THEN CAST(floor(value) AS INTEGER) ELSE NULL END AS rating
+  FROM events)
+SELECT conv_id, turn_idx, role, text, tool, ts, rating
+FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM ops)
+WHERE rn = 1 AND op = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Transcript-native training-data prep (stages/transcripts.py)
 # ---------------------------------------------------------------------------
@@ -3845,6 +3946,45 @@ def q_role_transitions(sf_dir: str):
     return summed.map_batches(tr.split_transition_pairs, batch_format="pyarrow")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: greedily chunk each conversation's surviving
+    turns into contiguous training samples whose cumulative text length
+    fits a fixed budget (stages/transcripts.py:pack_sequences_bucket).
+    One bucketed shuffle; the oracle replays the same greedy walk with a
+    recursive CTE."""
+    from commons_codec_ray.stages import transcripts as tr
+
+    grouped, _ = _transcript_buckets(sf_dir, ("text",))
+    return grouped.map_groups(tr.pack_sequences_bucket, batch_format="pandas")
+
+
+_PACK_SEQUENCES_SQL = """
+WITH RECURSIVE ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         props AS text, event_id AS lsn
+  FROM events),
+t AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops) WHERE rn = 1 AND op = 1),
+t2 AS (
+  SELECT conv_id, turn_idx, length(text) AS len,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t),
+walk AS (
+  SELECT conv_id, turn_idx, rn, len, 0 AS chunk, len AS acc
+  FROM t2 WHERE rn = 1
+  UNION ALL
+  SELECT n.conv_id, n.turn_idx, n.rn, n.len,
+         CASE WHEN w.acc + n.len > 24 THEN w.chunk + 1 ELSE w.chunk END,
+         CASE WHEN w.acc + n.len > 24 THEN n.len ELSE w.acc + n.len END
+  FROM walk w JOIN t2 n ON n.conv_id = w.conv_id AND n.rn = w.rn + 1)
+SELECT conv_id, turn_idx, CAST(chunk AS BIGINT) AS chunk FROM walk
+"""
+
+
 _ROLE_TRANSITIONS_SQL = _TRANSCRIPT_CTE + """
 SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT conv_id, role,
@@ -3942,6 +4082,8 @@ QUERIES = {
     "conv_dedup": q_conv_dedup,
     "conv_stats": q_conv_stats,
     "role_transitions": q_role_transitions,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -4031,4 +4173,6 @@ ORACLE_SQL = {
     "conv_dedup": _CONV_DEDUP_SQL,
     "conv_stats": _CONV_STATS_SQL,
     "role_transitions": _ROLE_TRANSITIONS_SQL,
+    "cdc_schema_evolution": _CDC_SCHEMA_EVOLUTION_SQL,
+    "pack_sequences": _PACK_SEQUENCES_SQL,
 }

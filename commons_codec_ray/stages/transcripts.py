@@ -315,6 +315,58 @@ def split_transition_pairs(t: pa.Table) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (training-sample assembly under a length budget)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 24  # characters; a real run would use tokenizer token counts
+
+
+def pack_sequences_bucket(df: pd.DataFrame, budget: int = PACK_BUDGET) -> pd.DataFrame:
+    """One bucket → (conv_id, turn_idx, chunk) rows: each conversation's
+    surviving turns are greedily packed into contiguous chunks whose
+    cumulative text length stays within ``budget`` — the
+    sequence-packing step that turns transcripts into fixed-budget
+    training samples. A turn longer than the budget occupies its own
+    chunk. Greedy reset-cumsum is inherently sequential per
+    conversation, so the inner loop is per-turn Python over ≤40 turns;
+    everything around it (LWW finalize, length computation, output
+    assembly) is vectorized."""
+    df = lww_finalize(df)
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_idx": pd.Series([], dtype="int32"),
+                "chunk": pd.Series([], dtype="int64"),
+            }
+        )
+    conv = df["conv_id"].to_numpy()
+    lengths = df["text"].str.len().to_numpy()
+    starts = _conv_boundaries(conv)
+    chunk = np.empty(len(df), dtype=np.int64)
+    for i in range(len(starts) - 1):
+        lo, hi = starts[i], starts[i + 1]
+        acc = 0
+        c = 0
+        for j in range(lo, hi):
+            if j == lo:
+                acc = lengths[j]
+            elif acc + lengths[j] > budget:
+                c += 1
+                acc = lengths[j]
+            else:
+                acc += lengths[j]
+            chunk[j] = c
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": df["turn_idx"].to_numpy(),
+            "chunk": chunk,
+        }
+    )
+
+
 def default_buckets(events_count: int | None = None) -> int:
     """Adaptive bucket count for the family (one bucket ≈ one pandas
     frame of conversations; grows with input and cluster)."""

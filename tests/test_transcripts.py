@@ -141,3 +141,44 @@ def test_bucket_count_invariance(sf_dir):
         return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(8), run(64))
+
+
+def test_pack_sequences_greedy_budget():
+    rows = _frame(
+        [
+            ("c-1", 0, 1, 1, "u", "aaaaaaaaaa", None, 1),   # 10
+            ("c-1", 1, 1, 2, "a", "bbbbbbbbbb", None, 2),   # 10 → acc 20
+            ("c-1", 2, 1, 3, "u", "ccccc", None, 3),        # +5 > 24 → chunk 1
+            ("c-1", 3, 1, 4, "a", "d" * 30, None, 4),       # 30 > 24 alone → chunk 2
+            ("c-1", 4, 1, 5, "u", "e", None, 5),            # 30+1 > 24 → chunk 3
+            ("c-2", 0, 1, 6, "u", "x", None, 6),            # fresh conv → chunk 0
+        ]
+    )
+    out = tr.pack_sequences_bucket(rows, budget=24)
+    assert list(out["chunk"]) == [0, 0, 1, 2, 3, 0]
+
+
+def test_envelope_extra_int_field():
+    import json
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from commons_codec_ray.envelopes import EventsToEnvelopes
+
+    events = pa.table(
+        {
+            "event_id": pa.array([0, 7], pa.int64()),  # upsert + delete
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": ["a", "b"],
+            "value": pa.array([41.7, 10.0]),
+            "props": ["t0", "t1"],
+        }
+    )
+    env = EventsToEnvelopes(dialect="debezium", duplicates=False, extra_int_field="rating")(events)
+    payloads = [json.loads(p) for p in env["payload"].to_pylist()]
+    assert payloads[0]["data"]["rating"] == 41  # floor, matches SQL oracle
+    assert "rating" not in payloads[1]["data"]  # deletes carry no image
+    with _pytest.raises(ValueError):
+        EventsToEnvelopes(dialect="binlog", extra_int_field="rating")
