@@ -3995,6 +3995,141 @@ GROUP BY prev_role, role
 """
 
 
+# ---------------------------------------------------------------------------
+# Token n-gram family: decontamination, duplicated spans, chunking,
+# repetition signals (stages/ngrams.py)
+# ---------------------------------------------------------------------------
+
+
+def q_decontam(sf_dir: str):
+    """Eval-set decontamination (the 13-gram-overlap hygiene step of
+    GPT-3/PaLM data cards, here n=5): documents sharing any token
+    n-gram with a held-out eval set are dropped. The eval set is tiny
+    by construction — its sorted n-gram hash array is built driver-side
+    and broadcast ONCE via ray.put; the corpus streams through a
+    searchsorted membership filter with NO shuffle. Planted oracle: the
+    eval set IS the doc_id % 10 == 0 slice of the disjoint-vocabulary
+    corpus, so contamination hits exactly those documents and survivors
+    are SQL-predictable."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from commons_codec_ray.stages import ngrams
+
+    N = 5
+    ev = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mask = ev["doc_id"].to_numpy() % 10 == 0
+    ev = _disjoint_vocab(ev.filter(pa.array(mask)))
+    eval_ref = _ray.put(ngrams.eval_ngram_hashes(ev["text"], N))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(_disjoint_vocab, batch_format="pyarrow")
+    clean = ngrams.decontaminate(corpus, eval_ref, n=N)
+    return clean.select_columns(["doc_id"])
+
+
+_DECONTAM_SQL = "SELECT doc_id FROM documents WHERE doc_id % 10 <> 0"
+
+
+def q_substring_dedup(sf_dir: str):
+    """Cross-document duplicated-substring detection (doc-level Lee et
+    al.): flag every document sharing a full 8-token span with another
+    document. One integer-keyed all-to-all of distinct (span-hash, doc)
+    pairs; a hash under ≥2 distinct ids marks its docs. Planted corpus:
+    disjoint-vocab originals + a copy (doc_id+1e6) carrying the first
+    half of the original's tokens — a pair shares a full span iff
+    floor(tokens/2) ≥ 8, which the oracle states directly."""
+    from commons_codec_ray.stages import ngrams
+
+    W = 8
+
+    def planted(t: pa.Table) -> pa.Table:
+        d = _disjoint_vocab(t)
+        ids = d["doc_id"].to_pylist()
+        halves = []
+        for i, x in zip(ids, d["text"].to_pylist()):
+            toks = (x or "").split()
+            h = toks[: len(toks) // 2]
+            halves.append(" ".join(h) if h else f"__half_{i}")
+        copy = pa.table(
+            {
+                "doc_id": pc.add(d["doc_id"], 1_000_000),
+                "text": pa.array(halves, pa.string()),
+            }
+        )
+        return pa.concat_tables([d, copy])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(planted, batch_format="pyarrow")
+    return ngrams.duplicated_span_docs(corpus, window=W).select_columns(["doc_id"])
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents)
+SELECT doc_id FROM n WHERE nt // 2 >= 8
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id FROM n WHERE nt // 2 >= 8
+"""
+
+
+def q_chunk_overlap(sf_dir: str):
+    """Overlapping token chunking (RAG / context-window prep): every
+    document becomes chunks of 32 tokens at stride 24 (8-token overlap).
+    Embarrassingly parallel — no shuffle; chunk text is carved from the
+    original string by precomputed character offsets, one C-level slice
+    per chunk. The oracle recomputes every chunk with DuckDB list
+    slicing, so text, index and length are all hash-checked."""
+    from commons_codec_ray.stages import ngrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngrams.chunk_tokens(docs, chunk=32, stride=24)
+
+
+_CHUNK_OVERLAP_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(generate_series(0, CAST((len(toks) - 1) // 24 AS BIGINT))) AS ci
+      FROM t)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       array_to_string(toks[CAST(ci*24 + 1 AS BIGINT):CAST(ci*24 + 32 AS BIGINT)], ' ')
+         AS chunk_text,
+       CAST(least(len(toks) - ci*24, 32) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+def q_rep_signals(sf_dir: str):
+    """Per-document repetition signals (the Gopher-rule family): token
+    count, distinct-token count, the count of the most frequent token
+    and of the most frequent bigram. Each document is one row, so the
+    whole profile is shuffle-free map_batches; bigrams are counted on
+    integer token-code pairs (factorize once per batch, key =
+    code_a·V + code_b) — no per-doc loop, no bigram strings built.
+    All-integer output ⇒ the oracle comparison is exact."""
+    from commons_codec_ray.stages.ngrams import rep_signals_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(rep_signals_batch, batch_format="pyarrow")
+
+
+_REP_SIGNALS_SQL = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT toks[pos]) AS BIGINT) AS n_distinct
+  FROM tok GROUP BY doc_id),
+tcnt AS (SELECT doc_id, toks[pos] AS tk1, count(*) AS c FROM tok GROUP BY doc_id, tk1),
+ttop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token FROM tcnt GROUP BY doc_id),
+bg AS (SELECT doc_id, toks[pos] || ' ' || toks[pos + 1] AS b, count(*) AS c
+       FROM tok WHERE pos < len(toks) GROUP BY doc_id, b),
+btop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM bg GROUP BY doc_id)
+SELECT base.doc_id, n_tokens, n_distinct, top_token,
+       coalesce(top_bigram, 0) AS top_bigram
+FROM base JOIN ttop USING (doc_id) LEFT JOIN btop USING (doc_id)
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_universal": q_cdc_replay_universal,
@@ -4084,6 +4219,10 @@ QUERIES = {
     "role_transitions": q_role_transitions,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "pack_sequences": q_pack_sequences,
+    "decontam": q_decontam,
+    "substring_dedup": q_substring_dedup,
+    "chunk_overlap": q_chunk_overlap,
+    "rep_signals": q_rep_signals,
 }
 
 ORACLE_SQL = {
@@ -4175,4 +4314,8 @@ ORACLE_SQL = {
     "role_transitions": _ROLE_TRANSITIONS_SQL,
     "cdc_schema_evolution": _CDC_SCHEMA_EVOLUTION_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
+    "decontam": _DECONTAM_SQL,
+    "substring_dedup": _SUBSTRING_DEDUP_SQL,
+    "chunk_overlap": _CHUNK_OVERLAP_SQL,
+    "rep_signals": _REP_SIGNALS_SQL,
 }
