@@ -109,8 +109,77 @@ def decode_ddbstream(payload: dict) -> list[OpTuple]:
     return [(op, typed, varied)]
 
 
+def decode_maxwell(payload: dict) -> list[OpTuple]:
+    """Maxwell's daemon flat JSON (public format): ``type`` is
+    insert/update/delete with the row in ``data`` (full image on
+    insert/update, key image on delete); bootstrap markers and
+    heartbeats are housekeeping → skip, like binlog rotate events."""
+    typ = payload.get("type")
+    if typ in ("bootstrap-start", "bootstrap-complete", "heartbeat"):
+        return []
+    if typ == "table-alter" or typ == "table-create":
+        return [(OP_SCHEMA_CHANGE, {}, {"operation": typ, "table": payload.get("table")})]
+    data = payload.get("data")
+    if not isinstance(data, dict):
+        raise MessageFormatError("missing data")
+    if typ in ("insert", "update", "bootstrap-insert"):
+        return [(OP_UPSERT, data, {})]
+    if typ == "delete":
+        return [(OP_DELETE, data, {})]
+    raise UnknownOperationError(f"unknown maxwell type: {typ!r}")
+
+
+# JDBC type codes → coercion for Canal's all-string cell encoding.
+_CANAL_INT_TYPES = {-6, 5, 4, -5}  # TINYINT/SMALLINT/INTEGER/BIGINT
+_CANAL_FLOAT_TYPES = {6, 7, 8, 2, 3}  # FLOAT/REAL/DOUBLE/NUMERIC/DECIMAL
+
+
+def _canal_coerce(row: dict, sql_type: dict) -> dict:
+    out = {}
+    for k, v in row.items():
+        if v is None:
+            out[k] = None
+            continue
+        t = sql_type.get(k)
+        if t in _CANAL_INT_TYPES:
+            out[k] = int(v)
+        elif t in _CANAL_FLOAT_TYPES:
+            out[k] = float(v)
+        else:  # VARCHAR / TIMESTAMP / unknown → keep the string
+            out[k] = v
+    return out
+
+
+def decode_canal(payload: dict) -> list[OpTuple]:
+    """Alibaba Canal flat JSON (public format): ``data`` is a LIST of
+    rows with every cell stringified; native types are recovered from
+    the ``sqlType`` JDBC-code map (ints/floats parsed, varchar and
+    timestamp kept as strings for the downstream cast). DDL events
+    (``isDdl``) become schema-change control records."""
+    if payload.get("isDdl"):
+        return [
+            (
+                OP_SCHEMA_CHANGE,
+                {},
+                {"operation": "ddl", "sql": payload.get("sql"), "table": payload.get("table")},
+            )
+        ]
+    typ = payload.get("type")
+    rows = payload.get("data")
+    if not isinstance(rows, list):
+        raise MessageFormatError("missing data rows")
+    sql_type = payload.get("sqlType") or {}
+    if typ in ("INSERT", "UPDATE"):
+        return [(OP_UPSERT, _canal_coerce(r, sql_type), {}) for r in rows]
+    if typ == "DELETE":
+        return [(OP_DELETE, _canal_coerce(r, sql_type), {}) for r in rows]
+    raise UnknownOperationError(f"unknown canal type: {typ!r}")
+
+
 DECODERS = {
     "debezium": decode_debezium,
     "binlog": decode_binlog,
     "ddbstream": decode_ddbstream,
+    "maxwell": decode_maxwell,
+    "canal": decode_canal,
 }

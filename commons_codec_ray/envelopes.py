@@ -147,7 +147,86 @@ def encode_ddbstream(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -
     )
 
 
-_ENCODERS = {"debezium": encode_debezium, "binlog": encode_binlog, "ddbstream": encode_ddbstream}
+def encode_maxwell(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    """Maxwell's daemon JSON envelope (public format: database/table/
+    type/ts/xid/data, full new image on insert/update, key row on
+    delete)."""
+    key = {"conv_id": conv_id, "turn_idx": int(turn_idx)}
+    if is_del:
+        data = key
+        typ = "delete"
+    else:
+        data = dict(key, role=role, text=text, tool=tool, ts=ts_iso)
+        typ = "update" if lsn % 2 else "insert"
+    return json.dumps(
+        {
+            "database": "public",
+            "table": "transcripts",
+            "type": typ,
+            "ts": int(lsn),
+            "xid": int(lsn),
+            "commit": True,
+            "data": data,
+        },
+        separators=(",", ":"),
+    )
+
+
+# Canal serializes every cell as a STRING (JDBC-typed via sqlType);
+# the decoder recovers native types from the sqlType map.
+CANAL_SQLTYPE = {"conv_id": 12, "turn_idx": 4, "role": 12, "text": 12, "tool": 12, "ts": 93}
+_CANAL_MYSQLTYPE = {
+    "conv_id": "varchar(64)", "turn_idx": "int(11)", "role": "varchar(32)",
+    "text": "mediumtext", "tool": "varchar(32)", "ts": "datetime(6)",
+}
+
+
+def encode_canal(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    """Alibaba Canal flat-JSON envelope (public format: data[] of
+    all-string rows, pkNames, sqlType/mysqlType maps, type
+    INSERT/UPDATE/DELETE, isDdl)."""
+    if is_del:
+        rows = [{"conv_id": conv_id, "turn_idx": str(int(turn_idx))}]
+        typ = "DELETE"
+    else:
+        rows = [
+            {
+                "conv_id": conv_id,
+                "turn_idx": str(int(turn_idx)),
+                "role": role,
+                "text": text,
+                "tool": tool,  # None serializes as JSON null
+                "ts": ts_iso,
+            }
+        ]
+        typ = "UPDATE" if lsn % 2 else "INSERT"
+    return json.dumps(
+        {
+            "data": rows,
+            "database": "public",
+            "es": int(lsn),
+            "id": int(lsn),
+            "isDdl": False,
+            "mysqlType": _CANAL_MYSQLTYPE,
+            "old": None,
+            "pkNames": ["conv_id", "turn_idx"],
+            "sql": "",
+            "sqlType": CANAL_SQLTYPE,
+            "table": "transcripts",
+            "ts": int(lsn),
+            "type": typ,
+        },
+        separators=(",", ":"),
+    )
+
+
+_ENCODERS = {
+    "debezium": encode_debezium,
+    "binlog": encode_binlog,
+    "ddbstream": encode_ddbstream,
+    "maxwell": encode_maxwell,
+    "canal": encode_canal,
+}
 
 
 class EventsToEnvelopes:
@@ -187,6 +266,8 @@ class EventsToEnvelopes:
         # from an in-band control event, not from config). Debezium-only:
         # other dialects' image encodings would change the field's type.
         self.extra_int_field = extra_int_field
+        if dialect is not None and dialect not in _ENCODERS:
+            raise ValueError(f"unknown dialect {dialect!r} (have {sorted(_ENCODERS)})")
         if extra_int_field is not None and dialect != "debezium":
             raise ValueError("extra_int_field requires dialect='debezium'")
 
@@ -197,8 +278,12 @@ class EventsToEnvelopes:
         ts_iso = _iso_strings(ops["ts_us"])
         if self.dialect is None:
             dialect_idx = (lsn % 3).astype(np.int64)
+            dialect_names = DIALECTS
         else:
-            dialect_idx = np.full(n, DIALECTS.index(self.dialect), dtype=np.int64)
+            # explicit dialect may be OUTSIDE the round-robin triple
+            # (maxwell/canal): index into a one-element name table
+            dialect_idx = np.zeros(n, dtype=np.int64)
+            dialect_names = (self.dialect,)
         corrupt_mask = ((lsn % 97) == 13) if self.corrupt else np.zeros(n, dtype=bool)
 
         conv = ops["conv_id"]
@@ -217,7 +302,7 @@ class EventsToEnvelopes:
         payloads = np.empty(n, dtype=object)
         dialects = np.empty(n, dtype=object)
         for i in range(n):
-            d = DIALECTS[dialect_idx[i]]
+            d = dialect_names[dialect_idx[i]]
             dialects[i] = d
             if corrupt_mask[i]:
                 payloads[i] = '{"this-is": "not-a-valid-envelope", "lsn": %d' % lsn[i]

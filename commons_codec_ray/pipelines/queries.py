@@ -175,6 +175,21 @@ def q_decode_ddbstream(sf_dir: str):
     return _q_decode(sf_dir, "ddbstream")
 
 
+def q_decode_maxwell(sf_dir: str):
+    """Maxwell's-daemon-style envelope decode only (flat JSON,
+    insert/update/delete with full image in ``data``)."""
+    return _q_decode(sf_dir, "maxwell")
+
+
+def q_decode_canal(sf_dir: str):
+    """Alibaba-Canal-style envelope decode only: every cell arrives
+    stringified and native types are recovered from the envelope's
+    JDBC ``sqlType`` map — the decode round-trip proves the typed
+    coercion path, since the oracle compares against natively-typed
+    rows."""
+    return _q_decode(sf_dir, "canal")
+
+
 _DECODE_SQL = """
 SELECT CASE WHEN event_id % 10 = 7 THEN 'DELETE' ELSE 'UPSERT' END AS op,
        'c-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -4136,6 +4151,8 @@ QUERIES = {
     "cdc_decode_debezium": q_decode_debezium,
     "cdc_decode_binlog": q_decode_binlog,
     "cdc_decode_ddbstream": q_decode_ddbstream,
+    "cdc_decode_maxwell": q_decode_maxwell,
+    "cdc_decode_canal": q_decode_canal,
     "cdc_dead_letter": q_dead_letter,
     "windowed_agg": q_windowed_agg,
     "session_windows": q_session_windows,
@@ -4231,6 +4248,8 @@ ORACLE_SQL = {
     "cdc_decode_debezium": _DECODE_SQL,
     "cdc_decode_binlog": _DECODE_SQL,
     "cdc_decode_ddbstream": _DECODE_SQL,
+    "cdc_decode_maxwell": _DECODE_SQL,
+    "cdc_decode_canal": _DECODE_SQL,
     "cdc_dead_letter": _DEAD_LETTER_SQL,
     "windowed_agg": _WINDOWED_AGG_SQL,
     "session_windows": _SESSION_WINDOWS_SQL,

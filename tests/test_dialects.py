@@ -142,3 +142,94 @@ class TestBinlog:
     def test_unknown_op_raises(self):
         with pytest.raises(UnknownOperationError):
             decode_binlog({"op": "truncate_rows", "rows": []})
+
+
+class TestMaxwell:
+    from commons_codec_ray.decode.dialects import decode_maxwell  # noqa: PLC0415
+
+    DATA = {"conv_id": "c-1", "turn_idx": 3, "role": "user", "text": "hi", "tool": None, "ts": TS}
+
+    def _env(self, typ, data=None):
+        return {"database": "public", "table": "transcripts", "type": typ,
+                "ts": 42, "xid": 42, "commit": True,
+                "data": self.DATA if data is None else data}
+
+    @pytest.mark.parametrize("typ", ["insert", "update", "bootstrap-insert"])
+    def test_upserts(self, typ):
+        from commons_codec_ray.decode.dialects import decode_maxwell
+        [(op, rec, aux)] = decode_maxwell(self._env(typ))
+        assert op == OP_UPSERT and rec == self.DATA and aux == {}
+
+    def test_delete_key_image(self):
+        from commons_codec_ray.decode.dialects import decode_maxwell
+        [(op, rec, _)] = decode_maxwell(self._env("delete", {"conv_id": "c-1", "turn_idx": 3}))
+        assert op == OP_DELETE and rec == {"conv_id": "c-1", "turn_idx": 3}
+
+    @pytest.mark.parametrize("typ", ["bootstrap-start", "bootstrap-complete", "heartbeat"])
+    def test_housekeeping_skipped(self, typ):
+        from commons_codec_ray.decode.dialects import decode_maxwell
+        assert decode_maxwell({"type": typ}) == []
+
+    def test_ddl_becomes_schema_change(self):
+        from commons_codec_ray.decode.dialects import decode_maxwell
+        [(op, _rec, aux)] = decode_maxwell({"type": "table-alter", "table": "transcripts"})
+        assert op == OP_SCHEMA_CHANGE and aux["operation"] == "table-alter"
+
+    def test_unknown_type_raises(self):
+        from commons_codec_ray.decode.dialects import decode_maxwell
+        with pytest.raises(UnknownOperationError):
+            decode_maxwell(self._env("truncate"))
+
+    def test_missing_data_raises(self):
+        from commons_codec_ray.decode.dialects import decode_maxwell
+        with pytest.raises(MessageFormatError):
+            decode_maxwell({"type": "insert"})
+
+
+class TestCanal:
+    SQLTYPE = {"conv_id": 12, "turn_idx": 4, "role": 12, "text": 12, "tool": 12, "ts": 93}
+
+    def _env(self, typ, rows):
+        return {"data": rows, "database": "public", "es": 42, "id": 42,
+                "isDdl": False, "old": None, "pkNames": ["conv_id", "turn_idx"],
+                "sql": "", "sqlType": self.SQLTYPE, "table": "transcripts",
+                "ts": 42, "type": typ}
+
+    def test_insert_recovers_native_types(self):
+        # Canal stringifies EVERY cell; sqlType drives the coercion back
+        from commons_codec_ray.decode.dialects import decode_canal
+        row = {"conv_id": "c-1", "turn_idx": "3", "role": "user",
+               "text": "hi", "tool": None, "ts": TS}
+        [(op, rec, _)] = decode_canal(self._env("INSERT", [row]))
+        assert op == OP_UPSERT
+        assert rec["turn_idx"] == 3 and isinstance(rec["turn_idx"], int)
+        assert rec["ts"] == TS and rec["tool"] is None
+
+    def test_delete_multi_row(self):
+        from commons_codec_ray.decode.dialects import decode_canal
+        rows = [{"conv_id": "c-1", "turn_idx": "3"}, {"conv_id": "c-2", "turn_idx": "4"}]
+        out = decode_canal(self._env("DELETE", rows))
+        assert [(op, r["turn_idx"]) for op, r, _ in out] == [(OP_DELETE, 3), (OP_DELETE, 4)]
+
+    def test_float_coercion(self):
+        from commons_codec_ray.decode.dialects import decode_canal
+        env = self._env("INSERT", [{"conv_id": "c-1", "turn_idx": "3", "score": "1.5"}])
+        env["sqlType"] = dict(self.SQLTYPE, score=8)  # JDBC DOUBLE
+        [(_, rec, _)] = decode_canal(env)
+        assert rec["score"] == 1.5
+
+    def test_ddl_becomes_schema_change(self):
+        from commons_codec_ray.decode.dialects import decode_canal
+        [(op, _rec, aux)] = decode_canal(
+            {"isDdl": True, "sql": "ALTER TABLE transcripts ADD rating INT", "table": "transcripts"})
+        assert op == OP_SCHEMA_CHANGE and "ALTER" in aux["sql"]
+
+    def test_unknown_type_raises(self):
+        from commons_codec_ray.decode.dialects import decode_canal
+        with pytest.raises(UnknownOperationError):
+            decode_canal(self._env("TRUNCATE", []))
+
+    def test_missing_rows_raises(self):
+        from commons_codec_ray.decode.dialects import decode_canal
+        with pytest.raises(MessageFormatError):
+            decode_canal({"type": "INSERT", "isDdl": False})

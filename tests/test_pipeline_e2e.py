@@ -123,3 +123,21 @@ def test_dead_letters_written(tmp_path):
     dl = rd.read_parquet(str(pipe.store.dead_letter_dir(0))).to_pandas()
     assert len(dl) == n_corrupt
     assert set(dl.columns) == {"lsn", "source_offset", "aux", "error"}
+
+
+@pytest.mark.parametrize("dialect", ["maxwell", "canal"])
+def test_new_dialect_replay_equals_debezium(tmp_path, dialect):
+    # the SAME logical stream encoded as Maxwell/Canal envelopes must
+    # produce a lake byte-equal to the Debezium encoding's lake — the
+    # round trip is lossless per dialect (incl. Canal's all-string
+    # cells recovered via sqlType)
+    events = pq.read_table(f"{SF_DIR}/events.parquet")
+    lakes = {}
+    for d in ("debezium", dialect):
+        env = EventsToEnvelopes(dialect=d, duplicates=True)(events).sort_by("lsn")
+        log = tmp_path / f"env_{d}.parquet"
+        pq.write_table(env, log, row_group_size=200)
+        pipe, _ = run_full(tmp_path / f"lake_{d}", str(log))
+        lakes[d] = canonical(pa.Table.from_pandas(pipe.read_lake().to_pandas()))
+    assert lakes[dialect].num_rows == lakes["debezium"].num_rows
+    assert lakes[dialect].equals(lakes["debezium"].cast(lakes[dialect].schema))
