@@ -4010,6 +4010,66 @@ GROUP BY prev_role, role
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.py): fixed-point int64 scores
+    (scale 10^12, floor division everywhere) make the result
+    bit-identical at any cluster size AND SQL-expressible — the oracle
+    replays the same 4 iterations with unrolled CTEs. Pregel shape: the
+    bucketed distinct-edge + outdegree table is materialized once; each
+    iteration is a scatter exchange (scores meet their out-edges) and a
+    gather exchange (per-destination contribution sum). Same
+    deterministic event-derived graph as q_components, directed."""
+    from commons_codec_ray.stages.graph import pagerank
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return pagerank(
+        events.map_batches(edges, batch_format="pyarrow"), iterations=4
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled-CTE oracle mirroring stages/graph.py's integer updates."""
+    head = """
+WITH edges AS (
+  SELECT DISTINCT (event_id % 1200) AS src,
+         ((event_id % 1200) // 8) * 8 + (event_id * 3) % 8 AS dst
+  FROM events),
+nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+consts AS (SELECT 1000000000000 // count(*) AS s0,
+                  15 * (1000000000000 // count(*)) // 100 AS base
+           FROM nodes),
+p0 AS (SELECT v, (SELECT s0 FROM consts) AS s FROM nodes)"""
+    steps = [
+        f""",
+p{i} AS (
+  SELECT n.v,
+         (SELECT base FROM consts)
+           + 85 * coalesce(sum(p.s // deg.d), 0) // 100 AS s
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.v
+  LEFT JOIN p{i - 1} p ON p.v = e.src
+  LEFT JOIN deg ON deg.v = e.src
+  GROUP BY n.v)"""
+        for i in range(1, iters + 1)
+    ]
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT CAST(v AS BIGINT) AS node, CAST(s AS BIGINT) AS score FROM p{iters}"
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql(4)
+
+
 # ---------------------------------------------------------------------------
 # Token n-gram family: decontamination, duplicated spans, chunking,
 # repetition signals (stages/ngrams.py)
@@ -4240,6 +4300,7 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "chunk_overlap": q_chunk_overlap,
     "rep_signals": q_rep_signals,
+    "pagerank": q_pagerank,
 }
 
 ORACLE_SQL = {
@@ -4337,4 +4398,5 @@ ORACLE_SQL = {
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "chunk_overlap": _CHUNK_OVERLAP_SQL,
     "rep_signals": _REP_SIGNALS_SQL,
+    "pagerank": _PAGERANK_SQL,
 }

@@ -1,0 +1,65 @@
+"""Distributed fixed-point PageRank (stages/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from commons_codec_ray.stages.graph import SCALE, pagerank
+
+
+def _edges(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def _reference(pairs, iterations):
+    """Single-process replay of the exact integer update rule."""
+    edges = sorted(set(pairs))
+    nodes = sorted({v for e in edges for v in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    s0 = SCALE // len(nodes)
+    base = 15 * s0 // 100
+    score = {v: s0 for v in nodes}
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += score[s] // deg[s]
+        score = {v: base + 85 * inc[v] // 100 for v in nodes}
+    return score
+
+
+class TestPagerank:
+    PAIRS = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 5), (1, 2)]  # dup + self-loop
+
+    def test_matches_reference_replay(self, ray_session):
+        out = pagerank(_edges(self.PAIRS), iterations=3).to_pandas()
+        want = _reference(self.PAIRS, 3)
+        got = dict(zip(out["node"], out["score"]))
+        assert got == want
+
+    def test_sink_node_keeps_base_score(self, ray_session):
+        # node 3 has no in-edges after: 1→2, 2→1, 3→1 (3 is a source only)
+        pairs = [(1, 2), (2, 1), (3, 1)]
+        out = pagerank(_edges(pairs), iterations=2).to_pandas()
+        want = _reference(pairs, 2)
+        assert dict(zip(out["node"], out["score"])) == want
+
+    def test_bucket_count_invariance(self, ray_session):
+        a = pagerank(_edges(self.PAIRS), iterations=2, num_buckets=4).to_pandas()
+        b = pagerank(_edges(self.PAIRS), iterations=2, num_buckets=64).to_pandas()
+        da = dict(zip(a["node"], a["score"]))
+        db = dict(zip(b["node"], b["score"]))
+        assert da == db
+
+    def test_total_mass_bounded(self, ray_session):
+        out = pagerank(_edges(self.PAIRS), iterations=5).to_pandas()
+        assert out["score"].sum() <= SCALE
+        assert (out["score"] > 0).all()
