@@ -4010,6 +4010,73 @@ GROUP BY prev_role, role
 """
 
 
+def q_cdc_lineage(sf_dir: str):
+    """The lineage + metrics surface verified end-to-end (north star:
+    per-partition lineage records, offset ranges → output files): run a
+    real multi-epoch replay into a temp lake, then reconstruct the
+    final accounting PURELY from the committed epoch manifests and the
+    checkpoint — epoch count, final row count summed from each
+    partition's last-touch manifest entry (never reading the lake
+    itself), the resume cursor, and total dead letters. Every number is
+    independently derivable by the oracle from the events table."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    E = 1500  # source-offset width of one epoch
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    env = EventsToEnvelopes(duplicates=True)(events).sort_by("lsn")
+    work = _tempfile.mkdtemp(prefix="ccr_lineage_")
+    try:
+        log = f"{work}/envelopes.parquet"
+        _pq.write_table(env, log, row_group_size=512)
+        pipe = CDCPipeline(
+            f"{work}/lake", PipelineConfig(num_partitions=16, epoch_size=E)
+        )
+        pipe.replay(log, epoch_size=E)
+        store = pipe.store
+        ckpt = store.read_checkpoint()
+        per_part: dict[str, int] = {}
+        dead = 0
+        for e in range(ckpt.last_epoch + 1):
+            m = store.read_manifest(e)
+            dead += int(m["metrics"].get("dead_letters", 0))
+            for pid, info in m["files"].items():
+                per_part[pid] = int(info["rows"])  # last touch wins (full files)
+        return pa.table(
+            {
+                "n_epochs": pa.array([ckpt.last_epoch + 1], pa.int64()),
+                "final_rows": pa.array([sum(per_part.values())], pa.int64()),
+                "next_offset": pa.array([int(ckpt.next_offset)], pa.int64()),
+                "dead_letters": pa.array([dead], pa.int64()),
+            }
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+_CDC_LINEAGE_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_id AS lsn
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ops)
+SELECT CAST(max(event_id) // 1500 + 1 AS BIGINT) AS n_epochs,
+       CAST((SELECT count(*) FROM ranked WHERE rn = 1 AND op = 1) AS BIGINT)
+         AS final_rows,
+       CAST(max(event_id) + 1 AS BIGINT) AS next_offset,
+       CAST(0 AS BIGINT) AS dead_letters
+FROM events
+"""
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py): fixed-point int64 scores
     (scale 10^12, floor division everywhere) make the result
@@ -4301,6 +4368,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "rep_signals": q_rep_signals,
     "pagerank": q_pagerank,
+    "cdc_lineage": q_cdc_lineage,
 }
 
 ORACLE_SQL = {
@@ -4399,4 +4467,5 @@ ORACLE_SQL = {
     "chunk_overlap": _CHUNK_OVERLAP_SQL,
     "rep_signals": _REP_SIGNALS_SQL,
     "pagerank": _PAGERANK_SQL,
+    "cdc_lineage": _CDC_LINEAGE_SQL,
 }
