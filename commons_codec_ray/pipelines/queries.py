@@ -4010,6 +4010,54 @@ GROUP BY prev_role, role
 """
 
 
+def _q_replay_via_pipeline(sf_dir: str, **cfg_kwargs):
+    """Shared harness: full multi-epoch replay into a temp lake through
+    CDCPipeline with the given config, returning the final lake state —
+    the same _CDC_REPLAY_SQL oracle must hold for EVERY apply/sink mode."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    mode = cfg_kwargs.pop("mode", "groupby")
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    env = EventsToEnvelopes(duplicates=True)(events).sort_by("lsn")
+    work = _tempfile.mkdtemp(prefix="ccr_replaymode_")
+    try:
+        log = f"{work}/envelopes.parquet"
+        _pq.write_table(env, log, row_group_size=512)
+        pipe = CDCPipeline(
+            f"{work}/lake",
+            PipelineConfig(num_partitions=16, epoch_size=4000, **cfg_kwargs),
+        )
+        pipe.replay(log, epoch_size=4000, mode=mode)
+        out = pa.Table.from_pandas(
+            pipe.read_lake().to_pandas(), preserve_index=False
+        )
+        return out.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+def q_cdc_replay_actors(sf_dir: str):
+    """The actor-pool applier path driver-gated end-to-end: stateful
+    appliers hold partition state in memory across epochs (explicit
+    hash exchange via multi-return decode tasks, LRU state spill,
+    incremental pre-reduce) and must produce a lake byte-equal to the
+    Dataset path's — same oracle as cdc_replay."""
+    return _q_replay_via_pipeline(sf_dir, mode="actors")
+
+
+def q_cdc_replay_delta(sf_dir: str):
+    """The delta sink (merge-on-read + deterministic compaction)
+    driver-gated end-to-end: epochs append delta files instead of
+    rewriting partitions; reads merge base+deltas by (key, lsn) LWW —
+    same oracle as cdc_replay."""
+    return _q_replay_via_pipeline(sf_dir, sink_mode="delta")
+
+
 def q_cdc_lineage(sf_dir: str):
     """The lineage + metrics surface verified end-to-end (north star:
     per-partition lineage records, offset ranges → output files): run a
@@ -4369,6 +4417,8 @@ QUERIES = {
     "rep_signals": q_rep_signals,
     "pagerank": q_pagerank,
     "cdc_lineage": q_cdc_lineage,
+    "cdc_replay_actors": q_cdc_replay_actors,
+    "cdc_replay_delta": q_cdc_replay_delta,
 }
 
 ORACLE_SQL = {
@@ -4468,4 +4518,6 @@ ORACLE_SQL = {
     "rep_signals": _REP_SIGNALS_SQL,
     "pagerank": _PAGERANK_SQL,
     "cdc_lineage": _CDC_LINEAGE_SQL,
+    "cdc_replay_actors": _CDC_REPLAY_SQL,
+    "cdc_replay_delta": _CDC_REPLAY_SQL,
 }
