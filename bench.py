@@ -177,6 +177,8 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "minhash_dedup",
         "vocab_df",
         "quantiles",
+        "decontam",
+        "substring_dedup",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []

@@ -4262,6 +4262,59 @@ SELECT doc_id + 1000000 AS doc_id FROM n WHERE nt // 2 >= 8
 """
 
 
+def q_span_removal(sf_dir: str):
+    """The full Lee-et-al duplicated-substring REMOVAL (substring_dedup
+    only flags): tokens covered by any cross-document duplicated 8-token
+    span are cut out and the remainder re-joined. On the planted corpus
+    (disjoint originals + first-half copies) the duplicated extent is
+    exactly the original's first half, so the surviving token count AND
+    the sum of surviving token positions are closed-form — the oracle
+    pins the exact cut boundaries, not just how much was cut."""
+    from commons_codec_ray.stages import ngrams
+
+    W = 8
+
+    def planted(t: pa.Table) -> pa.Table:
+        d = _disjoint_vocab(t)
+        ids = d["doc_id"].to_pylist()
+        halves = []
+        for i, x in zip(ids, d["text"].to_pylist()):
+            toks = (x or "").split()
+            h = toks[: len(toks) // 2]
+            halves.append(" ".join(h) if h else f"__half_{i}")
+        copy = pa.table(
+            {
+                "doc_id": pc.add(d["doc_id"], 1_000_000),
+                "text": pa.array(halves, pa.string()),
+            }
+        )
+        return pa.concat_tables([d, copy])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(planted, batch_format="pyarrow")
+    out = ngrams.remove_duplicated_spans(corpus, window=W)
+    return out.select_columns(["doc_id", "n_kept", "kept_pos_sum"])
+
+
+# planted-data note: hl >= 5 at every sf (docs have ≥10 tokens), so the
+# hl = 0 sentinel branch of the planting helper never fires here
+_SPAN_REMOVAL_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+h AS (SELECT doc_id, nt, nt // 2 AS hl FROM t)
+SELECT doc_id,
+       CAST(CASE WHEN hl >= 8 THEN nt - hl ELSE nt END AS BIGINT) AS n_kept,
+       CAST(CASE WHEN hl >= 8 THEN (hl + nt - 1) * (nt - hl) // 2
+                 ELSE (nt - 1) * nt // 2 END AS BIGINT) AS kept_pos_sum
+FROM h
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       CAST(CASE WHEN hl >= 8 THEN 0 ELSE hl END AS BIGINT) AS n_kept,
+       CAST(CASE WHEN hl >= 8 THEN 0 ELSE (hl - 1) * hl // 2 END AS BIGINT)
+         AS kept_pos_sum
+FROM h
+"""
+
+
 def q_chunk_overlap(sf_dir: str):
     """Overlapping token chunking (RAG / context-window prep): every
     document becomes chunks of 32 tokens at stride 24 (8-token overlap).
@@ -4413,6 +4466,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "decontam": q_decontam,
     "substring_dedup": q_substring_dedup,
+    "span_removal": q_span_removal,
     "chunk_overlap": q_chunk_overlap,
     "rep_signals": q_rep_signals,
     "pagerank": q_pagerank,
@@ -4514,6 +4568,7 @@ ORACLE_SQL = {
     "pack_sequences": _PACK_SEQUENCES_SQL,
     "decontam": _DECONTAM_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
+    "span_removal": _SPAN_REMOVAL_SQL,
     "chunk_overlap": _CHUNK_OVERLAP_SQL,
     "rep_signals": _REP_SIGNALS_SQL,
     "pagerank": _PAGERANK_SQL,

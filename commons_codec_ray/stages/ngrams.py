@@ -40,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from commons_codec_ray.util import adaptive_buckets, pool_size
+from commons_codec_ray.util import adaptive_buckets, hash_bucket, pool_size
 
 _R1 = np.uint64(0x9E3779B97F4A7C15)
 _R2 = np.uint64(0xBF58476D1CE4E5B9)
@@ -225,8 +225,6 @@ def duplicated_span_docs(
 
     # global distinct over the (small) flagged set: coarse-bucketed, not
     # per-id groups — the same id can surface from several hash buckets
-    from commons_codec_ray.util import hash_bucket
-
     def rebucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "_db", hash_bucket(t[id_column].to_numpy(zero_copy_only=False), nb)
@@ -309,6 +307,155 @@ def chunk_tokens(
         )
 
     return ds.map_batches(chunker, batch_format="pyarrow")
+
+
+def remove_duplicated_spans(
+    ds,
+    window: int = 50,
+    id_column: str = "doc_id",
+    column: str = "text",
+    num_buckets: int | None = None,
+):
+    """Cut cross-document duplicated spans OUT of every document (the
+    full Lee et al. operator — :func:`duplicated_span_docs` only flags).
+
+    Tokens covered by any ``window``-token span whose hash occurs under
+    ≥2 distinct documents are removed; the survivors are re-joined with
+    single spaces.  Output: ``(id, clean_text, n_kept, kept_pos_sum)``
+    — the integer columns (surviving token count + sum of surviving
+    token positions) pin the exact span extents for oracle comparison
+    without the oracle having to rebuild the text.
+
+    Two exchanges, both integer-keyed and linear in corpus tokens:
+    window rows (hash, doc, pos) shuffle to hash buckets where dup
+    hashes are identified and their (doc, pos) rows emitted; those
+    shuffle to document buckets where they meet the corpus rows
+    (tagged union) and per-document masks are built with difference
+    arrays over the bucket's flat token array — no Python loop except
+    the final surviving-token join (the output work itself).
+    """
+    nb = num_buckets or adaptive_buckets()
+
+    def explode_pos(t: pa.Table) -> pa.Table:
+        H, starts, m = ngram_hashes(t[column], window)
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, m)
+        total = len(H)
+        pos = np.arange(total) - np.repeat(starts, m)
+        return pa.table(
+            {
+                "_b": pa.array((H & np.uint64(nb - 1)).astype(np.int64)),
+                "h": pa.array(H.view(np.int64)),
+                id_column: pa.array(doc),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["h", id_column]].drop_duplicates()
+        dup_h = d.loc[d["h"].duplicated(keep=False), "h"].unique()
+        out = g[g["h"].isin(dup_h)]
+        return out[[id_column, "pos"]]
+
+    dup_pos = (
+        ds.map_batches(explode_pos, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dup_positions, batch_format="pandas")
+    )
+
+    # tagged union into document buckets: corpus rows carry text,
+    # dup-position rows carry pos
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table(
+            {
+                "_db": hash_bucket(ids, nb),
+                id_column: pa.array(ids),
+                column: t[column].cast(pa.string()),
+                "pos": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    def tag_dups(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_db": hash_bucket(ids, nb),
+                id_column: pa.array(ids),
+                column: pa.nulls(t.num_rows, pa.string()),
+                "pos": t["pos"],
+            }
+        )
+
+    def cut_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0]
+        if not len(docs):
+            return pd.DataFrame(
+                {id_column: [], "clean_text": [], "n_kept": [], "kept_pos_sum": []}
+            ).astype({id_column: "int64", "clean_text": "string",
+                      "n_kept": "int64", "kept_pos_sum": "int64"})
+        docs = docs.sort_values(id_column, kind="mergesort")
+        texts = pa.array(docs[column].to_numpy(), pa.string())
+        # same tokenization as the hashing pass (whitespace, empties
+        # dropped) but ORIGINAL case kept for the output text
+        la = pc.utf8_split_whitespace(texts)
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        flat = la.flatten()
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        toks = flat.to_numpy(zero_copy_only=False)[nonempty]
+        cum = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        cnt = cum[offsets[1:]] - cum[offsets[:-1]]
+        starts = np.concatenate([[0], np.cumsum(cnt)])
+        order = docs[id_column].to_numpy()
+        # map dup (doc, pos) rows onto the flat token array
+        dups = g[g["pos"] >= 0]
+        diff = np.zeros(int(starts[-1]) + 1, np.int64)
+        if len(dups):
+            di = np.searchsorted(order, dups[id_column].to_numpy())
+            p = dups["pos"].to_numpy()
+            s = starts[di] + np.minimum(p, np.maximum(cnt[di] - 1, 0))
+            e = starts[di] + np.minimum(p + window, cnt[di])
+            np.add.at(diff, s, 1)
+            np.add.at(diff, e, -1)
+        masked = np.cumsum(diff[:-1]) > 0
+        keep = ~masked
+        # per-doc integer summaries via segment reduction
+        local_pos = np.arange(int(starts[-1])) - np.repeat(starts[:-1], cnt)
+        kinz = keep.astype(np.int64)
+        # clip: a zero-token doc at the tail would index one past the
+        # array end (its bogus read is zeroed by the empty fixup below)
+        seg = np.minimum(starts[:-1], max(int(starts[-1]) - 1, 0))
+        n_kept = (
+            np.add.reduceat(kinz, seg) if len(toks) else np.zeros(len(cnt), np.int64)
+        )
+        pos_sum = (
+            np.add.reduceat(kinz * local_pos, seg)
+            if len(toks)
+            else np.zeros(len(cnt), np.int64)
+        )
+        # empty-segment fixups: reduceat on zero-length segments reads
+        # the next segment — zero them explicitly
+        empty = cnt == 0
+        n_kept[empty] = 0
+        pos_sum[empty] = 0
+        clean = [
+            " ".join(toks[s : s + c][keep[s : s + c]])
+            for s, c in zip(starts[:-1], cnt)
+        ]
+        return pd.DataFrame(
+            {
+                id_column: order,
+                "clean_text": pd.array(clean, dtype="string"),
+                "n_kept": n_kept,
+                "kept_pos_sum": pos_sum,
+            }
+        )
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        dup_pos.map_batches(tag_dups, batch_format="pyarrow")
+    )
+    return tagged.groupby("_db").map_groups(cut_bucket, batch_format="pandas")
 
 
 def rep_signals_batch(

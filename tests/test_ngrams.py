@@ -192,3 +192,81 @@ class TestRepSignals:
         out = ngrams.rep_signals_batch(t).to_pandas().set_index("doc_id")
         assert out.loc[1, "top_bigram"] == 1
         assert out.loc[2, "top_bigram"] == 1
+
+
+class TestRemoveDuplicatedSpans:
+    def test_shared_span_cut_from_both(self, ray_session):
+        shared = "w1 w2 w3 w4"
+        corpus = _ds(
+            [
+                (1, f"a b c {shared} d e"),
+                (2, f"x y {shared} z"),
+                (3, "clean doc stays whole here"),
+            ]
+        )
+        out = (
+            ngrams.remove_duplicated_spans(corpus, window=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "clean_text"] == "a b c d e"
+        assert out.loc[2, "clean_text"] == "x y z"
+        assert out.loc[3, "clean_text"] == "clean doc stays whole here"
+        assert out.loc[1, "n_kept"] == 5
+        # doc1 kept positions: 0,1,2,7,8
+        assert out.loc[1, "kept_pos_sum"] == 0 + 1 + 2 + 7 + 8
+
+    def test_overlapping_windows_merge_extents(self, ray_session):
+        # 5 shared tokens, window 4 → two overlapping dup windows per
+        # doc; the mask must union them, not double-cut
+        shared = "s1 s2 s3 s4 s5"
+        corpus = _ds([(1, f"{shared} tail1"), (2, f"head2 {shared}")])
+        out = (
+            ngrams.remove_duplicated_spans(corpus, window=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "clean_text"] == "tail1"
+        assert out.loc[2, "clean_text"] == "head2"
+
+    def test_within_doc_repeat_not_cut(self, ray_session):
+        corpus = _ds([(1, "r1 r2 r1 r2"), (2, "c1 c2 c3 c4")])
+        out = (
+            ngrams.remove_duplicated_spans(corpus, window=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "clean_text"] == "r1 r2 r1 r2"
+
+    def test_fully_duplicate_doc_becomes_empty(self, ray_session):
+        corpus = _ds([(1, "all same text"), (2, "all same text")])
+        out = (
+            ngrams.remove_duplicated_spans(corpus, window=3)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "clean_text"] == "" and out.loc[1, "n_kept"] == 0
+        assert out.loc[2, "clean_text"] == "" and out.loc[2, "n_kept"] == 0
+
+    def test_case_preserved_in_output(self, ray_session):
+        # hashing lowercases (UPPER copy matches) but output keeps case
+        corpus = _ds([(1, "Keep Me safe a b c"), (2, "keep me SAFE x y z")])
+        out = (
+            ngrams.remove_duplicated_spans(corpus, window=3)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "clean_text"] == "a b c"
+        assert out.loc[2, "clean_text"] == "x y z"
+
+    def test_bucket_count_invariance(self, ray_session):
+        rows = [(i, f"u{i} v{i} shared1 shared2 shared3 w{i}") for i in range(12)]
+        a = (
+            ngrams.remove_duplicated_spans(_ds(rows), window=3, num_buckets=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            ngrams.remove_duplicated_spans(_ds(rows), window=3, num_buckets=64)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
