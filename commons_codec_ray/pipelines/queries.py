@@ -2598,6 +2598,19 @@ WHERE NOT (o.op = 0 AND s.conv_id IS NULL)
 """
 
 
+# the alert oracle wraps the change-feed oracle as a derived table
+# (DuckDB allows a WITH inside a parenthesized subquery)
+_CDC_ALERTS_SQL = f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       CAST(sum(CASE WHEN change = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deletes,
+       CAST(max(lsn) AS BIGINT) AS last_lsn
+FROM ({_CDC_CHANGE_FEED_SQL}) feed
+GROUP BY conv_id HAVING count(*) >= 6
+"""
+
+
 def q_cdc_ivm(sf_dir: str):
     """Incremental view maintenance over the change feed: a
     turns-per-conversation view maintained from insert(+1)/delete(−1)
@@ -4010,6 +4023,90 @@ GROUP BY prev_role, role
 """
 
 
+def q_cdc_alerts(sf_dir: str):
+    """Streaming monitoring composed ON TOP of the change feed: the
+    epoch-2 feed (same replay as q_cdc_change_feed) streams through a
+    per-conversation threshold alert — conversations with ≥6 row-level
+    changes in the epoch emit (conv_id, n_changes, n_deletes, last_lsn).
+    One integer-bucketed exchange over the (tiny) feed; proves the feed
+    is a first-class Dataset that downstream aggregation consumes, not
+    just a file dump. Oracle: the feed CTE wrapped in GROUP BY/HAVING."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    K = 6
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    boundary = n // 2
+    env = EventsToEnvelopes(duplicates=True)(events)
+    e1 = env.filter(pc.less(env["lsn"], boundary))
+    e2 = env.filter(pc.greater_equal(env["lsn"], boundary))
+    lake = _tempfile.mkdtemp(prefix="ccr_alerts_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16, emit_changes=True))
+        for epoch, part in enumerate((e1, e2)):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        feed = pipe.read_changes(epoch=1)
+        nb = adaptive_buckets()
+
+        def partials(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+                    "is_del": pc.equal(t["change"], "delete").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "lsn": t["lsn"].to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby("conv_id", sort=False).agg(
+                n_changes=("lsn", "size"),
+                n_deletes=("is_del", "sum"),
+                last_lsn=("lsn", "max"),
+            )
+            keys = g.index.to_numpy()
+            return pa.table(
+                {
+                    "_b": pa.array(
+                        (pd.util.hash_array(keys) & np.uint64(nb - 1)).astype(np.int64)
+                    ),
+                    "conv_id": pa.array(keys, pa.string()),
+                    "n_changes": pa.array(g["n_changes"].to_numpy(np.int64)),
+                    "n_deletes": pa.array(g["n_deletes"].to_numpy(np.int64)),
+                    "last_lsn": pa.array(g["last_lsn"].to_numpy(np.int64)),
+                }
+            )
+
+        def alert_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("conv_id", sort=False).agg(
+                n_changes=("n_changes", "sum"),
+                n_deletes=("n_deletes", "sum"),
+                last_lsn=("last_lsn", "max"),
+            )
+            g = g[g["n_changes"] >= K]
+            return g.reset_index()
+
+        out = (
+            feed.map_batches(partials, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(alert_bucket, batch_format="pandas")
+        )
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).select(
+            ["conv_id", "n_changes", "n_deletes", "last_lsn"]
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
 def _q_replay_via_pipeline(sf_dir: str, **cfg_kwargs):
     """Shared harness: full multi-epoch replay into a temp lake through
     CDCPipeline with the given config, returning the final lake state —
@@ -4473,6 +4570,7 @@ QUERIES = {
     "cdc_lineage": q_cdc_lineage,
     "cdc_replay_actors": q_cdc_replay_actors,
     "cdc_replay_delta": q_cdc_replay_delta,
+    "cdc_alerts": q_cdc_alerts,
 }
 
 ORACLE_SQL = {
@@ -4575,4 +4673,5 @@ ORACLE_SQL = {
     "cdc_lineage": _CDC_LINEAGE_SQL,
     "cdc_replay_actors": _CDC_REPLAY_SQL,
     "cdc_replay_delta": _CDC_REPLAY_SQL,
+    "cdc_alerts": _CDC_ALERTS_SQL,
 }
