@@ -252,6 +252,7 @@ class EventsToEnvelopes:
         corrupt: bool = False,
         lsn_offset: int = 0,
         extra_int_field: str | None = None,
+        extra_real_field: str | None = None,
     ):
         self.dialect = dialect
         self.duplicates = duplicates
@@ -266,10 +267,16 @@ class EventsToEnvelopes:
         # from an in-band control event, not from config). Debezium-only:
         # other dialects' image encodings would change the field's type.
         self.extra_int_field = extra_int_field
+        # extra_real_field: like extra_int_field but the payload carries
+        # the RAW float value — the post-widening row shape (INT32 →
+        # REAL8) for the type-widening replay
+        self.extra_real_field = extra_real_field
         if dialect is not None and dialect not in _ENCODERS:
             raise ValueError(f"unknown dialect {dialect!r} (have {sorted(_ENCODERS)})")
-        if extra_int_field is not None and dialect != "debezium":
-            raise ValueError("extra_int_field requires dialect='debezium'")
+        if (extra_int_field or extra_real_field) and dialect != "debezium":
+            raise ValueError("extra fields require dialect='debezium'")
+        if extra_int_field and extra_real_field:
+            raise ValueError("pass only one of extra_int_field / extra_real_field")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ops = logical_ops_from_events(batch)
@@ -294,10 +301,13 @@ class EventsToEnvelopes:
         tool = ops["tool"]
 
         extra_vals = None
+        extra_name = self.extra_int_field or self.extra_real_field
         if self.extra_int_field is not None:
             extra_vals = np.floor(
                 batch["value"].to_numpy(zero_copy_only=False)
             ).astype(np.int64)
+        elif self.extra_real_field is not None:
+            extra_vals = batch["value"].to_numpy(zero_copy_only=False)
 
         payloads = np.empty(n, dtype=object)
         dialects = np.empty(n, dtype=object)
@@ -307,10 +317,13 @@ class EventsToEnvelopes:
             if corrupt_mask[i]:
                 payloads[i] = '{"this-is": "not-a-valid-envelope", "lsn": %d' % lsn[i]
             elif extra_vals is not None:
+                v = extra_vals[i]
                 payloads[i] = encode_debezium(
                     conv[i], turn[i], bool(is_del[i]), role[i], text[i], tool[i],
                     ts_iso[i], int(lsn[i]),
-                    extra={self.extra_int_field: int(extra_vals[i])},
+                    extra={
+                        extra_name: int(v) if self.extra_int_field else float(v)
+                    },
                 )
             else:
                 payloads[i] = _ENCODERS[d](

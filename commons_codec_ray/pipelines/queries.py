@@ -3840,6 +3840,130 @@ WHERE rn = 1 AND op = 1
 """
 
 
+def _schema_control_payload(rating_type: str) -> str:
+    """In-band create-table control event (re)declaring the transcript
+    columns plus ``rating`` at the given logical type."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "control": {
+                "table-def": {
+                    "columns": {
+                        "conv_id": {"type": "STRING"},
+                        "turn_idx": {"type": "INT32"},
+                        "role": {"type": "STRING"},
+                        "text": {"type": "STRING"},
+                        "tool": {"type": "STRING"},
+                        "ts": {"type": "TIMESTAMP"},
+                        "rating": {"type": rating_type},
+                    },
+                    "primary-key": ["conv_id", "turn_idx"],
+                }
+            },
+            "metadata": {
+                "operation": "create-table",
+                "schema-name": "public",
+                "table-name": "transcripts",
+                "record-type": "control",
+            },
+        }
+    )
+
+
+def q_cdc_schema_widening(sf_dir: str):
+    """Type WIDENING mid-stream (north-star: 'widened types … via Arrow
+    schema unification'): three epochs — original six columns; an ALTER
+    adds ``rating:INT32`` and upserts carry ints; a second ALTER widens
+    ``rating`` to REAL8 and upserts carry raw doubles. Committed files
+    written under the INT32 registry are never rewritten; the final
+    read unifies int32/float64 partitions and the column surfaces as
+    float64, ints exactly representable. The oracle derives each key's
+    rating from its winning lsn's phase."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    b1, b2 = n // 3, 2 * n // 3
+    ids = events["event_id"]
+    e1 = EventsToEnvelopes(dialect="debezium", duplicates=True)(
+        events.filter(pc.less(ids, b1))
+    )
+    e2 = EventsToEnvelopes(
+        dialect="debezium", duplicates=True, lsn_offset=1, extra_int_field="rating"
+    )(events.filter(pc.and_(pc.greater_equal(ids, b1), pc.less(ids, b2))))
+    e3 = EventsToEnvelopes(
+        dialect="debezium", duplicates=True, lsn_offset=2, extra_real_field="rating"
+    )(events.filter(pc.greater_equal(ids, b2)))
+
+    def control(lsn: int, rating_type: str) -> pa.Table:
+        return pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "source_offset": pa.array([lsn], pa.int64()),
+                "dialect": pa.array(["debezium"]),
+                "payload": pa.array([_schema_control_payload(rating_type)]),
+                "conv_id": pa.array([None], pa.string()),
+            }
+        )
+
+    epochs = [
+        e1,
+        pa.concat_tables([control(b1, "INT32"), e2]),
+        pa.concat_tables([control(b2 + 1, "REAL8"), e3]),
+    ]
+    lake = _tempfile.mkdtemp(prefix="ccr_widen_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16))
+        for epoch, part in enumerate(epochs):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        out = pa.Table.from_pandas(
+            pipe.read_lake().to_pandas(), preserve_index=False
+        )
+        out = out.set_column(
+            out.schema.get_field_index("rating"),
+            "rating",
+            out["rating"].cast(pa.float64()),
+        )
+        return out.select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts", "rating"]
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_SCHEMA_WIDENING_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn,
+         CASE WHEN event_id % 10 = 7 THEN NULL
+              WHEN event_id >= 2 * (SELECT n FROM n) // 3 THEN value
+              WHEN event_id >= (SELECT n FROM n) // 3
+                THEN CAST(CAST(floor(value) AS INTEGER) AS DOUBLE)
+              ELSE NULL END AS rating
+  FROM events)
+SELECT conv_id, turn_idx, role, text, tool, ts, rating
+FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM ops)
+WHERE rn = 1 AND op = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Transcript-native training-data prep (stages/transcripts.py)
 # ---------------------------------------------------------------------------
@@ -4560,6 +4684,7 @@ QUERIES = {
     "conv_stats": q_conv_stats,
     "role_transitions": q_role_transitions,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_schema_widening": q_cdc_schema_widening,
     "pack_sequences": q_pack_sequences,
     "decontam": q_decontam,
     "substring_dedup": q_substring_dedup,
@@ -4663,6 +4788,7 @@ ORACLE_SQL = {
     "conv_stats": _CONV_STATS_SQL,
     "role_transitions": _ROLE_TRANSITIONS_SQL,
     "cdc_schema_evolution": _CDC_SCHEMA_EVOLUTION_SQL,
+    "cdc_schema_widening": _CDC_SCHEMA_WIDENING_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
     "decontam": _DECONTAM_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,

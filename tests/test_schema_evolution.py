@@ -209,3 +209,71 @@ def test_added_column_survives_delta_sink_and_spill(tmp_path, mode):
     assert df["text"].tolist() == ["base-row", "delta-row", "later-row"]
     assert df.loc[1, "rating"] == 5  # carried by a DELTA file, not a rewrite
     assert df.loc[2, "rating"] == 9
+
+
+def test_type_widening_replay_never_rewrites_committed_files(tmp_path, ray_session):
+    # three-phase widening replay (the q_cdc_schema_widening shape, small):
+    # files committed under the INT32 registry must stay int32 on disk
+    # while the unified read surfaces float64
+    import pyarrow.parquet as pq_
+
+    from commons_codec_ray.envelopes import EventsToEnvelopes
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+    from commons_codec_ray.pipelines.queries import _schema_control_payload
+
+    events = pq_.read_table("/root/testdata/sf0.001/events.parquet")
+    n = events.num_rows
+    b1, b2 = n // 3, 2 * n // 3
+    ids = events["event_id"]
+    import pyarrow.compute as pc_
+
+    e1 = EventsToEnvelopes(dialect="debezium", duplicates=False)(
+        events.filter(pc_.less(ids, b1))
+    )
+    e2 = EventsToEnvelopes(
+        dialect="debezium", duplicates=False, lsn_offset=1, extra_int_field="rating"
+    )(events.filter(pc_.and_(pc_.greater_equal(ids, b1), pc_.less(ids, b2))))
+    e3 = EventsToEnvelopes(
+        dialect="debezium", duplicates=False, lsn_offset=2, extra_real_field="rating"
+    )(events.filter(pc_.greater_equal(ids, b2)))
+
+    def control(lsn, rating_type):
+        return pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "source_offset": pa.array([lsn], pa.int64()),
+                "dialect": pa.array(["debezium"]),
+                "payload": pa.array([_schema_control_payload(rating_type)]),
+                "conv_id": pa.array([None], pa.string()),
+            }
+        )
+
+    pipe = CDCPipeline(tmp_path / "lake", PipelineConfig(num_partitions=8))
+    parts = [e1, pa.concat_tables([control(b1, "INT32"), e2]),
+             pa.concat_tables([control(b2 + 1, "REAL8"), e3])]
+    for epoch, part in enumerate(parts):
+        import ray.data as rd_
+
+        offs = part["source_offset"]
+        pipe.run_epoch(
+            rd_.from_arrow(part), epoch=epoch,
+            offset_range=(pc_.min(offs).as_py(), pc_.max(offs).as_py()),
+        )
+
+    # epoch-1 files (committed under INT32) keep int32 rating on disk
+    m1 = pipe.store.read_manifest(1)
+    e1_types = {
+        pq_.read_schema(str(pipe.store.root / info["path"])).field("rating").type
+        for info in m1["files"].values()
+    }
+    assert e1_types == {pa.int32()}
+    # epoch-2 files carry the widened type
+    m2 = pipe.store.read_manifest(2)
+    e2_types = {
+        pq_.read_schema(str(pipe.store.root / info["path"])).field("rating").type
+        for info in m2["files"].values()
+    }
+    assert e2_types == {pa.float64()}
+    # the unified read surfaces float64 with int-phase values exact
+    df = pipe.read_lake().to_pandas()
+    assert str(df["rating"].dtype) in ("float64", "Float64")
