@@ -4412,6 +4412,48 @@ _PAGERANK_SQL = _pagerank_sql(4)
 # ---------------------------------------------------------------------------
 
 
+def q_bm25(sf_dir: str):
+    """BM25 relevance top-20 for a fixed query (stages/ranking.py
+    bm25_topk): all-integer rational scoring (floor divisions
+    everywhere) so the oracle's identical arithmetic ranks and scores
+    bit-exactly — no libm log whose last ulp could differ. Two linear
+    passes, no shuffle: tiny df/corpus-stat partials reduce driver-side
+    and broadcast into a vectorized per-batch scoring pass with local
+    top-k."""
+    from commons_codec_ray.stages.ranking import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(docs, query_terms=["table", "row", "key", "scan"], k=20)
+
+
+_BM25_SQL = """
+WITH consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a
+  FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+q(term) AS (VALUES ('table'), ('row'), ('key'), ('scan')),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok JOIN q ON tok = term GROUP BY term),
+tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok JOIN q ON tok = term GROUP BY doc_id, tok),
+scores AS (
+  SELECT tf.doc_id,
+         sum(((2*c.n - 2*df.df + 1) * 1000000 // (2*df.df + 1))
+             * (44*tf.tf*c.a)
+             // (20*tf.tf*c.a + 6*c.a + 18*dl.dl*c.n)) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_decontam(sf_dir: str):
     """Eval-set decontamination (the 13-gram-overlap hygiene step of
     GPT-3/PaLM data cards, here n=5): documents sharing any token
@@ -4696,6 +4738,7 @@ QUERIES = {
     "cdc_replay_actors": q_cdc_replay_actors,
     "cdc_replay_delta": q_cdc_replay_delta,
     "cdc_alerts": q_cdc_alerts,
+    "bm25": q_bm25,
 }
 
 ORACLE_SQL = {
@@ -4800,4 +4843,5 @@ ORACLE_SQL = {
     "cdc_replay_actors": _CDC_REPLAY_SQL,
     "cdc_replay_delta": _CDC_REPLAY_SQL,
     "cdc_alerts": _CDC_ALERTS_SQL,
+    "bm25": _BM25_SQL,
 }

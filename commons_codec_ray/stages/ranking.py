@@ -126,3 +126,119 @@ def global_rank(
         return t.drop_columns(["_rp", "_lr"])
 
     return ranked.map_batches(add_offset, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    k: int = 20,
+    id_column: str = "doc_id",
+    column: str = "text",
+):
+    """Fixed-point BM25 top-k for one query, bit-identical to the SQL
+    oracle (engine-added; k1 = 1.2, b = 0.75).
+
+    Floats would drift in the last ulp between engines, so the score is
+    an all-integer rational: with N docs, A total tokens and S = 10^6,
+
+        idf(t)  = (2N − 2·df + 1)·S // (2·df + 1)        (∝ (N−df+.5)/(df+.5))
+        tfnorm  = 44·tf·A // (20·tf·A + 6·A + 18·dl·N)    (∝ 2.2·tf / (tf + 1.2·(0.25 + 0.75·dl/avgdl)))
+        score   = Σ_t idf(t) · 44·tf·A // (20·tf·A + 6·A + 18·dl·N)
+
+    (numerator and denominator of the classic form multiplied through by
+    20·N·avgdl; every division is a floor, so any engine computing the
+    same integers ranks identically).  Guarded against int64 overflow —
+    at corpus sizes where idf·44·tf·A approaches 2^63 the scale constant
+    S must shrink; the guard raises loudly instead of wrapping.
+
+    Two linear passes, no shuffle: per-batch (df-partial, token-count)
+    aggregates reduce on the driver (a |terms|-row table); scoring is a
+    per-batch vectorized pass keeping a local top-k, reduced driver-side
+    (k·num_batches rows).  Tokenization is a single-space split with
+    empties kept, matching ``string_split(text, ' ')``.
+    """
+    import pyarrow.compute as pc
+
+    terms = list(query_terms)
+    tset = pa.array(terms, pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
+        la = pc.split_pattern(col, pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        cnt = np.diff(offsets)
+        toks = la.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), cnt)
+        df_counts = []
+        for term in terms:
+            hit_docs = np.unique(doc_of[toks == term])
+            df_counts.append(len(hit_docs))
+        return pa.table(
+            {
+                "term": tset,
+                "df_part": pa.array(df_counts, pa.int64()),
+                "n_part": pa.array([t.num_rows] * len(terms), pa.int64()),
+                "a_part": pa.array([int(cnt.sum())] * len(terms), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    per_term = agg.groupby("term")["df_part"].sum()
+    one_term = agg[agg["term"] == terms[0]]
+    N = int(one_term["n_part"].sum())
+    A = int(one_term["a_part"].sum())
+    S = 1_000_000
+    idf = {t: (2 * N - 2 * int(per_term[t]) + 1) * S // (2 * int(per_term[t]) + 1)
+           for t in terms if per_term[t] > 0}
+    max_idf = max(idf.values(), default=0)
+    # int64 overflow guard: idf · 44 · tf · A must stay below 2^63
+    if max_idf and max_idf * 44 * A > (2**62):  # tf ≥ 1 headroom ×2
+        raise OverflowError(
+            "bm25 fixed-point scale too large for this corpus; lower S"
+        )
+    if not idf:  # no query term occurs in the corpus
+        return pa.table(
+            {id_column: pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        col = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
+        la = pc.split_pattern(col, pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        cnt = np.diff(offsets)
+        toks = la.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), cnt)
+        score = np.zeros(t.num_rows, np.int64)
+        any_hit = np.zeros(t.num_rows, bool)
+        dlN = 18 * cnt * N
+        for term, widf in idf.items():
+            hits = doc_of[toks == term]
+            if not len(hits):
+                continue
+            tf = np.bincount(hits, minlength=t.num_rows).astype(np.int64)
+            has = tf > 0
+            num = 44 * tf[has] * A
+            den = 20 * tf[has] * A + 6 * A + dlN[has]
+            score[has] += widf * num // den
+            any_hit |= has
+        ids = t[id_column].to_numpy(zero_copy_only=False)[any_hit]
+        sc = score[any_hit]
+        # local top-k: (score desc, id asc)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order]),
+                "score": pa.array(sc[order], pa.int64()),
+            }
+        )
+
+    tops = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(
+        ["score", id_column], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            id_column: pa.array(tops[id_column].to_numpy()),
+            "score": pa.array(tops["score"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -45,3 +45,63 @@ def test_global_rank_sorted_input_skew():
         {"id": np.arange(2000, dtype="int64"), "v": np.arange(2000, dtype="float64")}
     )
     _check(df, 16)
+
+
+class TestBM25:
+    def _corpus(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            (1, "apple banana apple cherry"),
+            (2, "apple apple apple apple banana banana"),
+            (3, "cherry date elderberry fig grape"),
+            (4, "banana"),
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_matches_integer_reference(self, ray_session):
+        from commons_codec_ray.stages.ranking import bm25_topk
+
+        out = bm25_topk(self._corpus(), ["apple", "banana"], k=10).to_pandas()
+        # single-process replay of the same integer formula
+        docs = {1: "apple banana apple cherry",
+                2: "apple apple apple apple banana banana",
+                3: "cherry date elderberry fig grape",
+                4: "banana"}
+        N = len(docs)
+        A = sum(len(t.split(" ")) for t in docs.values())
+        S = 1_000_000
+        want = {}
+        for term in ("apple", "banana"):
+            df = sum(term in t.split(" ") for t in docs.values())
+            idf = (2 * N - 2 * df + 1) * S // (2 * df + 1)
+            for d, t in docs.items():
+                tf = t.split(" ").count(term)
+                if tf:
+                    dl = len(t.split(" "))
+                    want[d] = want.get(d, 0) + idf * (44 * tf * A) // (
+                        20 * tf * A + 6 * A + 18 * dl * N
+                    )
+        got = dict(zip(out["doc_id"], out["score"]))
+        assert got == want
+
+    def test_irrelevant_docs_absent_and_order_deterministic(self, ray_session):
+        from commons_codec_ray.stages.ranking import bm25_topk
+
+        out = bm25_topk(self._corpus(), ["apple"], k=10).to_pandas()
+        assert set(out["doc_id"]) == {1, 2}
+        assert list(out["score"]) == sorted(out["score"], reverse=True)
+
+    def test_absent_term_ignored(self, ray_session):
+        from commons_codec_ray.stages.ranking import bm25_topk
+
+        out = bm25_topk(self._corpus(), ["zzz_missing"], k=10).to_pandas()
+        assert len(out) == 0
