@@ -2526,6 +2526,51 @@ UNION ALL SELECT 0.95, quantile_cont(value, 0.95) FROM events
 """
 
 
+def q_approx_quantiles_by_key(sf_dir: str):
+    """Per-KEY approximate quantiles via the shuffle-free mergeable
+    uniform-histogram sketch (stages/quantiles.py
+    ``approx_quantiles_by_key``): two linear passes — per-key min/max/n
+    partials reduced and broadcast, then sparse per-(key, bucket) count
+    partials merged into a K×256 matrix. The estimator (bucket upper
+    edge at rank ceil(q·n)) is evaluated in a fixed double-precision
+    operation order the SQL oracle replicates bit-exactly; error is
+    bounded by (hi−lo)/256 per key. The exact one-shuffle path is
+    ``median_per_user``; this is the sketch path for when the fact
+    table is too large to exchange."""
+    from commons_codec_ray.stages.quantiles import approx_quantiles_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return approx_quantiles_by_key(ds, "user_id", "value", qs=[0.5, 0.9])
+
+
+_APPROX_QUANTILES_BY_KEY_SQL = """
+WITH stats AS (
+  SELECT user_id, min(value) AS lo, max(value) AS hi, count(*) AS n
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT e.user_id,
+         CAST(least(255.0, greatest(0.0,
+             floor(((e.value - s.lo) * 256.0) / (s.hi - s.lo)))) AS BIGINT) AS bucket
+  FROM events e JOIN stats s USING (user_id) WHERE s.hi > s.lo),
+counts AS (SELECT user_id, bucket, count(*) AS c FROM b GROUP BY user_id, bucket),
+cum AS (
+  SELECT user_id, bucket,
+         sum(c) OVER (PARTITION BY user_id ORDER BY bucket) AS cum
+  FROM counts),
+pick AS (
+  SELECT c.user_id,
+         min(CASE WHEN c.cum >= ceil(0.5 * s.n) THEN c.bucket END) AS b50,
+         min(CASE WHEN c.cum >= ceil(0.9 * s.n) THEN c.bucket END) AS b90
+  FROM cum c JOIN stats s USING (user_id) GROUP BY c.user_id)
+SELECT s.user_id,
+       CASE WHEN s.hi > s.lo
+            THEN s.lo + ((p.b50 + 1) * (s.hi - s.lo)) / 256.0 ELSE s.lo END AS p50_est,
+       CASE WHEN s.hi > s.lo
+            THEN s.lo + ((p.b90 + 1) * (s.hi - s.lo)) / 256.0 ELSE s.lo END AS p90_est
+FROM stats s LEFT JOIN pick p USING (user_id)
+"""
+
+
 def q_cdc_change_feed(sf_dir: str):
     """CDC OUTPUT stream (change feed): replay in two epochs with
     ``emit_changes=True`` and return epoch 2's row-level feed —
@@ -4694,6 +4739,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "quantiles": q_quantiles,
     "quantiles_cont": q_quantiles_cont,
+    "approx_quantiles_by_key": q_approx_quantiles_by_key,
     "approx_quantiles": q_approx_quantiles,
     "pii_scrub": q_pii_scrub,
     "rollup": q_rollup,
@@ -4798,6 +4844,7 @@ ORACLE_SQL = {
     "vocab_df": _VOCAB_DF_SQL,
     "tfidf": _TFIDF_SQL,
     "quantiles": _QUANTILES_SQL,
+    "approx_quantiles_by_key": _APPROX_QUANTILES_BY_KEY_SQL,
     "quantiles_cont": _QUANTILES_CONT_SQL,
     "approx_quantiles": _APPROX_QUANTILES_SQL,
     "pii_scrub": _PII_SCRUB_SQL,

@@ -86,6 +86,121 @@ def distributed_quantiles_cont(
     return out
 
 
+def approx_quantiles_by_key(
+    ds,
+    key: str,
+    column: str,
+    qs: list[float],
+    bins: int = 256,
+    out_names: list[str] | None = None,
+):
+    """Per-KEY approximate quantiles via a mergeable uniform-histogram
+    sketch — ZERO shuffles (engine-added; the exact one-shuffle path is
+    ``grouptop.quantile_per_key``; this is the sketch path for when even
+    one all-to-all on the fact table is too expensive).
+
+    Two linear passes over the data:
+
+    1. per-batch ``(key, min, max, count)`` partials — a few rows per
+       distinct key per batch — reduced driver-side and broadcast
+       (``ray.put`` once, read zero-copy in every task);
+    2. per-batch sparse ``(key, bucket)`` count partials over each key's
+       ``bins`` uniform buckets, reduced driver-side into a K×bins count
+       matrix (kilobytes per key — the sketch, mergeable by addition).
+
+    The estimate for quantile ``q`` of a key with ``lo < hi`` is the
+    UPPER EDGE of the bucket containing the rank-``ceil(q·n)`` value:
+
+        bucket(v) = clamp(floor(((v − lo) · bins) / (hi − lo)), 0, bins−1)
+        est       = lo + ((b_q + 1) · (hi − lo)) / bins
+
+    evaluated in exactly this double-precision operation order, so an
+    oracle computing the same expressions (e.g. DuckDB SQL) matches
+    bit-for-bit.  Error bound: |est − exact quantile_disc| ≤ (hi−lo)/bins.
+    Keys with a single distinct value return that value.
+
+    Scale contract: distinct keys (× bins × 8 bytes) must fit the
+    driver/broadcast — the users/domains regime, not arbitrary key
+    cardinality (use the exact shuffled path there).
+    """
+    import ray
+
+    out_names = out_names or [f"p{int(q * 100)}_est" for q in qs]
+    fbins = float(bins)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                key: pa.array(ks[starts]),
+                "lo": pa.array(np.minimum.reduceat(vs, starts), pa.float64()),
+                "hi": pa.array(np.maximum.reduceat(vs, starts), pa.float64()),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(ks))).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    st = (
+        parts.groupby(key)
+        .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+        .sort_index()
+    )
+    keys_sorted = st.index.to_numpy()
+    lo = st["lo"].to_numpy(np.float64)
+    hi = st["hi"].to_numpy(np.float64)
+    n = st["n"].to_numpy(np.int64)
+    K = len(keys_sorted)
+    stats_ref = ray.put((keys_sorted, lo, hi))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        ks_s, lo_b, hi_b = ray.get(stats_ref)
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        ki = np.searchsorted(ks_s, k)
+        spread = hi_b[ki] > lo_b[ki]
+        ki, v = ki[spread], v[spread]
+        b = np.minimum(
+            fbins - 1.0,
+            np.maximum(
+                0.0, np.floor(((v - lo_b[ki]) * fbins) / (hi_b[ki] - lo_b[ki]))
+            ),
+        ).astype(np.int64)
+        code = ki * bins + b
+        cnts = np.bincount(code, minlength=0)
+        nz = np.flatnonzero(cnts)
+        return pa.table(
+            {
+                "code": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    sk = ds.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    mat = np.zeros(K * bins, dtype=np.int64)
+    np.add.at(mat, sk["code"].to_numpy(np.int64), sk["c"].to_numpy(np.int64))
+    cum = np.cumsum(mat.reshape(K, bins), axis=1)
+
+    flat = hi <= lo
+    cols = {key: pa.array(keys_sorted)}
+    for q, name in zip(qs, out_names):
+        rank = np.ceil(q * n.astype(np.float64))
+        # first bucket whose cumulative count reaches the rank
+        bq = (cum >= rank[:, None]).argmax(axis=1).astype(np.float64)
+        est = lo + ((bq + 1.0) * (hi - lo)) / fbins
+        cols[name] = pa.array(np.where(flat, lo, est), pa.float64())
+    return pa.table(cols)
+
+
 def distributed_order_stats(
     ds,
     column: str,

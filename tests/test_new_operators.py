@@ -122,3 +122,68 @@ def test_exact_jaccard_pairs_threshold_and_dedupe(ray_session):
     out = exact_jaccard_pairs(rd.from_arrow(docs), threshold=0.7).to_pandas()
     # matched by every band yet emitted exactly once, with exact J=1.0
     assert out[["id_a", "id_b", "jaccard"]].values.tolist() == [[1, 2, 1.0]]
+
+
+def test_approx_quantiles_by_key_bitexact_and_bounded(ray_session, tmp_path):
+    import duckdb
+
+    from commons_codec_ray.stages.quantiles import approx_quantiles_by_key
+
+    rng = np.random.RandomState(23)
+    n = 30_000
+    keys = rng.randint(0, 40, n).astype("int64")
+    vals = rng.lognormal(0, 1.5, n) * (1 + keys)  # per-key scale differences
+    # one single-value key (hi == lo path) and one single-row key
+    keys = np.concatenate([keys, np.full(10, 100, "int64"), [101]])
+    vals = np.concatenate([vals, np.full(10, 7.5), [3.25]])
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    pq.write_table(tbl, tmp_path / "kv.parquet")
+    ds = rd.read_parquet(str(tmp_path / "kv.parquet"), override_num_blocks=8)
+
+    got = (
+        approx_quantiles_by_key(ds, "k", "v", qs=[0.5, 0.9], bins=256)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{tmp_path}/kv.parquet')")
+    want = con.execute(
+        """
+        WITH stats AS (SELECT k, min(v) lo, max(v) hi, count(*) n FROM t GROUP BY k),
+        b AS (SELECT e.k, CAST(least(255.0, greatest(0.0,
+                 floor(((e.v - s.lo) * 256.0) / (s.hi - s.lo)))) AS BIGINT) AS bucket
+              FROM t e JOIN stats s USING (k) WHERE s.hi > s.lo),
+        counts AS (SELECT k, bucket, count(*) c FROM b GROUP BY k, bucket),
+        cum AS (SELECT k, bucket, sum(c) OVER (PARTITION BY k ORDER BY bucket) cum FROM counts),
+        pick AS (SELECT c.k,
+                   min(CASE WHEN c.cum >= ceil(0.5 * s.n) THEN c.bucket END) b50,
+                   min(CASE WHEN c.cum >= ceil(0.9 * s.n) THEN c.bucket END) b90
+                 FROM cum c JOIN stats s USING (k) GROUP BY c.k)
+        SELECT s.k,
+               CASE WHEN s.hi > s.lo THEN s.lo + ((p.b50 + 1) * (s.hi - s.lo)) / 256.0
+                    ELSE s.lo END AS p50_est,
+               CASE WHEN s.hi > s.lo THEN s.lo + ((p.b90 + 1) * (s.hi - s.lo)) / 256.0
+                    ELSE s.lo END AS p90_est
+        FROM stats s LEFT JOIN pick p USING (k) ORDER BY s.k
+        """
+    ).df()
+    # bit-exact against the SQL replica of the estimator
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["p50_est"].tolist() == want["p50_est"].tolist()
+    assert got["p90_est"].tolist() == want["p90_est"].tolist()
+
+    # error bound: |est - exact quantile_disc| <= (hi - lo) / bins per key
+    df = tbl.to_pandas()
+    for q, cname in ((0.5, "p50_est"), (0.9, "p90_est")):
+        for k, g in df.groupby("k"):
+            v = np.sort(g["v"].to_numpy())
+            exact = v[max(1, int(np.ceil(q * len(v)))) - 1]
+            width = (v[-1] - v[0]) / 256.0
+            est = got.loc[got["k"] == k, cname].iloc[0]
+            assert abs(est - exact) <= width + 1e-12, (k, q, est, exact, width)
+
+    # single-value / single-row keys return the value itself
+    assert got.loc[got["k"] == 100, "p50_est"].iloc[0] == 7.5
+    assert got.loc[got["k"] == 101, "p90_est"].iloc[0] == 3.25
