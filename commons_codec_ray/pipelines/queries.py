@@ -4451,6 +4451,66 @@ p{i} AS (
 _PAGERANK_SQL = _pagerank_sql(4)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed k-means, full Lloyd iterations (stages/kmeans.py):
+    fixed-point int64 coordinates (translation offset keeps everything
+    non-negative so numpy floor division and DuckDB's truncating ``//``
+    agree), exact integer squared-distance assignments with
+    ties → lowest cid, integer-mean updates, empty clusters keep their
+    centroid. No shuffle: each iteration is one linear pass emitting a
+    k×(dims+1) int64 partial per batch, reduced and re-broadcast by the
+    driver. The oracle replays the identical integer iterations with
+    unrolled CTEs (same trick as pagerank)."""
+    from commons_codec_ray.stages.kmeans import kmeans_lloyd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_lloyd(emb, k=4, iterations=3)
+
+
+def _kmeans_sql(k: int, iters: int, dims: int) -> str:
+    head = f"""
+WITH pts AS (
+  SELECT vec_id, u.i AS dim,
+         CAST(floor((CAST(embedding[u.i + 1] AS DOUBLE) + 2.0) * 1000000.0) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range({dims})) AS i) u),
+c0 AS (
+  SELECT i.cid, p.dim, p.qv AS cv
+  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})) i
+  JOIN pts p USING (vec_id))"""
+    steps = [
+        f""",
+d{j} AS (
+  SELECT p.vec_id, c.cid, sum((p.qv - c.cv) * (p.qv - c.cv)) AS d
+  FROM pts p JOIN c{j - 1} c USING (dim) GROUP BY p.vec_id, c.cid),
+a{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{j}) WHERE rn = 1),
+s{j} AS (
+  SELECT a.cid, p.dim, sum(p.qv) AS s, count(*) AS n
+  FROM a{j} a JOIN pts p USING (vec_id) GROUP BY a.cid, p.dim),
+c{j} AS (
+  SELECT c.cid, c.dim, CAST(COALESCE(s.s // s.n, c.cv) AS BIGINT) AS cv
+  FROM c{j - 1} c LEFT JOIN s{j} s ON s.cid = c.cid AND s.dim = c.dim)"""
+        for j in range(1, iters + 1)
+    ]
+    return (
+        head
+        + "".join(steps)
+        + f""",
+z AS (SELECT cid, CAST(count(*) AS BIGINT) AS size FROM a{iters} GROUP BY cid)
+SELECT c.cid, c.dim, c.cv AS cval, COALESCE(z.size, 0) AS size
+FROM c{iters} c LEFT JOIN z USING (cid)"""
+    )
+
+
+_KMEANS_SQL = _kmeans_sql(4, 3, 64)
+
+
 # ---------------------------------------------------------------------------
 # Token n-gram family: decontamination, duplicated spans, chunking,
 # repetition signals (stages/ngrams.py)
@@ -4785,6 +4845,7 @@ QUERIES = {
     "cdc_replay_delta": q_cdc_replay_delta,
     "cdc_alerts": q_cdc_alerts,
     "bm25": q_bm25,
+    "kmeans": q_kmeans,
 }
 
 ORACLE_SQL = {
@@ -4891,4 +4952,5 @@ ORACLE_SQL = {
     "cdc_replay_delta": _CDC_REPLAY_SQL,
     "cdc_alerts": _CDC_ALERTS_SQL,
     "bm25": _BM25_SQL,
+    "kmeans": _KMEANS_SQL,
 }
