@@ -522,6 +522,95 @@ SELECT * FROM snap0 UNION ALL SELECT * FROM cur
 """
 
 
+def q_cdc_snapshot_diff(sf_dir: str):
+    """Reverse CDC: derive the change set between the epoch-0 snapshot
+    and the current lake state by DIFFING the two snapshots
+    (stages/joins.py ``snapshot_diff``) — the backfill operator for when
+    no event log exists between two lake versions. One shuffle: both
+    snapshots tagged with the key bucket and unioned, one vectorized
+    outer-merge + null-safe column compare per bucket. insert = key new,
+    delete = key gone (before image), update = any column changed (new
+    image); untouched rows drop out. The SQL oracle re-derives both
+    snapshots from the lsn split and takes the same FULL OUTER JOIN
+    classification."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+    from commons_codec_ray.stages.joins import snapshot_diff
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    boundary = n // 2
+    env = EventsToEnvelopes(duplicates=True)(events)
+    e1 = env.filter(pc.less(env["lsn"], boundary))
+    e2 = env.filter(pc.greater_equal(env["lsn"], boundary))
+
+    lake = _tempfile.mkdtemp(prefix="ccr_snapdiff_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16))
+        for epoch, part in enumerate((e1, e2)):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        feed = snapshot_diff(
+            pipe.read_lake(epoch=0),
+            pipe.read_lake(),
+            keys=["conv_id", "turn_idx"],
+            compare=["role", "text", "tool", "ts"],
+        )
+        return pa.Table.from_pandas(feed.to_pandas(), preserve_index=False).select(
+            ["change", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_SNAPSHOT_DIFF_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+boundary AS (SELECT CAST(count(*) // 2 AS BIGINT) AS b FROM events),
+snap0 AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops WHERE lsn < (SELECT b FROM boundary)) WHERE rn = 1 AND op = 1),
+cur AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops) WHERE rn = 1 AND op = 1),
+j AS (
+  SELECT coalesce(o.conv_id, n.conv_id) AS conv_id,
+         coalesce(o.turn_idx, n.turn_idx) AS turn_idx,
+         o.conv_id IS NOT NULL AS has_o, n.conv_id IS NOT NULL AS has_n,
+         o.role AS role_o, o.text AS text_o, o.tool AS tool_o, o.ts AS ts_o,
+         n.role AS role_n, n.text AS text_n, n.tool AS tool_n, n.ts AS ts_n
+  FROM snap0 o FULL OUTER JOIN cur n
+    ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
+SELECT CASE WHEN NOT has_o THEN 'insert'
+            WHEN NOT has_n THEN 'delete' ELSE 'update' END AS change,
+       conv_id, turn_idx,
+       CASE WHEN has_n THEN role_n ELSE role_o END AS role,
+       CASE WHEN has_n THEN text_n ELSE text_o END AS text,
+       CASE WHEN has_n THEN tool_n ELSE tool_o END AS tool,
+       CASE WHEN has_n THEN ts_n ELSE ts_o END AS ts
+FROM j
+WHERE NOT has_o OR NOT has_n
+   OR role_o IS DISTINCT FROM role_n OR text_o IS DISTINCT FROM text_n
+   OR tool_o IS DISTINCT FROM tool_n OR ts_o IS DISTINCT FROM ts_n
+"""
+
+
 def q_windowed_agg(sf_dir: str):
     """Tumbling 1-day window per user: pre-aggregated inside map_batches
     (combiner), then a small groupby over partials — the scalable
@@ -4808,6 +4897,7 @@ QUERIES = {
     "cdc_ivm": q_cdc_ivm,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "set_ops": q_set_ops,
     "unnest_tokens": q_unnest_tokens,
     "string_agg": q_string_agg,
@@ -4915,6 +5005,7 @@ ORACLE_SQL = {
     "cdc_ivm": _CDC_IVM_SQL,
     "cdc_multi_table": _CDC_MULTI_TABLE_SQL,
     "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
+    "cdc_snapshot_diff": _CDC_SNAPSHOT_DIFF_SQL,
     "set_ops": _SET_OPS_SQL,
     "unnest_tokens": _UNNEST_SQL,
     "string_agg": _STRING_AGG_SQL,

@@ -376,3 +376,66 @@ def salted_hash_join(
         right_ds.map_batches(tag_build, batch_format="pyarrow")
     )
     return tagged.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    keys: list[str],
+    compare: list[str],
+    num_buckets: int | None = None,
+):
+    """Reverse CDC (engine-added): derive a row-level change feed by
+    DIFFING two consistent snapshots — keys only in ``new_ds`` →
+    ``insert`` (new image), only in ``old_ds`` → ``delete`` (before
+    image), in both with any ``compare`` column differing (null-safe) →
+    ``update`` (new image); identical rows are dropped.  The operator
+    that backfills a change feed when the event log was never captured
+    (e.g. lake epoch N vs N+1).
+
+    Scale shape: one shuffle — both snapshots tagged with
+    ``hash(keys) % num_buckets`` and unioned, then a single vectorized
+    outer merge + column compare per bucket.  Keys never span buckets,
+    so the diff is exact.
+    """
+    nb = num_buckets or adaptive_buckets()
+
+    def tag(is_new: bool):
+        def _t(t: pa.Table) -> pa.Table:
+            t = t.append_column("_jb", _key_bucket(t, keys, nb))
+            return t.append_column(
+                "_new", pa.array(np.full(t.num_rows, is_new, dtype=bool))
+            )
+
+        return _t
+
+    both = old_ds.map_batches(tag(False), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(True), batch_format="pyarrow")
+    )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        old = df.loc[~df["_new"], keys + compare]
+        new = df.loc[df["_new"], keys + compare]
+        m = old.merge(new, on=keys, how="outer", suffixes=("_o", "_n"), indicator=True)
+        is_ins = (m["_merge"] == "right_only").to_numpy()
+        is_del = (m["_merge"] == "left_only").to_numpy()
+        changed = np.zeros(len(m), dtype=bool)
+        for c in compare:
+            a, b = m[f"{c}_o"], m[f"{c}_n"]
+            changed |= ~((a == b) | (a.isna() & b.isna())).to_numpy()
+        keep = is_ins | is_del | changed
+        m = m.loc[keep]
+        is_del = is_del[keep]
+        is_ins = is_ins[keep]
+        out = {
+            "change": np.select(
+                [is_ins, is_del], ["insert", "delete"], default="update"
+            )
+        }
+        for k in keys:
+            out[k] = m[k]
+        for c in compare:
+            out[c] = m[f"{c}_n"].where(~is_del, m[f"{c}_o"])
+        return pd.DataFrame(out)
+
+    return both.groupby("_jb").map_groups(diff, batch_format="pandas")

@@ -208,3 +208,42 @@ def test_hash_join_composite_key():
         assert list(zip(inner["lv"].astype(int), inner["rv"].astype(int))) == [
             (1, 100), (3, 200),
         ]
+
+
+def test_snapshot_diff_classifies_and_nullsafe(ray_session):
+    import pandas as pd
+
+    from commons_codec_ray.stages.joins import snapshot_diff
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array(["a", "b", "c", None, "e"]),
+            "x": pa.array([1.0, 2.0, None, 4.0, 5.0], pa.float64()),
+        }
+    )
+    new = pa.table(
+        {
+            # 1 unchanged, 2 value change, 3 null->value, 4 value stays null,
+            # 5 deleted, 6 inserted
+            "k": pa.array([1, 2, 3, 4, 6], pa.int64()),
+            "v": pa.array(["a", "B", "c", None, "f"]),
+            "x": pa.array([1.0, 2.0, 3.0, 4.0, 6.0], pa.float64()),
+        }
+    )
+    out = (
+        snapshot_diff(
+            rd.from_arrow(old).repartition(3),
+            rd.from_arrow(new).repartition(2),
+            keys=["k"],
+            compare=["v", "x"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 3, 5, 6]
+    assert out["change"].tolist() == ["update", "update", "delete", "insert"]
+    # update/insert carry the NEW image, delete the BEFORE image
+    assert out["v"].tolist() == ["B", "c", "e", "f"]
+    assert out["x"].tolist() == [2.0, 3.0, 5.0, 6.0]
