@@ -4648,6 +4648,40 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier over lineitem maximizing
+    (price, qty) (stages/ranking.py ``skyline``): vectorized local
+    sweep per batch — skyline is idempotent over union, so local
+    frontiers compose — then one single-partition final sweep over the
+    few survivors. No shuffle. The oracle takes the equivalent
+    group-max + running-max formulation (a NOT EXISTS dominance scan
+    would be O(n²))."""
+    from commons_codec_ray.stages.ranking import skyline
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+    out = skyline(li, x="l_extendedprice", y="l_quantity")
+    return out.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "l_linenumber", "price", "qty"]),
+        batch_format="pyarrow",
+    )
+
+
+_SKYLINE_SQL = """
+WITH t AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS p, l_quantity AS q
+           FROM lineitem),
+pg AS (SELECT p, max(q) AS gm FROM t GROUP BY p),
+pr AS (SELECT p, gm,
+         max(gm) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hb
+       FROM pg)
+SELECT t.l_orderkey, t.l_linenumber, t.p AS price, t.q AS qty
+FROM t JOIN pr USING (p)
+WHERE t.q = pr.gm AND (pr.hb IS NULL OR t.q > pr.hb)
+"""
+
+
 def q_decontam(sf_dir: str):
     """Eval-set decontamination (the 13-gram-overlap hygiene step of
     GPT-3/PaLM data cards, here n=5): documents sharing any token
@@ -4936,6 +4970,7 @@ QUERIES = {
     "cdc_alerts": q_cdc_alerts,
     "bm25": q_bm25,
     "kmeans": q_kmeans,
+    "skyline": q_skyline,
 }
 
 ORACLE_SQL = {
@@ -5044,4 +5079,5 @@ ORACLE_SQL = {
     "cdc_alerts": _CDC_ALERTS_SQL,
     "bm25": _BM25_SQL,
     "kmeans": _KMEANS_SQL,
+    "skyline": _SKYLINE_SQL,
 }

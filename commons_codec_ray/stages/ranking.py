@@ -242,3 +242,53 @@ def bm25_topk(
             "score": pa.array(tops["score"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the maximize-(x, y) Pareto frontier.
+
+    Dominance: u dominates t iff u.x ≥ t.x, u.y ≥ t.y and one is
+    strict — so exact duplicates never dominate each other and are BOTH
+    kept (matching a ``NOT EXISTS`` dominance oracle).  One vectorized
+    sweep: sort by (x desc, y desc); a row survives iff its y equals its
+    x-group's max AND beats the running max over strictly-greater x.
+    """
+    m = len(x)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.empty(m, dtype=bool)
+    new_x[0] = True
+    new_x[1:] = xs[1:] != xs[:-1]
+    gidx = np.cumsum(new_x) - 1
+    gm = ys[new_x]  # per-group max y (first in group: y sorted desc)
+    run = np.maximum.accumulate(gm)
+    keep_sorted = ys == gm[gidx]
+    prev = gidx > 0
+    keep_sorted[prev] &= ys[prev] > run[gidx[prev] - 1]
+    mask = np.zeros(m, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def skyline(ds, x: str, y: str):
+    """Distributed 2-D skyline / Pareto frontier maximizing ``(x, y)``
+    (engine-added): rows no other row dominates.  The skyline operator
+    is idempotent over union — skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B)
+    — so the shape is a LOCAL vectorized sweep per batch (typically a
+    99%+ reduction) followed by one single-partition final sweep over
+    the surviving candidates; no shuffle, no driver materialization.
+    All input columns pass through.  The final frontier is assumed
+    small (true unless x and y are perfectly anti-correlated — the
+    usual skyline contract); candidates stream through the object
+    store either way."""
+
+    def local(t: pa.Table) -> pa.Table:
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.filter(pa.array(_skyline_mask(xv, yv)))
+
+    return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
+        local, batch_format="pyarrow"
+    )

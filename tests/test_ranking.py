@@ -105,3 +105,35 @@ class TestBM25:
 
         out = bm25_topk(self._corpus(), ["zzz_missing"], k=10).to_pandas()
         assert len(out) == 0
+
+
+class TestSkyline:
+    def test_matches_bruteforce_with_duplicates(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from commons_codec_ray.stages.ranking import skyline
+
+        rng = np.random.RandomState(7)
+        # coarse grid → plenty of exact duplicates and ties on each axis
+        x = rng.randint(0, 25, 3000).astype("float64")
+        y = rng.randint(0, 25, 3000).astype("float64")
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(3000), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+        got = (
+            skyline(rd.from_arrow(t).repartition(9), "x", "y")
+            .to_pandas()
+            .sort_values("id")
+        )
+        dominated = np.zeros(3000, dtype=bool)
+        for i in range(3000):
+            dominated[i] = np.any(
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            )
+        want = np.flatnonzero(~dominated)
+        assert got["id"].to_numpy().tolist() == want.tolist()
