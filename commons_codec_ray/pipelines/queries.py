@@ -4648,6 +4648,28 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_bigrams(sf_dir: str):
+    """Exact global top-30 token bigrams (stages/text.py
+    ``top_bigrams``): vectorized bigram construction from Arrow split
+    offsets, within-batch counting (combiner), one hash-bucketed
+    exchange of distinct (bigram, count) partials, exact per-bucket
+    top-k merged on the driver. Ties (count desc, bigram asc) match the
+    oracle's ORDER BY."""
+    from commons_codec_ray.stages.text import top_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams(docs, k=30)
+
+
+_BIGRAMS_SQL = """
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT toks[u.i] || ' ' || toks[u.i + 1] AS bg
+      FROM l, LATERAL unnest(range(1, len(toks))) AS u(i))
+SELECT bg, CAST(count(*) AS BIGINT) AS c
+FROM b GROUP BY bg ORDER BY c DESC, bg LIMIT 30
+"""
+
+
 def q_skyline(sf_dir: str):
     """2-D skyline / Pareto frontier over lineitem maximizing
     (price, qty) (stages/ranking.py ``skyline``): vectorized local
@@ -4971,6 +4993,7 @@ QUERIES = {
     "bm25": q_bm25,
     "kmeans": q_kmeans,
     "skyline": q_skyline,
+    "bigrams": q_bigrams,
 }
 
 ORACLE_SQL = {
@@ -5080,4 +5103,5 @@ ORACLE_SQL = {
     "bm25": _BM25_SQL,
     "kmeans": _KMEANS_SQL,
     "skyline": _SKYLINE_SQL,
+    "bigrams": _BIGRAMS_SQL,
 }

@@ -165,3 +165,64 @@ class Fingerprinter:
             count=batch.num_rows,
         )
         return batch.append_column("fingerprint", pa.array(fps))
+
+
+def top_bigrams(ds, column: str = "text", k: int = 30, num_buckets: int | None = None):
+    """Exact global top-k token bigrams by count (phrase-mining /
+    collocation primer; engine-added). Tokenization is a single-space
+    split, matching ``string_split(text, ' ')``.
+
+    Scale shape: bigram strings are built VECTORIZED from the Arrow
+    split offsets (one boolean mask drops each document's last token;
+    pandas C-level concat joins the shifted views), counted within the
+    batch (combiner), and only distinct (bigram, count) partials enter
+    the ONE hash-bucketed exchange.  Each bucket owns its bigrams
+    completely, so a per-bucket top-k is exact; the driver merges
+    bucket winners (≤ buckets·k rows).  Ties break (count desc, bigram
+    asc) on both sides.
+    """
+    import pandas as pd
+
+    from commons_codec_ray.util import adaptive_buckets
+
+    num_buckets = num_buckets or adaptive_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern(col, pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        toks = la.flatten().to_numpy(zero_copy_only=False)
+        left = np.ones(len(toks), dtype=bool)
+        left[offsets[1:] - 1] = False  # each document's last token
+        ls = pd.Series(toks[left])
+        rs = pd.Series(toks[np.flatnonzero(left) + 1])
+        counts = (ls + " " + rs.values).value_counts()
+        bgs = counts.index.to_numpy()
+        h = pd.util.hash_array(bgs.astype(object)) & np.uint64(num_buckets - 1)
+        return pa.table(
+            {
+                "_gb": pa.array(h.astype(np.int64)),
+                "bg": pa.array(bgs, pa.string()),
+                "c": pa.array(counts.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("bg", as_index=False)["c"].sum()
+        return tot.sort_values(["c", "bg"], ascending=[False, True]).head(k)
+
+    winners = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    final = winners.sort_values(["c", "bg"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "bg": pa.array(final["bg"].to_numpy(), pa.string()),
+            "c": pa.array(final["c"].to_numpy(np.int64), pa.int64()),
+        }
+    )

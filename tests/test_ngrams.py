@@ -270,3 +270,34 @@ class TestRemoveDuplicatedSpans:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_top_bigrams_exact_vs_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.text import top_bigrams
+
+    rng = np.random.RandomState(13)
+    vocab = np.array([f"w{i}" for i in range(12)])
+    docs = [" ".join(rng.choice(vocab, rng.randint(1, 30))) for _ in range(400)]
+    docs += ["solo"]  # single-token doc contributes no bigram
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(7)
+    got = top_bigrams(ds, k=15, num_buckets=8).to_pandas()
+
+    allb = []
+    for d in docs:
+        t = d.split(" ")
+        allb += [f"{a} {b}" for a, b in zip(t, t[1:])]
+    want = (
+        pd.Series(allb)
+        .value_counts()
+        .rename_axis("bg")
+        .reset_index(name="c")
+        .sort_values(["c", "bg"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    assert got["bg"].tolist() == want["bg"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
