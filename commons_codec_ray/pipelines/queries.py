@@ -4648,6 +4648,32 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention matrix (stages/stats.py ``retention_cohorts``):
+    users cohorted by first active day, distinct-user counts per
+    (cohort_day, day_offset). One hash-bucketed exchange on the user
+    key with within-batch (user, day) dedup as the combiner; only
+    kilobyte count partials move after that. Integer epoch days end to
+    end — no date types to drift between engines."""
+    from commons_codec_ray.stages.stats import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
+_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS d
+  FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, ud.d - c.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_bigrams(sf_dir: str):
     """Exact global top-30 token bigrams (stages/text.py
     ``top_bigrams``): vectorized bigram construction from Arrow split
@@ -4994,6 +5020,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
+    "retention": q_retention,
 }
 
 ORACLE_SQL = {
@@ -5104,4 +5131,5 @@ ORACLE_SQL = {
     "kmeans": _KMEANS_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,
+    "retention": _RETENTION_SQL,
 }

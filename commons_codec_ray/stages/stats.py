@@ -109,3 +109,68 @@ def finalize_stats(t: pa.Table, key: str) -> dict[str, np.ndarray]:
         sdx = np.sqrt(m2x / (n - 1.0))
         sdy = np.sqrt(m2y / (n - 1.0))
     return {"n": n, "corr": corr, "covar": covar, "sdx": sdx, "sdy": sdy}
+
+
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(ds, user: str = "user_id", ts: str = "ts"):
+    """Cohort retention matrix (engine-added): users are cohorted by
+    their first active day; the cell (cohort_day, day_offset) counts the
+    DISTINCT users of that cohort active day_offset days later.
+
+    Scale shape: ONE hash-bucketed exchange on the user key. Inside each
+    batch, (user, day) pairs dedupe first (combiner). Inside each user
+    bucket, a single vectorized pass finds every user's min day and
+    emits per-(cohort, offset) partial COUNTS — the exchange after that
+    moves only kilobyte count partials into the final small sum.
+    Day numbers are integer epoch days throughout (no date types to
+    drift between engines).
+    """
+    import pyarrow.compute as pc
+
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    nb = adaptive_buckets()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t[user].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            t[ts].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        ).astype(np.int64)
+        ud = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "_ub": hash_bucket(ud[:, 0], nb),
+                "u": pa.array(ud[:, 0], pa.int64()),
+                "d": pa.array(ud[:, 1], pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["u", "d"]).sort_values(["u", "d"], kind="mergesort")
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        cohort = d[np.maximum.accumulate(np.where(new, np.arange(len(g)), 0))]
+        cell = pd.DataFrame({"cohort_day": cohort, "day_offset": d - cohort})
+        out = cell.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    # bucket partials are disjoint in users but overlap in cells: tiny sum
+    final = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+    return pa.table(
+        {
+            "cohort_day": pa.array(final["cohort_day"].to_numpy(np.int64), pa.int64()),
+            "day_offset": pa.array(final["day_offset"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(final["n_users"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -85,3 +85,37 @@ def test_grouped_moments_dataset(ray_session):
         i = got[int(k)]
         assert s["n"][i] == n
         assert abs(s["corr"][i] - corr) < 1e-10
+
+
+def test_retention_cohorts_vs_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.stats import DAY_US, retention_cohorts
+
+    rng = np.random.RandomState(31)
+    n = 8000
+    users = rng.randint(0, 300, n).astype("int64")
+    days = rng.randint(0, 45, n).astype("int64")
+    ts = pa.array(days * DAY_US + rng.randint(0, DAY_US, n), pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array(users), "ts": ts})
+    got = (
+        retention_cohorts(rd.from_arrow(t).repartition(9))
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"u": users, "d": days}).drop_duplicates()
+    first = df.groupby("u")["d"].min().rename("cohort")
+    j = df.join(first, on="u")
+    want = (
+        j.assign(off=j["d"] - j["cohort"])
+        .groupby(["cohort", "off"], as_index=False)
+        .size()
+        .sort_values(["cohort", "off"])
+        .reset_index(drop=True)
+    )
+    assert got["cohort_day"].tolist() == want["cohort"].tolist()
+    assert got["day_offset"].tolist() == want["off"].tolist()
+    assert got["n_users"].tolist() == want["size"].tolist()
