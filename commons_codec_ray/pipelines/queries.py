@@ -4504,6 +4504,39 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_triangles(sf_dir: str):
+    """Exact distributed triangle count (stages/graph.py
+    ``triangle_count``, the MR-NodeIterator++ shape): pair-bucketed
+    edge dedup, degree orientation (caps out-degree at O(√m) so the
+    wedge set can't blow up), vectorized wedge generation per source
+    bucket, wedge∩edge membership in pair-keyed buckets. Same
+    deterministic event-derived graph as q_pagerank/q_components."""
+    from commons_codec_ray.stages.graph import triangle_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return triangle_count(events.map_batches(edges, batch_format="pyarrow"))
+
+
+_TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT event_id % 1200 AS a,
+         ((event_id % 1200) // 8) * 8 + (event_id * 3) % 8 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles
+"""
+
+
 def _pagerank_sql(iters: int) -> str:
     """Unrolled-CTE oracle mirroring stages/graph.py's integer updates."""
     head = """
@@ -5021,6 +5054,7 @@ QUERIES = {
     "skyline": q_skyline,
     "bigrams": q_bigrams,
     "retention": q_retention,
+    "triangles": q_triangles,
 }
 
 ORACLE_SQL = {
@@ -5132,4 +5166,5 @@ ORACLE_SQL = {
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,
     "retention": _RETENTION_SQL,
+    "triangles": _TRIANGLES_SQL,
 }

@@ -201,3 +201,172 @@ def pagerank(
     return scores.map_batches(
         lambda t: pa.table({"node": t["v"], "score": t["s"]}), batch_format="pyarrow"
     )
+
+
+def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
+                   num_buckets: int | None = None):
+    """Exact distributed triangle count (engine-added; the classic
+    MapReduce shape of Suri & Vassilvitskii's MR-NodeIterator++):
+
+    1. canonicalize (u < v, self-loops dropped) and dedupe multi-edges
+       in PAIR-keyed buckets — one exchange;
+    2. orient every edge from its (degree, id)-smaller endpoint — the
+       total order caps every out-degree at O(√m), which bounds the
+       wedge blow-up;
+    3. generate wedges (pairs of out-neighbors) per source, vectorized
+       (triu indices per source run), and meet them with the edge set
+       in PAIR-keyed buckets — membership count = triangles, each
+       counted exactly once.
+
+    Degrees ride a ``ray.put`` broadcast (nodes ≪ edges — the usual
+    graph regime; at billions of nodes replace with two more
+    node-keyed exchanges attaching deg(u)/deg(v)).  Node ids must fit
+    31 bits so a (u, v) pair packs into one int64 bucket key — loudly
+    asserted, not wrapped.
+
+    Returns a one-row table ``(n_edges, n_triangles)``.
+    """
+    import ray
+
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    nb = num_buckets or adaptive_buckets()
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        assert len(u) == 0 or (u.min() >= 0 and v.max() < (1 << 31)), (
+            "triangle_count: node ids must fit 31 bits for pair packing"
+        )
+        pack = (u << 32) | v
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(
+            lambda df: df.drop_duplicates(["u", "v"])[["u", "v"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    # degrees over distinct edges: per-batch bincount partials, driver sum
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"n": pa.array(uniq, pa.int64()), "c": pa.array(cnt, pa.int64())}
+        )
+
+    degp = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = degp.groupby("n")["c"].sum()
+    deg_nodes = deg.index.to_numpy(np.int64)
+    deg_vals = deg.to_numpy(np.int64)
+    dref = ray.put((deg_nodes, deg_vals))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes_s, degs = ray.get(dref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = degs[np.searchsorted(nodes_s, u)]
+        dv = degs[np.searchsorted(nodes_s, v)]
+        # total order (deg, id): u first iff (du, u) < (dv, v); u < v always
+        u_first = (du < dv) | (du == dv)
+        x = np.where(u_first, u, v)
+        y = np.where(u_first, v, u)
+        return pa.table(
+            {
+                "_sb": hash_bucket(x, nb),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["x", "y"], kind="mergesort")
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        m = len(g)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = x[1:] != x[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        outs = []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            i, j = np.triu_indices(c, k=1)
+            outs.append(np.stack([y[s + i], y[s + j]], axis=1))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        w = np.concatenate(outs)
+        a = np.minimum(w[:, 0], w[:, 1])
+        b = np.maximum(w[:, 0], w[:, 1])
+        return pd.DataFrame({"a": a, "b": b})
+
+    def wedge_bucket(df: pd.DataFrame) -> pa.Table:
+        pack = (df["a"].to_numpy(np.int64) << 32) | df["b"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "p": pa.array(pack, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(df), dtype=bool)),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        pack = (
+            t["u"].to_numpy(zero_copy_only=False) << 32
+        ) | t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "p": pa.array(pack, pa.int64()),
+                "is_edge": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    tagged = (
+        oriented.groupby("_sb")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(wedge_bucket, batch_format="pandas")
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+    )
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        eset = df.loc[df["is_edge"], "p"]
+        w = df.loc[~df["is_edge"], "p"]
+        return pd.DataFrame({"tri": [int(w.isin(eset).sum())]})
+
+    tri = (
+        tagged.groupby("_pb")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()["tri"]
+        .sum()
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([int(tri)], pa.int64()),
+        }
+    )

@@ -63,3 +63,32 @@ class TestPagerank:
         out = pagerank(_edges(self.PAIRS), iterations=5).to_pandas()
         assert out["score"].sum() <= SCALE
         assert (out["score"] > 0).all()
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(17)
+    # multi-edges, self-loops, both orientations of the same edge
+    a = rng.randint(0, 40, 1500).astype("int64")
+    b = rng.randint(0, 40, 1500).astype("int64")
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a), "dst": pa.array(b)})
+    ).repartition(6)
+    got = triangle_count(ds).to_pandas()
+
+    eset = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {}
+    for u, v in eset:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in eset:
+        tri += len(adj[u] & adj[v] - {u, v})
+    assert got["n_edges"].iloc[0] == len(eset)
+    assert got["n_triangles"].iloc[0] == tri // 3
