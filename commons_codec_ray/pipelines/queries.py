@@ -4681,6 +4681,56 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (stages/text.py ``normalize_text``):
+    lowercase, non-alphanumerics → space, squeeze, trim — the standard
+    pre-dedup/fingerprint pass. Pure zero-copy Arrow RE2 kernels;
+    DuckDB's regexp_replace (also RE2) is byte-identical by
+    construction."""
+    from commons_codec_ray.stages.text import normalize_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(normalize_text, batch_format="pyarrow").select_columns(
+        ["doc_id", "norm"]
+    )
+
+
+_NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g'), ' ') AS norm
+FROM documents
+"""
+
+
+def q_histogram(sf_dir: str):
+    """Global equi-width histogram of events.value (stages/quantiles.py
+    ``equi_width_histogram``): one combined min/max aggregate pass plus
+    one linear pass of kilobyte count-vector partials; edges evaluated
+    in a fixed double-precision order the oracle replicates
+    bit-exactly."""
+    from commons_codec_ray.stages.quantiles import equi_width_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return equi_width_histogram(ds, "value", bins=64)
+
+
+_HISTOGRAM_SQL = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT CAST(least(63.0, greatest(0.0,
+           floor(((e.value - m.lo) * 64.0) / (m.hi - m.lo)))) AS BIGINT) AS bucket
+  FROM events e, mm m),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket)
+SELECT u.bucket,
+       m.lo + (CAST(u.bucket AS DOUBLE) * (m.hi - m.lo)) / 64.0 AS lo_edge,
+       m.lo + ((CAST(u.bucket AS DOUBLE) + 1.0) * (m.hi - m.lo)) / 64.0 AS hi_edge,
+       COALESCE(c.c, 0) AS c
+FROM (SELECT unnest(range(64)) AS bucket) u
+LEFT JOIN c USING (bucket) CROSS JOIN mm m
+"""
+
+
 def q_retention(sf_dir: str):
     """Cohort retention matrix (stages/stats.py ``retention_cohorts``):
     users cohorted by first active day, distinct-user counts per
@@ -5055,6 +5105,8 @@ QUERIES = {
     "bigrams": q_bigrams,
     "retention": q_retention,
     "triangles": q_triangles,
+    "normalize_text": q_normalize_text,
+    "histogram": q_histogram,
 }
 
 ORACLE_SQL = {
@@ -5167,4 +5219,6 @@ ORACLE_SQL = {
     "bigrams": _BIGRAMS_SQL,
     "retention": _RETENTION_SQL,
     "triangles": _TRIANGLES_SQL,
+    "normalize_text": _NORMALIZE_TEXT_SQL,
+    "histogram": _HISTOGRAM_SQL,
 }

@@ -288,3 +288,46 @@ def distributed_order_stats(
     if any(v is None for v in out):  # pragma: no cover — max_rounds exhausted
         raise RuntimeError("quantile refinement did not converge (pathological data?)")
     return [float(v) for v in out]
+
+
+def equi_width_histogram(ds, column: str, bins: int = 64):
+    """Global equi-width histogram (the profiling primitive behind the
+    quantile refinement above, surfaced as an operator): one combined
+    min/max aggregate pass, one linear pass emitting a ``bins``-long
+    int64 count vector per batch (kilobytes), driver-merged.  Bucket
+    edges are evaluated in a fixed double-precision operation order
+    (``lo + (b·(hi−lo))/bins``) so a SQL oracle computing the same
+    expressions matches bit-exactly.  The closed top edge puts
+    ``v == hi`` in the last bucket, same as the clamp."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(column), Max(column))
+    lo = float(mm[f"min({column})"])
+    hi = float(mm[f"max({column})"])
+    fbins = float(bins)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        if hi > lo:
+            b = np.minimum(
+                fbins - 1.0,
+                np.maximum(0.0, np.floor(((v - lo) * fbins) / (hi - lo))),
+            ).astype(np.int64)
+        else:
+            b = np.zeros(len(v), np.int64)
+        counts = np.bincount(b, minlength=bins)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+    counts = np.zeros(bins, dtype=np.int64)
+    for row in parts:
+        counts += np.frombuffer(row["counts"], dtype=np.int64)
+    b = np.arange(bins, dtype=np.float64)
+    return pa.table(
+        {
+            "bucket": pa.array(np.arange(bins, dtype=np.int64), pa.int64()),
+            "lo_edge": pa.array(lo + (b * (hi - lo)) / fbins, pa.float64()),
+            "hi_edge": pa.array(lo + ((b + 1.0) * (hi - lo)) / fbins, pa.float64()),
+            "c": pa.array(counts, pa.int64()),
+        }
+    )

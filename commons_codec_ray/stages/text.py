@@ -226,3 +226,18 @@ def top_bigrams(ds, column: str = "text", k: int = 30, num_buckets: int | None =
             "c": pa.array(final["c"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+_NORM_STRIP_RE = "[^a-z0-9 ]"
+_NORM_SQUEEZE_RE = " +"
+
+
+def normalize_text(batch: pa.Table, column: str = "text", out: str = "norm") -> pa.Table:
+    """Canonical text normalization for dedup/fingerprint pre-passes:
+    lowercase, non-alphanumerics → space, squeeze runs, trim. Pure
+    zero-copy Arrow RE2 kernels, so DuckDB's ``regexp_replace(..., 'g')``
+    (also RE2) produces byte-identical strings."""
+    s = pc.utf8_lower(batch[column])
+    s = pc.replace_substring_regex(s, pattern=_NORM_STRIP_RE, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_NORM_SQUEEZE_RE, replacement=" ")
+    return batch.append_column(out, pc.utf8_trim(s, characters=" "))

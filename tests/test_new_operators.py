@@ -187,3 +187,33 @@ def test_approx_quantiles_by_key_bitexact_and_bounded(ray_session, tmp_path):
     # single-value / single-row keys return the value itself
     assert got.loc[got["k"] == 100, "p50_est"].iloc[0] == 7.5
     assert got.loc[got["k"] == 101, "p90_est"].iloc[0] == 3.25
+
+
+def test_equi_width_histogram_counts_and_edges(ray_session, tmp_path):
+    from commons_codec_ray.stages.quantiles import equi_width_histogram
+
+    rng = np.random.RandomState(41)
+    v = np.concatenate([rng.uniform(-3, 7, 9000), [-3.0, 7.0]])  # exact edges
+    pq.write_table(pa.table({"v": pa.array(v, pa.float64())}), tmp_path / "h.parquet")
+    ds = rd.read_parquet(str(tmp_path / "h.parquet"), override_num_blocks=5)
+    got = equi_width_histogram(ds, "v", bins=32).to_pandas()
+    lo, hi = v.min(), v.max()
+    b = np.minimum(31.0, np.maximum(0.0, np.floor(((v - lo) * 32.0) / (hi - lo))))
+    want = np.bincount(b.astype(np.int64), minlength=32)
+    assert got["c"].to_numpy().tolist() == want.tolist()
+    assert got["c"].sum() == len(v)
+    assert got["lo_edge"].iloc[0] == lo and got["hi_edge"].iloc[31] == hi
+
+
+def test_normalize_text_kernel_edges(ray_session):
+    from commons_codec_ray.stages.text import normalize_text
+
+    t = pa.table(
+        {"text": pa.array(["  A--B  c!! ", "", "ALREADY clean", "\t\nx\n"])}
+    )
+    assert normalize_text(t)["norm"].to_pylist() == [
+        "a b c",
+        "",
+        "already clean",
+        "x",
+    ]
