@@ -4681,6 +4681,95 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_cdc_feed_enriched(sf_dir: str):
+    """Streaming ENRICHMENT composed on the change feed: epoch-2
+    row-level changes joined to the customer→nation dimension
+    (driver-read once, broadcast via closure — never re-shipped per
+    batch) and reduced to change counts per nation. The
+    dimension-enrichment consumer every CDC deployment runs; one linear
+    pass over the feed, per-batch count partials, kilobyte final
+    reduce. Oracle: the feed CTE joined to customer/nation in SQL."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    boundary = n // 2
+    env = EventsToEnvelopes(duplicates=True)(events)
+    e1 = env.filter(pc.less(env["lsn"], boundary))
+    e2 = env.filter(pc.greater_equal(env["lsn"], boundary))
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ckey = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ckey, kind="stable")
+    ckey, cnat = ckey[order], cnat[order]
+    nkey = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = nat["n_name"].to_numpy(zero_copy_only=False)
+    nname_by_key = nname[np.argsort(nkey, kind="stable")]
+
+    lake = _tempfile.mkdtemp(prefix="ccr_enrich_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16, emit_changes=True))
+        for epoch, part in enumerate((e1, e2)):
+            offs = part["source_offset"]
+            pipe.run_epoch(
+                rd.from_arrow(part),
+                epoch=epoch,
+                offset_range=(pc.min(offs).as_py(), pc.max(offs).as_py()),
+            )
+        feed = pipe.read_changes(epoch=1)
+
+        def partial(t: pa.Table) -> pa.Table:
+            user = (
+                pc.utf8_slice_codeunits(t["conv_id"], 2)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            nation = cnat[np.searchsorted(ckey, user)]
+            df = pd.DataFrame(
+                {"nk": nation, "change": t["change"].to_numpy(zero_copy_only=False)}
+            )
+            out = df.groupby(["nk", "change"], as_index=False).size()
+            return pa.table(
+                {
+                    "nk": pa.array(out["nk"].to_numpy(np.int64), pa.int64()),
+                    "change": pa.array(out["change"].to_numpy(), pa.string()),
+                    "c": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        parts = feed.map_batches(partial, batch_format="pyarrow").to_pandas()
+        final = parts.groupby(["nk", "change"], as_index=False)["c"].sum()
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    nname_by_key[final["nk"].to_numpy(np.int64)], pa.string()
+                ),
+                "change": pa.array(final["change"].to_numpy(), pa.string()),
+                "n_changes": pa.array(final["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
+_CDC_FEED_ENRICHED_SQL = f"""
+SELECT n.n_name, feed.change, CAST(count(*) AS BIGINT) AS n_changes
+FROM ({_CDC_CHANGE_FEED_SQL}) feed
+JOIN customer c ON c.c_custkey = CAST(substr(feed.conv_id, 3) AS BIGINT)
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name, feed.change
+"""
+
+
 def q_normalize_text(sf_dir: str):
     """Canonical text normalization (stages/text.py ``normalize_text``):
     lowercase, non-alphanumerics → space, squeeze, trim — the standard
@@ -5107,6 +5196,7 @@ QUERIES = {
     "triangles": q_triangles,
     "normalize_text": q_normalize_text,
     "histogram": q_histogram,
+    "cdc_feed_enriched": q_cdc_feed_enriched,
 }
 
 ORACLE_SQL = {
@@ -5221,4 +5311,5 @@ ORACLE_SQL = {
     "triangles": _TRIANGLES_SQL,
     "normalize_text": _NORMALIZE_TEXT_SQL,
     "histogram": _HISTOGRAM_SQL,
+    "cdc_feed_enriched": _CDC_FEED_ENRICHED_SQL,
 }
