@@ -179,6 +179,9 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "quantiles",
         "decontam",
         "substring_dedup",
+        "bm25",
+        "kmeans",
+        "bigrams",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []

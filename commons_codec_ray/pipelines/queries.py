@@ -4681,6 +4681,79 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_zorder(sf_dir: str):
+    """Z-order layout quality (stages/layout.py ``zorder_stats``): rows
+    tagged with the 6-bit Morton-prefix bucket of (user_id, epoch_day)
+    — the Delta/Iceberg OPTIMIZE ZORDER BY primitive — and reduced to
+    per-bucket (n, min/max of both dims), the bounding rectangles
+    file-skipping relies on. Pure integer bit interleaving (vectorized
+    magic-number spread), so the oracle's explicit 32-term bit sum
+    reproduces every code and stat exactly."""
+    from commons_codec_ray.stages.layout import zorder_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def xy(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": t["user_id"].cast(pa.int64()),
+                "y": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return zorder_stats(ev.map_batches(xy, batch_format="pyarrow"), "x", "y")
+
+
+def _zorder_sql(bits: int = 16, prefix_bits: int = 6) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    code = " + ".join(terms)  # disjoint bit positions: + == bitwise OR
+    return f"""
+WITH p0 AS (
+  SELECT user_id AS rx,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS ry
+  FROM events),
+mm AS (SELECT min(rx) AS x0, max(rx) AS x1, min(ry) AS y0, max(ry) AS y1 FROM p0),
+p AS (
+  SELECT rx, ry,
+         ((rx - m.x0) * 65536) // (m.x1 - m.x0 + 1) AS x,
+         ((ry - m.y0) * 65536) // (m.y1 - m.y0 + 1) AS y
+  FROM p0, mm m),
+z AS (SELECT rx, ry, ({code}) >> {32 - prefix_bits} AS zbucket FROM p)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+       min(rx) AS min_x, max(rx) AS max_x, min(ry) AS min_y, max(ry) AS max_y
+FROM z GROUP BY zbucket
+"""
+
+
+_ZORDER_SQL = _zorder_sql()
+
+
+def q_ntile(sf_dir: str):
+    """Exact distributed NTILE(4) over the full events table
+    (stages/ranking.py ``ntile``, riding the sampled-range-partition
+    global_rank machinery — one shuffle, no single-node sort), total
+    order (value, event_id)."""
+    from commons_codec_ray.stages.ranking import ntile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return ntile(ev, value="value", tiebreak="event_id", k=4).select_columns(
+        ["event_id", "tile"]
+    )
+
+
+_NTILE_SQL = """
+SELECT event_id, CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
 def q_cdc_feed_enriched(sf_dir: str):
     """Streaming ENRICHMENT composed on the change feed: epoch-2
     row-level changes joined to the customer→nation dimension
@@ -5197,6 +5270,8 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "histogram": q_histogram,
     "cdc_feed_enriched": q_cdc_feed_enriched,
+    "ntile": q_ntile,
+    "zorder": q_zorder,
 }
 
 ORACLE_SQL = {
@@ -5312,4 +5387,6 @@ ORACLE_SQL = {
     "normalize_text": _NORMALIZE_TEXT_SQL,
     "histogram": _HISTOGRAM_SQL,
     "cdc_feed_enriched": _CDC_FEED_ENRICHED_SQL,
+    "ntile": _NTILE_SQL,
+    "zorder": _ZORDER_SQL,
 }

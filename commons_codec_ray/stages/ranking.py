@@ -292,3 +292,27 @@ def skyline(ds, x: str, y: str):
     return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
         local, batch_format="pyarrow"
     )
+
+
+def ntile(ds, value: str, tiebreak: str, k: int, out: str = "tile"):
+    """Exact distributed NTILE(k) OVER (ORDER BY value, tiebreak):
+    rides the ``global_rank`` range-partition machinery (one shuffle)
+    and maps ranks through the SQL-standard bucket formula — the first
+    ``n % k`` buckets take ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋`` —
+    vectorized per batch with broadcast (n, k) constants."""
+    n = ds.count()
+    ranked = global_rank(ds, value, tiebreak, out="_rn")
+    small = n // k
+    r = n % k
+    big = small + 1
+    cut = r * big
+
+    def tile(t: pa.Table) -> pa.Table:
+        rn = t["_rn"].to_numpy(zero_copy_only=False)
+        lo = (rn - 1) // big + 1
+        hi = r + (rn - 1 - cut) // max(small, 1) + 1
+        return t.drop_columns(["_rn"]).append_column(
+            out, pa.array(np.where(rn <= cut, lo, hi).astype(np.int64))
+        )
+
+    return ranked.map_batches(tile, batch_format="pyarrow")

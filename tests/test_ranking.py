@@ -137,3 +137,25 @@ class TestSkyline:
             )
         want = np.flatnonzero(~dominated)
         assert got["id"].to_numpy().tolist() == want.tolist()
+
+
+def test_ntile_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.ranking import ntile
+
+    rng = np.random.RandomState(2)
+    n = 2003  # not divisible by k: exercises the big/small bucket split
+    v = rng.randint(0, 50, n).astype("float64")  # heavy ties
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()), "v": pa.array(v)})
+    got = (
+        ntile(rd.from_arrow(t).repartition(7), "v", "id", k=7)
+        .to_pandas()
+        .sort_values("id")
+    )
+    want = duckdb.connect().execute(
+        "SELECT id, ntile(7) OVER (ORDER BY v, id) AS tile FROM t ORDER BY id"
+    ).df()
+    assert got["tile"].tolist() == want["tile"].tolist()
