@@ -4681,6 +4681,31 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_embed_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization (stages/similarity.py
+    ``quantize_int8``): per-vector max-|v| scaling, fixed double-op
+    order matching the oracle bit-exactly; one linear pass, flattened
+    (vec_id, dim, qv) output."""
+    from commons_codec_ray.stages.similarity import quantize_int8
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_int8(emb)
+
+
+_EMBED_QUANTIZE_SQL = """
+WITH p AS (
+  SELECT vec_id, u.i AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(64)) AS i) u),
+ma AS (SELECT vec_id, max(abs(v)) AS ma FROM p GROUP BY vec_id)
+SELECT p.vec_id, p.dim,
+       CASE WHEN m.ma = 0 THEN 0
+            ELSE CAST(floor((p.v * 127.0) / m.ma) AS BIGINT) END AS qv
+FROM p JOIN ma m USING (vec_id)
+"""
+
+
 def q_zorder(sf_dir: str):
     """Z-order layout quality (stages/layout.py ``zorder_stats``): rows
     tagged with the 6-bit Morton-prefix bucket of (user_id, epoch_day)
@@ -5272,6 +5297,7 @@ QUERIES = {
     "cdc_feed_enriched": q_cdc_feed_enriched,
     "ntile": q_ntile,
     "zorder": q_zorder,
+    "embed_quantize": q_embed_quantize,
 }
 
 ORACLE_SQL = {
@@ -5389,4 +5415,5 @@ ORACLE_SQL = {
     "cdc_feed_enriched": _CDC_FEED_ENRICHED_SQL,
     "ntile": _NTILE_SQL,
     "zorder": _ZORDER_SQL,
+    "embed_quantize": _EMBED_QUANTIZE_SQL,
 }

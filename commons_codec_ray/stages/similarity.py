@@ -375,3 +375,34 @@ def lsh_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", bits: int = 
         ).head(k)
 
     return scored.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+def quantize_int8(ds, id_column: str = "vec_id", column: str = "embedding"):
+    """Per-vector symmetric int8 quantization (the storage/serving
+    compression step of every embedding pipeline): each vector scales by
+    its own max-|v| to [−127, 127] via ``floor((v · 127) / max_abs)`` —
+    double-precision expressions in a fixed order, so a SQL oracle
+    evaluating the identical arithmetic matches bit-exactly.  All-zero
+    vectors quantize to zeros.  One vectorized linear pass, no shuffle;
+    output is flattened (id, dim, qv) rows (Arrow list columns don't
+    survive the driver's sorted-column compare)."""
+    import numpy as np
+
+    def q(t: pa.Table) -> pa.Table:
+        emb = t[column]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.stack(emb.to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = m.shape
+        ma = np.abs(m).max(axis=1, keepdims=True)
+        qv = np.where(ma == 0, 0.0, np.floor((m * 127.0) / ma)).astype(np.int64)
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+                "qv": pa.array(qv.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")

@@ -123,3 +123,32 @@ def test_embed_pairs_empty_bucket_no_duplicates(tmp_path):
     out = q_embed_pairs(str(tmp_path)).to_pandas()
     pairs = sorted(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert pairs == [(0, 8), (0, 16), (8, 16)]  # each exactly once
+
+
+def test_quantize_int8_bounds_and_zero_vector(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.similarity import quantize_int8
+
+    vecs = [
+        [0.5, -1.0, 0.25, 0.0],
+        [0.0, 0.0, 0.0, 0.0],   # all-zero → zeros, no div-by-zero
+        [2.0, 2.0, -2.0, 1.0],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        quantize_int8(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+    )
+    q = out["qv"].to_numpy().reshape(3, 4)
+    assert q[0].tolist() == [63, -127, 31, 0]   # floor(0.5*127)=63, floor(0.25*127)=31
+    assert q[1].tolist() == [0, 0, 0, 0]
+    assert q[2].tolist() == [127, 127, -127, 63]
+    assert q.max() <= 127 and q.min() >= -127
