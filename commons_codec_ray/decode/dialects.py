@@ -176,10 +176,40 @@ def decode_canal(payload: dict) -> list[OpTuple]:
     raise UnknownOperationError(f"unknown canal type: {typ!r}")
 
 
+def decode_connect(payload: dict) -> list[OpTuple]:
+    """Kafka Connect JsonConverter envelope (``schemas.enable=true``)
+    around a native Debezium record: the ``schema`` struct header is
+    validated and discarded, then the ``payload``'s op taxonomy applies
+    — c(reate)/r(ead-snapshot)/u(pdate) take the ``after`` image,
+    d(elete) takes ``before``, t(runcate) carries no row → skip (like
+    binlog rotate / MongoDB drop→None)."""
+    schema = payload.get("schema")
+    inner = payload.get("payload")
+    if not isinstance(schema, dict) or schema.get("type") != "struct":
+        raise MessageFormatError("missing Connect schema header")
+    if not isinstance(inner, dict):
+        raise MessageFormatError("missing Connect payload")
+    op = inner.get("op")
+    if op == "t":
+        return []
+    if op in ("c", "r", "u"):
+        after = inner.get("after")
+        if not isinstance(after, dict):
+            raise MessageFormatError("op without after-image")
+        return [(OP_UPSERT, after, {})]
+    if op == "d":
+        before = inner.get("before")
+        if not isinstance(before, dict):
+            raise MessageFormatError("delete without before-image")
+        return [(OP_DELETE, before, {})]
+    raise UnknownOperationError(f"unknown connect op: {op!r}")
+
+
 DECODERS = {
     "debezium": decode_debezium,
     "binlog": decode_binlog,
     "ddbstream": decode_ddbstream,
     "maxwell": decode_maxwell,
     "canal": decode_canal,
+    "connect": decode_connect,
 }

@@ -220,12 +220,45 @@ def encode_canal(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> st
     )
 
 
+def encode_connect(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    """Kafka Connect JsonConverter envelope (``schemas.enable=true``)
+    wrapping a native Debezium before/after/op record — the shape every
+    Kafka-relayed Debezium deployment actually ships: a ``schema``
+    struct header plus the ``payload`` with op ∈ c/u/d and full row
+    images."""
+    key = {"conv_id": conv_id, "turn_idx": int(turn_idx)}
+    if is_del:
+        payload = {"before": key, "after": None, "op": "d"}
+    else:
+        after = dict(key, role=role, text=text, tool=tool, ts=ts_iso)
+        payload = {"before": None, "after": after, "op": "u" if lsn % 2 else "c"}
+    payload["ts_ms"] = int(lsn)
+    payload["source"] = {"db": "public", "table": "transcripts", "lsn": int(lsn)}
+    return json.dumps(
+        {
+            "schema": {
+                "type": "struct",
+                "name": "public.transcripts.Envelope",
+                "optional": False,
+                "fields": [
+                    {"field": "before", "type": "struct", "optional": True},
+                    {"field": "after", "type": "struct", "optional": True},
+                    {"field": "op", "type": "string", "optional": False},
+                ],
+            },
+            "payload": payload,
+        },
+        separators=(",", ":"),
+    )
+
+
 _ENCODERS = {
     "debezium": encode_debezium,
     "binlog": encode_binlog,
     "ddbstream": encode_ddbstream,
     "maxwell": encode_maxwell,
     "canal": encode_canal,
+    "connect": encode_connect,
 }
 
 

@@ -181,6 +181,13 @@ def q_decode_maxwell(sf_dir: str):
     return _q_decode(sf_dir, "maxwell")
 
 
+def q_decode_connect(sf_dir: str):
+    """Kafka Connect JsonConverter (schemas.enable=true) wrapping a
+    native Debezium before/after/op record — decode only: schema header
+    validated+discarded, c/r/u take ``after``, d takes ``before``."""
+    return _q_decode(sf_dir, "connect")
+
+
 def q_decode_canal(sf_dir: str):
     """Alibaba-Canal-style envelope decode only: every cell arrives
     stringified and native types are recovered from the envelope's
@@ -5190,6 +5197,7 @@ QUERIES = {
     "cdc_decode_ddbstream": q_decode_ddbstream,
     "cdc_decode_maxwell": q_decode_maxwell,
     "cdc_decode_canal": q_decode_canal,
+    "cdc_decode_connect": q_decode_connect,
     "cdc_dead_letter": q_dead_letter,
     "windowed_agg": q_windowed_agg,
     "session_windows": q_session_windows,
@@ -5308,6 +5316,7 @@ ORACLE_SQL = {
     "cdc_decode_ddbstream": _DECODE_SQL,
     "cdc_decode_maxwell": _DECODE_SQL,
     "cdc_decode_canal": _DECODE_SQL,
+    "cdc_decode_connect": _DECODE_SQL,
     "cdc_dead_letter": _DEAD_LETTER_SQL,
     "windowed_agg": _WINDOWED_AGG_SQL,
     "session_windows": _SESSION_WINDOWS_SQL,

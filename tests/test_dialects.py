@@ -233,3 +233,57 @@ class TestCanal:
         from commons_codec_ray.decode.dialects import decode_canal
         with pytest.raises(MessageFormatError):
             decode_canal({"type": "INSERT", "isDdl": False})
+
+
+class TestConnect:
+    def _env(self, **payload):
+        import json
+
+        return {"schema": {"type": "struct", "fields": []}, "payload": payload}
+
+    def test_upsert_and_snapshot_read(self):
+        from commons_codec_ray.decode.dialects import decode_connect
+        from commons_codec_ray.schemas import OP_UPSERT
+
+        row = {"conv_id": "c-1", "turn_idx": 3, "role": "user", "text": "hi"}
+        for op in ("c", "r", "u"):
+            out = decode_connect(self._env(before=None, after=row, op=op))
+            assert out == [(OP_UPSERT, row, {})]
+
+    def test_delete_takes_before_image(self):
+        from commons_codec_ray.decode.dialects import decode_connect
+        from commons_codec_ray.schemas import OP_DELETE
+
+        key = {"conv_id": "c-1", "turn_idx": 3}
+        out = decode_connect(self._env(before=key, after=None, op="d"))
+        assert out == [(OP_DELETE, key, {})]
+
+    def test_truncate_skips_and_errors_raise(self):
+        import pytest
+
+        from commons_codec_ray.decode.dialects import (
+            MessageFormatError,
+            UnknownOperationError,
+            decode_connect,
+        )
+
+        assert decode_connect(self._env(op="t")) == []
+        with pytest.raises(UnknownOperationError):
+            decode_connect(self._env(before=None, after={}, op="x"))
+        with pytest.raises(MessageFormatError):
+            decode_connect({"payload": {"op": "c", "after": {}}})  # no schema header
+        with pytest.raises(MessageFormatError):
+            decode_connect(self._env(before=None, after=None, op="c"))
+
+    def test_encoder_roundtrip(self):
+        import json
+
+        from commons_codec_ray.decode.dialects import decode_connect
+        from commons_codec_ray.envelopes import encode_connect
+        from commons_codec_ray.schemas import OP_DELETE, OP_UPSERT
+
+        up = json.loads(encode_connect("c-9", 5, False, "user", "txt", None, "2024-01-01T00:00:00", 8))
+        assert decode_connect(up)[0][0] == OP_UPSERT
+        assert decode_connect(up)[0][1]["text"] == "txt"
+        de = json.loads(encode_connect("c-9", 5, True, None, None, None, "2024-01-01T00:00:00", 7))
+        assert decode_connect(de) == [(OP_DELETE, {"conv_id": "c-9", "turn_idx": 5}, {})]
