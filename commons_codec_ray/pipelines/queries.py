@@ -529,6 +529,100 @@ SELECT * FROM snap0 UNION ALL SELECT * FROM cur
 """
 
 
+def q_cdc_replay_partial(sf_dir: str):
+    """CDC replay with PARTIAL (column-subset) update images
+    (stages/applier.py ``apply_ops_partial``): upserts carry only the
+    columns their deterministic ``has_<col>`` flags mark present, so
+    the final state is a per-key per-COLUMN merge in lsn order with
+    delete tombstones resetting everything — the patch-image semantics
+    of real Debezium/DMS feeds (reference transform/aws_dms.py:308-327
+    set-clause). One conv-bucketed exchange, pandas-vectorized merge per
+    bucket. The oracle re-derives each column from the latest surviving
+    op that carried it (row_number per column — NOT max_by, which
+    ignores legitimately-NULL present values)."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props", "ts"],
+    )
+    nb = adaptive_buckets()
+
+    def ops(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        conv = np.char.add("c-", uid.astype(str)).astype(object)
+        h = pd.util.hash_array(conv)
+        return pa.table(
+            {
+                "_b": pa.array((h & np.uint64(nb - 1)).astype(np.int64)),
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array((eid % 40).astype(np.int32)),
+                "op": pa.array(np.where(eid % 10 == 7, 0, 1).astype(np.int8)),
+                "lsn": pa.array(eid, pa.int64()),
+                "role": t["event_type"],
+                "text": t["props"],
+                "tool": pa.array(
+                    np.where(val >= 50, "search", None).astype(object), pa.string()
+                ),
+                "ts": t["ts"],
+                "has_role": pa.array(eid % 3 != 1),
+                "has_text": pa.array(np.ones(len(eid), bool)),
+                "has_tool": pa.array(eid % 4 != 2),
+                "has_ts": pa.array(eid % 5 != 3),
+            }
+        )
+
+    from commons_codec_ray.stages.applier import apply_ops_partial
+
+    return (
+        ev.map_batches(ops, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(apply_ops_partial, batch_format="pandas")
+    )
+
+
+_CDC_REPLAY_PARTIAL_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn,
+         event_id % 3 != 1 AS has_role,
+         TRUE AS has_text,
+         event_id % 4 != 2 AS has_tool,
+         event_id % 5 != 3 AS has_ts
+  FROM events),
+dels AS (SELECT conv_id, turn_idx, max(lsn) AS dl FROM ops WHERE op = 0 GROUP BY 1, 2),
+live AS (
+  SELECT o.* FROM ops o LEFT JOIN dels d USING (conv_id, turn_idx)
+  WHERE o.op = 1 AND (d.dl IS NULL OR o.lsn > d.dl)),
+role_p AS (SELECT conv_id, turn_idx, role FROM (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM live WHERE has_role) WHERE rn = 1),
+text_p AS (SELECT conv_id, turn_idx, text FROM (
+  SELECT conv_id, turn_idx, text,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM live WHERE has_text) WHERE rn = 1),
+tool_p AS (SELECT conv_id, turn_idx, tool FROM (
+  SELECT conv_id, turn_idx, tool,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM live WHERE has_tool) WHERE rn = 1),
+ts_p AS (SELECT conv_id, turn_idx, ts FROM (
+  SELECT conv_id, turn_idx, ts,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM live WHERE has_ts) WHERE rn = 1)
+SELECT k.conv_id, k.turn_idx, r.role, t.text, tl.tool, s.ts
+FROM (SELECT DISTINCT conv_id, turn_idx FROM live) k
+LEFT JOIN role_p r USING (conv_id, turn_idx)
+LEFT JOIN text_p t USING (conv_id, turn_idx)
+LEFT JOIN tool_p tl USING (conv_id, turn_idx)
+LEFT JOIN ts_p s USING (conv_id, turn_idx)
+"""
+
+
 def q_cdc_snapshot_diff(sf_dir: str):
     """Reverse CDC: derive the change set between the epoch-0 snapshot
     and the current lake state by DIFFING the two snapshots
@@ -5258,6 +5352,7 @@ QUERIES = {
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "cdc_replay_partial": q_cdc_replay_partial,
     "set_ops": q_set_ops,
     "unnest_tokens": q_unnest_tokens,
     "string_agg": q_string_agg,
@@ -5377,6 +5472,7 @@ ORACLE_SQL = {
     "cdc_multi_table": _CDC_MULTI_TABLE_SQL,
     "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
     "cdc_snapshot_diff": _CDC_SNAPSHOT_DIFF_SQL,
+    "cdc_replay_partial": _CDC_REPLAY_PARTIAL_SQL,
     "set_ops": _SET_OPS_SQL,
     "unnest_tokens": _UNNEST_SQL,
     "string_agg": _STRING_AGG_SQL,

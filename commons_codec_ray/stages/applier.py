@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from commons_codec_ray.schemas import OP_SCHEMA_CHANGE, OP_UPSERT, TRANSCRIPT_SCHEMA
+from commons_codec_ray.schemas import OP_DELETE, OP_SCHEMA_CHANGE, OP_UPSERT, TRANSCRIPT_SCHEMA
 
 # internal lake column holding the winning op's lsn per row
 LSN_COLUMN = "_lsn"
@@ -424,3 +424,43 @@ def apply_changes(ops_ds, config=None, num_partitions: int | None = None):
         return final_state(out)
 
     return ops_ds.groupby("partition_id").map_groups(_apply, batch_format="pyarrow")
+
+
+PARTIAL_COLUMNS = ("role", "text", "tool", "ts")
+
+
+def apply_ops_partial(df):
+    """PARTIAL-update merge apply (engine-added extension of the
+    UNIVERSAL layout's column-subset updates, reference
+    transform/aws_dms.py:308-327 set-clause): each upsert op carries
+    only the columns its ``has_<col>`` flag marks present — the
+    patch-image shape real Debezium/DMS deployments ship.  Per key,
+    in lsn order:
+
+    - the LAST delete tombstones everything before it;
+    - the row exists iff any upsert survives the tombstone;
+    - each column takes its value from the LATEST surviving upsert that
+      CARRIED the column — a present-but-NULL column legitimately nulls
+      the field (which is why the oracle must not use ``max_by``:
+      DuckDB's ignores NULL values).
+
+    Pandas-vectorized per bucket (groupby max / idxmax — C paths, no
+    per-key Python); same one-exchange contract as the full-image LWW
+    apply."""
+    import pandas as pd
+
+    keys = ["conv_id", "turn_idx"]
+    dels = df[df["op"] == OP_DELETE]
+    dl = dels.groupby(keys)["lsn"].max().rename("_dl")
+    ups = df[df["op"] == OP_UPSERT].join(dl, on=keys)
+    live = ups[ups["_dl"].isna() | (ups["lsn"] > ups["_dl"])]
+    out = live[keys].drop_duplicates().set_index(keys)
+    for c in PARTIAL_COLUMNS:
+        sub = live[live[f"has_{c}"]]
+        if len(sub):
+            idx = sub.groupby(keys)["lsn"].idxmax()
+            picked = sub.loc[idx].set_index(keys)[c]
+        else:
+            picked = pd.Series(dtype=live[c].dtype)
+        out[c] = picked
+    return out.reset_index()

@@ -168,3 +168,40 @@ def test_lww_reduce_scales_many_keys():
     expect = df.groupby(["conv_id", "turn_idx"])["lsn"].max()
     got = out.to_pandas().set_index(["conv_id", "turn_idx"])["lsn"].sort_index()
     pd.testing.assert_series_equal(got, expect.sort_index(), check_names=False)
+
+
+def test_apply_ops_partial_merge_semantics():
+    import numpy as np
+    import pandas as pd
+
+    from commons_codec_ray.stages.applier import apply_ops_partial
+
+    rows = [
+        # key A: insert full, then patch role only, then patch tool=NULL (present!)
+        ("A", 0, 1, 1, "user", "t1", "search", "x1", True, True, True, True),
+        ("A", 0, 1, 2, "asst", None, None, None, True, False, False, False),
+        ("A", 0, 1, 3, None, None, None, None, False, False, True, False),
+        # key B: insert, delete, then partial recreate carrying only text
+        ("B", 1, 1, 4, "user", "old", "search", "x2", True, True, True, True),
+        ("B", 1, 0, 5, None, None, None, None, False, False, False, False),
+        ("B", 1, 1, 6, None, "new", None, None, False, True, False, False),
+        # key C: insert then delete → gone
+        ("C", 2, 1, 7, "user", "bye", None, "x3", True, True, True, True),
+        ("C", 2, 0, 8, None, None, None, None, False, False, False, False),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "op", "lsn", "role", "text", "tool", "ts",
+                 "has_role", "has_text", "has_tool", "has_ts"],
+    )
+    out = apply_ops_partial(df).sort_values("conv_id").reset_index(drop=True)
+    assert out["conv_id"].tolist() == ["A", "B"]
+    a = out.iloc[0]
+    # role from lsn 2, text/ts from lsn 1, tool NULLED by the present-NULL patch
+    assert (a["role"], a["text"], a["ts"]) == ("asst", "t1", "x1")
+    assert a["tool"] is None or (isinstance(a["tool"], float) and np.isnan(a["tool"]))
+    b = out.iloc[1]
+    # tombstone reset: only the recreate's text survives
+    assert b["text"] == "new"
+    for c in ("role", "tool", "ts"):
+        assert pd.isna(b[c])
