@@ -2089,6 +2089,56 @@ WHERE CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 10 = 0
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling (priority / sequential-Poisson
+    style): every doc gets an integer priority ``md5(doc_id) //
+    n_chars`` — heavier docs get proportionally smaller priorities —
+    and the sample is the global k smallest, ties → doc_id. The
+    importance-sampling primitive of pretraining mixes, with the same
+    pure-function-of-the-row reproducibility contract as
+    ``hash_sample``: no coordination, any engine re-derives the exact
+    sample. Scale shape: per-batch local top-k, driver merge of
+    k·num_batches candidate rows — no shuffle, no sort."""
+    import hashlib as _hashlib
+
+    K = 100
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (
+                int(_hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        pr = h // w
+        order = np.lexsort((ids, pr))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(w[order], pa.int64()),
+                "pr": pa.array(pr[order], pa.int64()),
+            }
+        )
+
+    cand = docs.map_batches(topk, batch_format="pyarrow").to_pandas()
+    final = cand.sort_values(["pr", "doc_id"], kind="mergesort").head(K)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         // n_chars AS pr
+FROM documents
+ORDER BY pr, doc_id LIMIT 100
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-group hash sampling: each ``source`` stratum keeps its own
     deterministic fraction (web 10%, wiki 50%, everything else 20%) —
@@ -5323,6 +5373,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
     "hash_sample": q_hash_sample,
+    "weighted_sample": q_weighted_sample,
     "stratified_sample": q_stratified_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
@@ -5443,6 +5494,7 @@ ORACLE_SQL = {
     "approx_distinct": _APPROX_DISTINCT_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
     "hash_sample": _HASH_SAMPLE_SQL,
+    "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
