@@ -2811,6 +2811,29 @@ FROM stats s LEFT JOIN pick p USING (user_id)
 """
 
 
+def q_quantiles_per_key_sketch(sf_dir: str):
+    """Per-key quantiles via the broadcast-FREE mergeable rank sketch
+    (stages/quantiles.py ``rank_sketch_quantiles_per_key``): per-batch
+    equi-depth compression to ≤ m weighted order statistics, ONE
+    bucketed exchange of kilobyte partials, weighted merge per key.
+    Survives unbounded key cardinality (nothing per-key is ever
+    collected or broadcast). At every test shape each key's per-batch
+    count stays ≤ m, so the sketch degenerates to EXACT quantile_disc
+    and the oracle compares exactly; the forced-compression rank-error
+    bound is covered by `tests/test_new_operators.py`."""
+    from commons_codec_ray.stages.quantiles import rank_sketch_quantiles_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return rank_sketch_quantiles_per_key(ds, "user_id", "value", qs=[0.5, 0.9])
+
+
+_QUANTILES_PER_KEY_SKETCH_SQL = """
+SELECT user_id, quantile_disc(value, 0.5) AS p50_est,
+       quantile_disc(value, 0.9) AS p90_est
+FROM events GROUP BY user_id
+"""
+
+
 def q_cdc_change_feed(sf_dir: str):
     """CDC OUTPUT stream (change feed): replay in two epochs with
     ``emit_changes=True`` and return epoch 2's row-level feed —
@@ -5394,6 +5417,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "quantiles_cont": q_quantiles_cont,
     "approx_quantiles_by_key": q_approx_quantiles_by_key,
+    "quantiles_per_key_sketch": q_quantiles_per_key_sketch,
     "approx_quantiles": q_approx_quantiles,
     "pii_scrub": q_pii_scrub,
     "rollup": q_rollup,
@@ -5514,6 +5538,7 @@ ORACLE_SQL = {
     "tfidf": _TFIDF_SQL,
     "quantiles": _QUANTILES_SQL,
     "approx_quantiles_by_key": _APPROX_QUANTILES_BY_KEY_SQL,
+    "quantiles_per_key_sketch": _QUANTILES_PER_KEY_SKETCH_SQL,
     "quantiles_cont": _QUANTILES_CONT_SQL,
     "approx_quantiles": _APPROX_QUANTILES_SQL,
     "pii_scrub": _PII_SCRUB_SQL,

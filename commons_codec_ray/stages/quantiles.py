@@ -331,3 +331,108 @@ def equi_width_histogram(ds, column: str, bins: int = 64):
             "c": pa.array(counts, pa.int64()),
         }
     )
+
+
+def rank_sketch_quantiles_per_key(
+    ds,
+    key: str,
+    column: str,
+    qs: list[float],
+    m: int = 128,
+    out_names: list[str] | None = None,
+    num_buckets: int | None = None,
+):
+    """Per-key quantiles via a mergeable equi-depth RANK sketch with no
+    broadcast and no raw-row exchange — the variant of
+    :func:`approx_quantiles_by_key` that survives unbounded key
+    cardinality (that one broadcasts per-key min/max; this one never
+    collects per-key anything).
+
+    Per batch, each key's sorted values compress to ≤ ``m`` weighted
+    points — the order statistics at ranks ``ceil(j·n/m)`` with the rank
+    gaps as weights — so a point's cumulative weight bounds the true
+    rank of its value from above, with error < its batch's gap
+    ``⌈n_bk/m⌉``.  ONE hash-bucketed exchange moves only these
+    kilobyte-per-key partials; inside the key's bucket a weighted merge
+    (sort + cumsum) answers rank queries with total error
+    ≤ Σ_batches ⌈n_bk/m⌉ ≤ n_k·B/m for B batches touching the key.
+    Estimate for q = first merged point whose cumulative weight reaches
+    ``ceil(q·n_k)``.  Deterministic end to end (no randomness), exact
+    whenever a key's per-batch counts stay ≤ m.
+    """
+    import pandas as pd
+
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    nb = num_buckets or adaptive_buckets()
+    out_names = out_names or [f"p{int(q * 100)}_est" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        sel_idx = []
+        sel_w = []
+        for s, c in zip(starts, counts):
+            if c <= m:
+                ranks = np.arange(1, c + 1)
+            else:
+                ranks = np.unique(np.ceil(np.arange(1, m + 1) * (c / m)).astype(np.int64))
+            sel_idx.append(s + ranks - 1)
+            sel_w.append(np.diff(np.concatenate([[0], ranks])))
+        if sel_idx:
+            idx = np.concatenate(sel_idx)
+            w = np.concatenate(sel_w)
+        else:
+            idx = np.zeros(0, np.int64)
+            w = np.zeros(0, np.int64)
+        kk = ks[idx]
+        return pa.table(
+            {
+                "_qb": hash_bucket(kk, nb),
+                key: pa.array(kk, pa.int64()),
+                "v": pa.array(vs[idx], pa.float64()),
+                "w": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([key, "v"], kind="mergesort")
+        kk = g[key].to_numpy()
+        vv = g["v"].to_numpy()
+        ww = g["w"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = kk[1:] != kk[:-1]
+        gidx = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # per-key cumulative weights via global cumsum minus run offsets
+        cw = np.cumsum(ww)
+        base = np.concatenate([[0], cw])[starts]
+        cumw = cw - base[gidx]
+        totals = np.add.reduceat(ww, starts)
+        out = {key: kk[starts]}
+        for q, name in zip(qs, out_names):
+            target = np.ceil(q * totals).clip(min=1)
+            # first point in each run with cumw >= target
+            hit = cumw >= target[gidx]
+            # index of first hit per run: mask others, take min position
+            pos = np.where(hit, np.arange(n), n)
+            first = np.minimum.reduceat(pos, starts)
+            out[name] = vv[np.minimum(first, n - 1)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_qb")
+        .map_groups(merge, batch_format="pandas")
+    )

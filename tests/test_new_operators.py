@@ -217,3 +217,50 @@ def test_normalize_text_kernel_edges(ray_session):
         "already clean",
         "x",
     ]
+
+
+def test_rank_sketch_per_key_exact_when_uncompressed(ray_session):
+    from commons_codec_ray.stages.quantiles import rank_sketch_quantiles_per_key
+
+    rng = np.random.RandomState(8)
+    keys = rng.randint(0, 30, 2000).astype("int64")
+    vals = rng.normal(0, 10, 2000)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    got = (
+        rank_sketch_quantiles_per_key(
+            rd.from_arrow(t).repartition(4), "k", "v", qs=[0.5, 0.9], m=512
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for q, name in ((0.5, "p50_est"), (0.9, "p90_est")):
+        want = df.groupby("k")["v"].apply(
+            lambda s, q=q: np.sort(s.to_numpy())[max(1, int(np.ceil(q * len(s)))) - 1]
+        )
+        assert got[name].tolist() == want.tolist()
+
+
+def test_rank_sketch_per_key_compressed_rank_bound(ray_session):
+    from commons_codec_ray.stages.quantiles import rank_sketch_quantiles_per_key
+
+    rng = np.random.RandomState(15)
+    # one heavy key forced through compression: n=20_000 per batch ≫ m=16
+    n = 20_000
+    vals = rng.lognormal(0, 2, n)
+    t = pa.table(
+        {"k": pa.array(np.zeros(n, np.int64)), "v": pa.array(vals, pa.float64())}
+    )
+    B = 4
+    got = rank_sketch_quantiles_per_key(
+        rd.from_arrow(t).repartition(B), "k", "v", qs=[0.5, 0.9], m=16
+    ).to_pandas()
+    sv = np.sort(vals)
+    for q, name in ((0.5, "p50_est"), (0.9, "p90_est")):
+        est = got[name].iloc[0]
+        rank = np.searchsorted(sv, est, side="right")
+        target = int(np.ceil(q * n))
+        # total rank error ≤ Σ_batches ⌈n_b/m⌉ ≈ n·B/(m·B) per batch sum
+        bound = B * int(np.ceil(n / B / 16)) + B
+        assert abs(rank - target) <= bound, (q, rank, target, bound)
