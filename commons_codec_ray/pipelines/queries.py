@@ -2089,6 +2089,54 @@ WHERE CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 10 = 0
 """
 
 
+def q_source_entropy(sf_dir: str):
+    """Per-source Shannon entropy (bits) of the language distribution —
+    the mix-diversity signal of pretraining data cards. Counts reduce
+    from vectorized per-batch partials (the scalable part — entropy
+    itself is arithmetic on a #sources×#langs table); the float is
+    rounded through util.duckdb_round so the byte-level compare holds."""
+    from commons_codec_ray.util import duckdb_round
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["source", "lang"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "c"}), preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(["source", "lang"], as_index=False)["c"].sum()
+    rows = []
+    for source, g in counts.groupby("source"):
+        c = g["c"].to_numpy(np.float64)
+        p = c / c.sum()
+        rows.append((source, float(-(p * np.log2(p)).sum())))
+    rows.sort()
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "entropy_bits": pa.array(
+                duckdb_round([r[1] for r in rows], 4), pa.float64()
+            ),
+        }
+    )
+
+
+_SOURCE_ENTROPY_SQL = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+           FROM documents GROUP BY source, lang),
+n AS (SELECT source, sum(c) AS n FROM c GROUP BY source)
+SELECT c.source,
+       round(-sum((c.c / n.n) * log2(c.c / n.n)), 4) AS entropy_bits
+FROM c JOIN n USING (source) GROUP BY c.source
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic WEIGHTED sampling (priority / sequential-Poisson
     style): every doc gets an integer priority ``md5(doc_id) //
@@ -5397,6 +5445,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "hash_sample": q_hash_sample,
     "weighted_sample": q_weighted_sample,
+    "source_entropy": q_source_entropy,
     "stratified_sample": q_stratified_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
@@ -5519,6 +5568,7 @@ ORACLE_SQL = {
     "heavy_hitters": _HEAVY_HITTERS_SQL,
     "hash_sample": _HASH_SAMPLE_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+    "source_entropy": _SOURCE_ENTROPY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
