@@ -205,3 +205,56 @@ def test_apply_ops_partial_merge_semantics():
     assert b["text"] == "new"
     for c in ("role", "tool", "ts"):
         assert pd.isna(b[c])
+
+
+def test_apply_ops_partial_property_vs_fold():
+    """Randomized op sequences vs a row-at-a-time reference fold."""
+    import numpy as np
+    import pandas as pd
+
+    from commons_codec_ray.stages.applier import apply_ops_partial
+
+    rng = np.random.RandomState(77)
+    for trial in range(25):
+        n = rng.randint(1, 60)
+        rows = []
+        for lsn in range(n):
+            key = ("k%d" % rng.randint(0, 4), int(rng.randint(0, 3)))
+            if rng.rand() < 0.25:
+                rows.append((*key, 0, lsn, None, None, None, None,
+                             False, False, False, False))
+            else:
+                has = rng.rand(4) < 0.6
+                vals = [
+                    ("r%d" % lsn) if has[0] else None,
+                    ("t%d" % lsn) if has[1] else None,
+                    (None if rng.rand() < 0.3 else "x%d" % lsn) if has[2] else None,
+                    ("s%d" % lsn) if has[3] else None,
+                ]
+                rows.append((*key, 1, lsn, *vals, *has.tolist()))
+        df = pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "op", "lsn", "role", "text", "tool",
+                     "ts", "has_role", "has_text", "has_tool", "has_ts"],
+        )
+        # reference fold in lsn order
+        state = {}
+        for r in df.sort_values("lsn").itertuples(index=False):
+            k = (r.conv_id, r.turn_idx)
+            if r.op == 0:
+                state.pop(k, None)
+            else:
+                cur = state.setdefault(k, {"role": None, "text": None,
+                                           "tool": None, "ts": None})
+                for c in ("role", "text", "tool", "ts"):
+                    if getattr(r, "has_" + c):
+                        cur[c] = getattr(r, c)
+        got = apply_ops_partial(df.sample(frac=1.0, random_state=trial))
+        got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        want_keys = sorted(state)
+        assert list(zip(got["conv_id"], got["turn_idx"])) == want_keys, trial
+        for i, k in enumerate(want_keys):
+            for c in ("role", "text", "tool", "ts"):
+                g = got.iloc[i][c]
+                w = state[k][c]
+                assert (pd.isna(g) and w is None) or g == w, (trial, k, c, g, w)
