@@ -529,6 +529,46 @@ SELECT * FROM snap0 UNION ALL SELECT * FROM cur
 """
 
 
+def q_cdc_idempotent_replay(sf_dir: str):
+    """Exactly-once evidence as a DRIVER-GATED row: epoch 0 is committed,
+    then the SAME epoch is delivered again (a whole-epoch retry — the
+    Lambda-storm failure mode the reference answers with ON CONFLICT DO
+    NOTHING, transform/dynamodb.py:186-195), then epoch 1 lands. The
+    duplicate is a checkpoint-detected no-op (pipelines/cdc.py
+    ``run_epoch``: epoch ≤ last_epoch), so the final lake must equal the
+    plain replay oracle byte-for-byte."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = events.num_rows
+    boundary = n // 2
+    env = EventsToEnvelopes(duplicates=True)(events)
+    e1 = env.filter(pc.less(env["lsn"], boundary))
+    e2 = env.filter(pc.greater_equal(env["lsn"], boundary))
+
+    lake = _tempfile.mkdtemp(prefix="ccr_idem_")
+    try:
+        pipe = CDCPipeline(lake, PipelineConfig(num_partitions=16))
+
+        def rng(part):
+            offs = part["source_offset"]
+            return (pc.min(offs).as_py(), pc.max(offs).as_py())
+
+        pipe.run_epoch(rd.from_arrow(e1), epoch=0, offset_range=rng(e1))
+        # whole-epoch duplicate delivery → must be a committed-epoch no-op
+        pipe.run_epoch(rd.from_arrow(e1), epoch=0, offset_range=rng(e1))
+        pipe.run_epoch(rd.from_arrow(e2), epoch=1, offset_range=rng(e2))
+        t = pa.Table.from_pandas(pipe.read_lake().to_pandas(), preserve_index=False)
+        return t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    finally:
+        _shutil.rmtree(lake, ignore_errors=True)
+
+
 def q_cdc_replay_partial(sf_dir: str):
     """CDC replay with PARTIAL (column-subset) update images
     (stages/applier.py ``apply_ops_partial``): upserts carry only the
@@ -5477,6 +5517,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_replay_partial": q_cdc_replay_partial,
+    "cdc_idempotent_replay": q_cdc_idempotent_replay,
     "set_ops": q_set_ops,
     "unnest_tokens": q_unnest_tokens,
     "string_agg": q_string_agg,
@@ -5600,6 +5641,7 @@ ORACLE_SQL = {
     "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
     "cdc_snapshot_diff": _CDC_SNAPSHOT_DIFF_SQL,
     "cdc_replay_partial": _CDC_REPLAY_PARTIAL_SQL,
+    "cdc_idempotent_replay": _CDC_REPLAY_SQL,
     "set_ops": _SET_OPS_SQL,
     "unnest_tokens": _UNNEST_SQL,
     "string_agg": _STRING_AGG_SQL,
