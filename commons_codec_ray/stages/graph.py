@@ -311,18 +311,19 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
         new[1:] = x[1:] != x[:-1]
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, m))
-        outs = []
-        for s, c in zip(starts, counts):
-            if c < 2:
-                continue
-            i, j = np.triu_indices(c, k=1)
-            outs.append(np.stack([y[s + i], y[s + j]], axis=1))
-        if not outs:
+        run_end = np.repeat(starts + counts, counts)  # exclusive end, per position
+        # fully vectorized pair generation (no per-source Python loop):
+        # position p pairs as LEFT with the reps[p] positions after it
+        # in its run; rights = left + 1 + offset-within-block.
+        reps = run_end - np.arange(m) - 1
+        total = int(reps.sum())
+        if total == 0:
             return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        w = np.concatenate(outs)
-        a = np.minimum(w[:, 0], w[:, 1])
-        b = np.maximum(w[:, 0], w[:, 1])
-        return pd.DataFrame({"a": a, "b": b})
+        lefts = np.repeat(np.arange(m), reps)
+        block_base = np.repeat(np.cumsum(reps) - reps, reps)
+        rights = lefts + 1 + (np.arange(total) - block_base)
+        ya, yb = y[lefts], y[rights]
+        return pd.DataFrame({"a": np.minimum(ya, yb), "b": np.maximum(ya, yb)})
 
     def wedge_bucket(df: pd.DataFrame) -> pa.Table:
         pack = (df["a"].to_numpy(np.int64) << 32) | df["b"].to_numpy(np.int64)
