@@ -379,21 +379,24 @@ def rank_sketch_quantiles_per_key(
             new[1:] = ks[1:] != ks[:-1]
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, n))
-        sel_idx = []
-        sel_w = []
-        for s, c in zip(starts, counts):
-            if c <= m:
-                ranks = np.arange(1, c + 1)
-            else:
-                ranks = np.unique(np.ceil(np.arange(1, m + 1) * (c / m)).astype(np.int64))
-            sel_idx.append(s + ranks - 1)
-            sel_w.append(np.diff(np.concatenate([[0], ranks])))
-        if sel_idx:
-            idx = np.concatenate(sel_idx)
-            w = np.concatenate(sel_w)
+        # vectorized two-class compression (no per-key Python loop):
+        # runs with c ≤ m keep every value (weight 1); runs with c > m
+        # keep the order stats at ranks ceil(j·c/m), j = 1..m — strictly
+        # increasing when c > m, so exactly m points with gap weights.
+        small = counts <= m
+        idx_small = np.flatnonzero(np.repeat(small, counts))
+        big_starts = starts[~small]
+        big_counts = counts[~small]
+        if len(big_starts):
+            j = np.arange(1, m + 1)
+            ranks = np.ceil(j[None, :] * (big_counts[:, None] / m)).astype(np.int64)
+            idx_big = (big_starts[:, None] + ranks - 1).reshape(-1)
+            w_big = np.diff(ranks, axis=1, prepend=0).reshape(-1)
         else:
-            idx = np.zeros(0, np.int64)
-            w = np.zeros(0, np.int64)
+            idx_big = np.zeros(0, np.int64)
+            w_big = np.zeros(0, np.int64)
+        idx = np.concatenate([idx_small, idx_big])
+        w = np.concatenate([np.ones(len(idx_small), np.int64), w_big])
         kk = ks[idx]
         return pa.table(
             {
