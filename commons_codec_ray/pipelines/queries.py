@@ -2177,6 +2177,90 @@ FROM c JOIN n USING (source) GROUP BY c.source
 """
 
 
+def q_kl_per_user(sf_dir: str):
+    """Per-user Shannon entropy and KL divergence vs the GLOBAL
+    event-type distribution — the per-group distribution-drift signal
+    (data-mix skew, bot detection). Scale shape: vectorized per-batch
+    (user, type) count partials, materialized once and reused twice —
+    a kilobyte driver reduce for the global type distribution
+    (|types| rows, broadcast), and ONE user-bucketed exchange for the
+    per-user math (no per-user state on the driver; user cardinality
+    can be unbounded). Per-user terms sum in sorted type order from
+    exact integer counts, so the floats are layout-independent; rounded
+    through duckdb_round(4) to match the oracle byte-for-byte."""
+    import ray
+
+    nb = adaptive_buckets()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # global type distribution: tiny (|types| rows), driver-reduced
+    gl = parts.to_pandas().groupby("event_type")["c"].sum()
+    gref = ray.put((gl / gl.sum()).to_dict())
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(gref)
+        c = df.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        c = c.sort_values(["user_id", "event_type"], kind="mergesort")
+        user = c["user_id"].to_numpy(np.int64)
+        cnt = c["c"].to_numpy(np.float64)
+        qv = c["event_type"].map(q).to_numpy(np.float64)
+        new = np.empty(len(c), dtype=bool)
+        new[0:1] = True
+        new[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new)
+        n = np.add.reduceat(cnt, starts)
+        p = cnt / np.repeat(n, np.diff(np.append(starts, len(c))))
+        ent = -np.add.reduceat(p * np.log2(p), starts)
+        kl = np.add.reduceat(p * np.log2(p / qv), starts)
+        return pd.DataFrame(
+            {
+                "user_id": user[starts],
+                "n_events": n.astype(np.int64),
+                "entropy_bits": duckdb_round(ent, 4),
+                "kl_bits": duckdb_round(kl, 4),
+            }
+        )
+
+    return (
+        parts.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_KL_PER_USER_SQL = """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+           FROM events GROUP BY user_id, event_type),
+n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS gc FROM events GROUP BY event_type),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM events)
+SELECT c.user_id, CAST(n.n AS BIGINT) AS n_events,
+       round(-sum((c.c / n.n) * log2(c.c / n.n)), 4) AS entropy_bits,
+       round(sum((c.c / n.n) * log2((c.c / n.n) / (g.gc / t.t))), 4) AS kl_bits
+FROM c JOIN n USING (user_id) JOIN g USING (event_type) CROSS JOIN t
+GROUP BY c.user_id, n.n
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic WEIGHTED sampling (priority / sequential-Poisson
     style): every doc gets an integer priority ``md5(doc_id) //
@@ -4786,6 +4870,27 @@ def q_triangles(sf_dir: str):
     return triangle_count(events.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_triangles_exchange(sf_dir: str):
+    """Same exact triangle count with ``degree_mode="exchange"``: the
+    degree table stays SHARDED — deg(u)/deg(v) attach via two
+    node-keyed exchanges instead of a driver-collected ``ray.put``
+    broadcast. This is the billion-node path (node set ≫ driver
+    memory); counts are identical, so it shares the triangles oracle."""
+    from commons_codec_ray.stages.graph import triangle_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return triangle_count(
+        events.map_batches(edges, batch_format="pyarrow"), degree_mode="exchange"
+    )
+
+
 _TRIANGLES_SQL = """
 WITH raw AS (
   SELECT event_id % 1200 AS a,
@@ -4893,6 +4998,29 @@ FROM c{iters} c LEFT JOIN z USING (cid)"""
 
 
 _KMEANS_SQL = _kmeans_sql(4, 3, 64)
+
+
+def q_kmeans_pp(sf_dir: str):
+    """k-means|| seeding quality gate (stages/kmeans.py
+    seed_kmeans_parallel): the deterministic k-means|| sweep —
+    splitmix-coin sampling with probability ℓ·d²/ψ per round, candidate
+    weighting by one assignment pass, weighted farthest-first reduction
+    to k — must end (after the same Lloyd iterations) with exact integer
+    inertia no worse than 1.05× the lowest-id seeding's. The seeding
+    itself is sampling-based and not worth a bit-exact SQL replay, so
+    the oracle is a constant gate row (the lsh/ivf recall-gate
+    pattern)."""
+    from commons_codec_ray.stages.kmeans import kmeans_compare_inits
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    res = kmeans_compare_inits(emb, k=4, iterations=3)
+    ok = 20 * res["kmeans_par"] <= 21 * res["low_ids"]
+    return pa.table({"init_ok": pa.array([ok], pa.bool_()), "k": pa.array([4], pa.int64())})
+
+
+_KMEANS_PP_SQL = "SELECT true AS init_ok, CAST(4 AS BIGINT) AS k"
 
 
 # ---------------------------------------------------------------------------
@@ -5486,6 +5614,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "weighted_sample": q_weighted_sample,
     "source_entropy": q_source_entropy,
+    "kl_per_user": q_kl_per_user,
     "stratified_sample": q_stratified_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
@@ -5556,10 +5685,12 @@ QUERIES = {
     "cdc_alerts": q_cdc_alerts,
     "bm25": q_bm25,
     "kmeans": q_kmeans,
+    "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
     "retention": q_retention,
     "triangles": q_triangles,
+    "triangles_exchange": q_triangles_exchange,
     "normalize_text": q_normalize_text,
     "histogram": q_histogram,
     "cdc_feed_enriched": q_cdc_feed_enriched,
@@ -5610,6 +5741,7 @@ ORACLE_SQL = {
     "hash_sample": _HASH_SAMPLE_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "source_entropy": _SOURCE_ENTROPY_SQL,
+    "kl_per_user": _KL_PER_USER_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
@@ -5680,10 +5812,12 @@ ORACLE_SQL = {
     "cdc_alerts": _CDC_ALERTS_SQL,
     "bm25": _BM25_SQL,
     "kmeans": _KMEANS_SQL,
+    "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,
     "retention": _RETENTION_SQL,
     "triangles": _TRIANGLES_SQL,
+    "triangles_exchange": _TRIANGLES_SQL,
     "normalize_text": _NORMALIZE_TEXT_SQL,
     "histogram": _HISTOGRAM_SQL,
     "cdc_feed_enriched": _CDC_FEED_ENRICHED_SQL,

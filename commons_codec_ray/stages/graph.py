@@ -203,8 +203,99 @@ def pagerank(
     )
 
 
+def _orient_by_exchange(edges, deg_partial, pack_sb, nb):
+    """Attach deg(u) then deg(v) via two node-keyed exchanges — the
+    degree table stays sharded (never collected, never broadcast).
+    Each exchange co-buckets per-batch degree partials with the edge
+    rows keyed on that endpoint; the bucket merge sums the partials and
+    gathers the degree onto each edge row."""
+    from commons_codec_ray.util import hash_bucket
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        d = deg_partial(t)
+        n = d["n"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(n), np.int64)
+        return pa.table(
+            {
+                "_nb": hash_bucket(n, nb),
+                "n": d["n"],
+                "c": d["c"],
+                "o": pa.array(z, pa.int64()),
+                "w": pa.array(z, pa.int64()),
+                "is_deg": pa.array(np.ones(len(n), bool)),
+            }
+        )
+
+    def edge_by_u(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(u), np.int64)
+        return pa.table(
+            {
+                "_nb": hash_bucket(u, nb),
+                "n": pa.array(u, pa.int64()),
+                "c": pa.array(z, pa.int64()),
+                "o": pa.array(v, pa.int64()),
+                "w": pa.array(z, pa.int64()),
+                "is_deg": pa.array(np.zeros(len(u), bool)),
+            }
+        )
+
+    def attach_du(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.loc[df["is_deg"]].groupby("n")["c"].sum()
+        e = df.loc[~df["is_deg"]]
+        return pd.DataFrame(
+            {
+                "u": e["n"].to_numpy(np.int64),
+                "v": e["o"].to_numpy(np.int64),
+                "du": deg.loc[e["n"]].to_numpy(np.int64),
+            }
+        )
+
+    with_du = (
+        edges.map_batches(deg_rows, batch_format="pyarrow")
+        .union(edges.map_batches(edge_by_u, batch_format="pyarrow"))
+        .groupby("_nb")
+        .map_groups(attach_du, batch_format="pandas")
+    )
+
+    def edge_by_v(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_nb": hash_bucket(v, nb),
+                "n": pa.array(v, pa.int64()),
+                "c": pa.array(np.zeros(len(v), np.int64), pa.int64()),
+                "o": t["u"].cast(pa.int64()),
+                "w": t["du"].cast(pa.int64()),
+                "is_deg": pa.array(np.zeros(len(v), bool)),
+            }
+        )
+
+    def attach_dv_and_orient(df: pd.DataFrame) -> pa.Table:
+        deg = df.loc[df["is_deg"]].groupby("n")["c"].sum()
+        e = df.loc[~df["is_deg"]]
+        u = e["o"].to_numpy(np.int64)
+        v = e["n"].to_numpy(np.int64)
+        du = e["w"].to_numpy(np.int64)
+        dv = deg.loc[e["n"]].to_numpy(np.int64)
+        # total order (deg, id): u first iff du <= dv (u < v by canon)
+        u_first = du <= dv
+        x = np.where(u_first, u, v)
+        y = np.where(u_first, v, u)
+        return pack_sb(x, y)
+
+    return (
+        edges.map_batches(deg_rows, batch_format="pyarrow")
+        .union(with_du.map_batches(edge_by_v, batch_format="pyarrow"))
+        .groupby("_nb")
+        .map_groups(attach_dv_and_orient, batch_format="pandas")
+    )
+
+
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
-                   num_buckets: int | None = None):
+                   num_buckets: int | None = None,
+                   degree_mode: str = "broadcast"):
     """Exact distributed triangle count (engine-added; the classic
     MapReduce shape of Suri & Vassilvitskii's MR-NodeIterator++):
 
@@ -218,11 +309,16 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
        in PAIR-keyed buckets — membership count = triangles, each
        counted exactly once.
 
-    Degrees ride a ``ray.put`` broadcast (nodes ≪ edges — the usual
-    graph regime; at billions of nodes replace with two more
-    node-keyed exchanges attaching deg(u)/deg(v)).  Node ids must fit
-    31 bits so a (u, v) pair packs into one int64 bucket key — loudly
-    asserted, not wrapped.
+    ``degree_mode="broadcast"`` (default) rides degrees on a ``ray.put``
+    broadcast (nodes ≪ edges — the usual graph regime).
+    ``degree_mode="exchange"`` never materializes the degree table
+    anywhere: deg(u) then deg(v) are attached by two node-keyed
+    exchanges (degree partials and edge rows co-bucketed on the node,
+    merged per bucket) — the billion-node path where even the node set
+    exceeds driver memory.  Both modes produce identical counts (the
+    orientation order is a pure function of (deg, id)).  Node ids must
+    fit 31 bits so a (u, v) pair packs into one int64 bucket key —
+    loudly asserted, not wrapped.
 
     Returns a one-row table ``(n_edges, n_triangles)``.
     """
@@ -275,22 +371,7 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             {"n": pa.array(uniq, pa.int64()), "c": pa.array(cnt, pa.int64())}
         )
 
-    degp = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
-    deg = degp.groupby("n")["c"].sum()
-    deg_nodes = deg.index.to_numpy(np.int64)
-    deg_vals = deg.to_numpy(np.int64)
-    dref = ray.put((deg_nodes, deg_vals))
-
-    def orient(t: pa.Table) -> pa.Table:
-        nodes_s, degs = ray.get(dref)
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        du = degs[np.searchsorted(nodes_s, u)]
-        dv = degs[np.searchsorted(nodes_s, v)]
-        # total order (deg, id): u first iff (du, u) < (dv, v); u < v always
-        u_first = (du < dv) | (du == dv)
-        x = np.where(u_first, u, v)
-        y = np.where(u_first, v, u)
+    def pack_sb(x: np.ndarray, y: np.ndarray) -> pa.Table:
         return pa.table(
             {
                 "_sb": hash_bucket(x, nb),
@@ -299,7 +380,28 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             }
         )
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    if degree_mode == "exchange":
+        oriented = _orient_by_exchange(edges, deg_partial, pack_sb, nb)
+    else:
+        degp = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+        deg = degp.groupby("n")["c"].sum()
+        deg_nodes = deg.index.to_numpy(np.int64)
+        deg_vals = deg.to_numpy(np.int64)
+        dref = ray.put((deg_nodes, deg_vals))
+
+        def orient(t: pa.Table) -> pa.Table:
+            nodes_s, degs = ray.get(dref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            du = degs[np.searchsorted(nodes_s, u)]
+            dv = degs[np.searchsorted(nodes_s, v)]
+            # total order (deg, id): u first iff (du, u) < (dv, v); u < v always
+            u_first = (du < dv) | (du == dv)
+            x = np.where(u_first, u, v)
+            y = np.where(u_first, v, u)
+            return pack_sb(x, y)
+
+        oriented = edges.map_batches(orient, batch_format="pyarrow")
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values(["x", "y"], kind="mergesort")

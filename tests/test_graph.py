@@ -92,3 +92,24 @@ def test_triangle_count_vs_bruteforce(ray_session):
         tri += len(adj[u] & adj[v] - {u, v})
     assert got["n_edges"].iloc[0] == len(eset)
     assert got["n_triangles"].iloc[0] == tri // 3
+
+
+def test_triangle_count_exchange_degrees_matches_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(29)
+    a = rng.randint(0, 60, 2500).astype("int64")
+    b = rng.randint(0, 60, 2500).astype("int64")
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a), "dst": pa.array(b)})
+    ).repartition(5)
+    bc = triangle_count(ds, degree_mode="broadcast").to_pandas()
+    ex = triangle_count(ds, degree_mode="exchange").to_pandas()
+    # the sharded-degree path (no driver degree table, no broadcast)
+    # must count the exact same triangles
+    assert bc["n_edges"].iloc[0] == ex["n_edges"].iloc[0]
+    assert bc["n_triangles"].iloc[0] == ex["n_triangles"].iloc[0]
+    assert bc["n_triangles"].iloc[0] > 0

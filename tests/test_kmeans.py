@@ -74,3 +74,40 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     # cid 0, so cluster 2 stays empty and keeps its seed centroid
     assert c2["size"].tolist() == [0, 0]
     assert c2["cval"].to_numpy().tolist() == _quantize(m[2:3]).reshape(-1).tolist()
+
+
+def test_kmeans_par_seeding_deterministic(ray_session):
+    from commons_codec_ray.stages.kmeans import _to_points, seed_kmeans_parallel
+
+    rng = np.random.RandomState(17)
+    m = rng.uniform(-0.6, 0.6, (400, 12)).astype(np.float32)
+    ids = rng.permutation(400).astype(np.int64)
+    a = seed_kmeans_parallel(_to_points(_ds(m, ids, blocks=3), "vec_id", "embedding"), k=5)
+    b = seed_kmeans_parallel(_to_points(_ds(m, ids, blocks=11), "vec_id", "embedding"), k=5)
+    # pure function of the rows: identical across block layouts and runs
+    assert a.tolist() == b.tolist()
+    assert a.shape == (5, 12)
+
+
+def test_kmeans_par_beats_adversarial_low_id_seeding(ray_session):
+    from commons_codec_ray.stages.kmeans import kmeans_compare_inits
+
+    rng = np.random.RandomState(23)
+    centers = np.array([[-0.6] * 8, [-0.2] * 8, [0.2] * 8, [0.6] * 8], np.float64)
+    pts = np.concatenate(
+        [c + rng.uniform(-0.03, 0.03, (60, 8)) for c in centers]
+    ).astype(np.float32)
+    # adversarial: ALL low ids sit in blob 0, so low-id seeding starts
+    # every centroid in one blob while k-means|| spreads by d²
+    ids = np.arange(240, dtype=np.int64)
+    res = kmeans_compare_inits(_ds(pts, ids, blocks=5), k=4, iterations=3)
+    assert res["kmeans_par"] < res["low_ids"]
+
+
+def test_kmeans_par_lloyd_runs_end_to_end(ray_session):
+    rng = np.random.RandomState(31)
+    m = rng.uniform(-0.5, 0.5, (200, 8)).astype(np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    got = kmeans_lloyd(_ds(m, ids), k=4, iterations=2, init="kmeans_par").to_pandas()
+    assert set(got["cid"].unique()) == {0, 1, 2, 3}
+    assert got.drop_duplicates("cid")["size"].sum() == 200
