@@ -1700,6 +1700,264 @@ def q_asof_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary — the canonical wide-aggregate scan:
+    sums/averages of qty, base price, discounted price and charge per
+    (returnflag, linestatus) over shipped lineitems. All money columns
+    are cents-exact in the data, so every accumulation is INTEGER:
+    q100/p100/d100/t100 = round(value·100), disc_price = p100·(100−d100)
+    (10⁻⁴ units), charge = p100·(100−d100)·(100+t100) (10⁻⁶ units) —
+    order-independent int64 partial sums per batch (kilobytes: 6 groups),
+    driver-reduced; the only floats are the FINAL divisions, which are
+    single correctly-rounded IEEE ops identical in DuckDB. Scale note:
+    charge partials reach ~1e11/row — int64 holds to ~10⁸ rows/batch;
+    at larger block sizes widen to object/128-bit in the reduce."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    CUTOFF = np.datetime64("2000-01-01T00:00:00", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= CUTOFF
+        q100 = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        t100 = np.rint(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False)[keep],
+                "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False)[keep],
+                "sq": q100,
+                "sp": p100,
+                "sd": d100,
+                "sdp": p100 * (100 - d100),
+                "sch": p100 * (100 - d100) * (100 + t100),
+                "n": np.ones(int(keep.sum()), np.int64),
+            }
+        )
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    g = g.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+    n = g["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+            "sum_qty": pa.array(g["sq"].to_numpy(np.float64) / 100.0, pa.float64()),
+            "sum_base_price": pa.array(g["sp"].to_numpy(np.float64) / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(g["sdp"].to_numpy(np.float64) / 10000.0, pa.float64()),
+            "sum_charge": pa.array(g["sch"].to_numpy(np.float64) / 1000000.0, pa.float64()),
+            "avg_qty": pa.array(g["sq"].to_numpy(np.float64) / (100.0 * n), pa.float64()),
+            "avg_price": pa.array(g["sp"].to_numpy(np.float64) / (100.0 * n), pa.float64()),
+            "avg_disc": pa.array(g["sd"].to_numpy(np.float64) / (100.0 * n), pa.float64()),
+            "count_order": pa.array(n, pa.int64()),
+        }
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01')
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q100) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum(p100) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(p100 * (100 - d100)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(p100 * (100 - d100) * (100 + t100)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sum(q100) AS DOUBLE) / (100.0 * count(*)) AS avg_qty,
+       CAST(sum(p100) AS DOUBLE) / (100.0 * count(*)) AS avg_price,
+       CAST(sum(d100) AS DOUBLE) / (100.0 * count(*)) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM q GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixture sampling — the pretraining mix primitive: each
+    source gets a target KEEP RATE (here (srcnum+1)/20, so src0 keeps
+    5% and src19 keeps 100%) and membership is a pure function of the
+    row (md5(doc_id) bucket < rate), so the mix is reproducible across
+    runs, cluster sizes and re-crawls with no coordination — the same
+    contract as hash_sample, per-source. One linear pass, no shuffle."""
+    import hashlib as _hashlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        srcnum = np.fromiter((int(s[3:]) for s in src), np.int64, len(src))
+        h = np.fromiter(
+            (
+                int(_hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % 10000
+                for i in ids
+            ),
+            np.int64,
+            len(ids),
+        )
+        return t.filter(pa.array(h < (srcnum + 1) * 500))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+_MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+      < (CAST(substr(source, 4) AS BIGINT) + 1) * 500
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """Exact distributed percent_rank / cume_dist per partition as
+    INTEGER rationals (parts-per-million via floor division — no float
+    drift by construction): pr_ppm = (rank−1)·10⁶ // (n−1) with RANK
+    tie semantics, cd_ppm = |{value ≤ v}|·10⁶ // n. One exchange: rows
+    bucket by the partition key (event_type), each partition ranked
+    vectorized (sort + searchsorted — ranks are order statistics, so
+    no per-row loop and no global sort)."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        # stable content hash of the partition key (never Python hash():
+        # per-process salting would split partitions across buckets)
+        codes = np.fromiter(
+            (int.from_bytes(s.encode()[:7].ljust(7, b"\0"), "little") for s in et),
+            np.int64,
+            len(et),
+        )
+        return t.append_column("_pb", hash_bucket(codes, nb))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in df.groupby("event_type"):
+            v = g["value"].to_numpy(np.float64)
+            eid = g["event_id"].to_numpy(np.int64)
+            sv = np.sort(v)
+            n = len(v)
+            rank = np.searchsorted(sv, v, side="left") + 1  # RANK() ties
+            cle = np.searchsorted(sv, v, side="right")  # |{<= v}|
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": eid,
+                        "event_type": et,
+                        "pr_ppm": (rank - 1) * 1_000_000 // max(n - 1, 1),
+                        "cd_ppm": cle * 1_000_000 // n,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       CAST((rank() OVER (PARTITION BY event_type ORDER BY value) - 1) * 1000000
+            // greatest(count(*) OVER (PARTITION BY event_type) - 1, 1) AS BIGINT) AS pr_ppm,
+       CAST(count(*) OVER (PARTITION BY event_type ORDER BY value) * 1000000
+            // count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cd_ppm
+FROM events
+"""
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event-type pair
+    (a < b), how many users did both. Scale shape: per-batch (user,
+    type) dedup partials → ONE user-bucketed exchange → per-user sorted
+    type sets expand to pairs vectorized (the triangle-wedge
+    repeat/cumsum trick) → pair counts are |types|² kilobyte partials,
+    driver-reduced. Never materializes the user set anywhere."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "_ub", hash_bucket(df["user_id"].to_numpy(np.int64), nb)
+        )
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        et = d["event_type"].to_numpy()
+        m = len(d)
+        if m == 0:
+            return pd.DataFrame({"type_a": [], "type_b": [], "c": []})
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        run_end = np.repeat(starts + counts, counts)
+        reps = run_end - np.arange(m) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"type_a": [], "type_b": [], "c": []})
+        lefts = np.repeat(np.arange(m), reps)
+        block_base = np.repeat(np.cumsum(reps) - reps, reps)
+        rights = lefts + 1 + (np.arange(total) - block_base)
+        out = pd.DataFrame({"type_a": et[lefts], "type_b": et[rights]})
+        out = out.groupby(["type_a", "type_b"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    parts = (
+        events.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(pairs_per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby(["type_a", "type_b"], as_index=False)["c"].sum()
+    g = g.sort_values(["type_a", "type_b"], kind="mergesort")
+    return pa.table(
+        {
+            "type_a": pa.array(g["type_a"], pa.string()),
+            "type_b": pa.array(g["type_b"], pa.string()),
+            "n_users": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
 _ASOF_JOIN_SQL = """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
 r0 AS (SELECT event_id AS r_event_id, user_id, ts, value AS r_value
@@ -5608,6 +5866,10 @@ QUERIES = {
     "pivot_event_types": q_pivot_event_types,
     "quantile_filter": q_quantile_filter,
     "top_orders": q_top_orders,
+    "pricing_summary": q_pricing_summary,
+    "mixture_sample": q_mixture_sample,
+    "percent_rank": q_percent_rank,
+    "basket_pairs": q_basket_pairs,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
@@ -5735,6 +5997,10 @@ ORACLE_SQL = {
     "pivot_event_types": _PIVOT_SQL,
     "quantile_filter": _QUANTILE_FILTER_SQL,
     "top_orders": _TOP_ORDERS_SQL,
+    "pricing_summary": _PRICING_SUMMARY_SQL,
+    "mixture_sample": _MIXTURE_SAMPLE_SQL,
+    "percent_rank": _PERCENT_RANK_SQL,
+    "basket_pairs": _BASKET_PAIRS_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
