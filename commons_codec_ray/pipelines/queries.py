@@ -1958,6 +1958,294 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def q_rolling_agg(sf_dir: str):
+    """ROWS-frame rolling aggregates per key (3 PRECEDING..CURRENT ROW,
+    ordered by (ts, event_id)): count, sum, min, max over the trailing
+    4 rows. The sum rides an integer cents column (round(value·100) —
+    measured .5-boundary-free on this data) so the 4-term window sums
+    are exact regardless of DuckDB's incremental vs our cumsum
+    evaluation; min/max are order stats, exact in any arithmetic. One
+    user-bucketed exchange; inside the bucket pandas' C-level
+    groupby-rolling does every user at once."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["v100"] = np.rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        r = df.groupby("user_id", sort=False).rolling(4, min_periods=1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "n_w": r["v100"].count().to_numpy(np.int64),
+                "sum_w100": r["v100"].sum().to_numpy(np.int64),
+                "min_v": r["value"].min().to_numpy(np.float64),
+                "max_v": r["value"].max().to_numpy(np.float64),
+            }
+        )
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_ROLLING_AGG_SQL = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_w100,
+       min(value) OVER w AS min_v,
+       max(value) OVER w AS max_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (two-pointer, O(len))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def q_typo_pairs(sf_dir: str):
+    """Fuzzy self-join at edit distance ≤ 1 via DELETION NEIGHBORHOODS
+    (the FastSS blocking scheme): every distinct key emits itself plus
+    its |s| single-character deletions; two keys within ED 1 are
+    GUARANTEED to share a variant (substitution → the common deletion,
+    indel → the shorter string itself), so candidate generation is one
+    variant-keyed exchange of N·L rows — never the O(N²) cross join.
+    Candidates dedupe in a pair-keyed exchange and are verified with an
+    exact two-pointer ED≤1 check. The key set here is derived
+    deterministically from doc_id (the natural corpus has a 31-token
+    vocabulary — too clean to contain typos); the oracle replays the
+    same neighborhood construction with DuckDB list lambdas and gates
+    on levenshtein()."""
+    import zlib as _zlib
+
+    nb = adaptive_buckets()
+    _SUF = ["", "a", "b", "ab", "ba"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def strings(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = [f"w{int(i) // 50}{_SUF[int(i) % 5]}" for i in ids]
+        h = np.fromiter((_zlib.crc32(x.encode()) for x in s), np.int64, len(s))
+        return pa.table({"_sb": hash_bucket(h, nb), "s": pa.array(s, pa.string())})
+
+    def neighborhoods(df: pd.DataFrame) -> pd.DataFrame:
+        # per DISTINCT key (vocabulary-sized, not corpus-sized): the key
+        # itself plus all single-char deletions
+        out_v, out_s = [], []
+        for s in df["s"].drop_duplicates():
+            out_v.append(s)
+            out_s.append(s)
+            for i in range(len(s)):
+                out_v.append(s[:i] + s[i + 1 :])
+                out_s.append(s)
+        return pd.DataFrame({"v": out_v, "s": out_s})
+
+    def vbucket(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        h = np.fromiter((_zlib.crc32(x.encode()) for x in v), np.int64, len(v))
+        return t.append_column("_vb", hash_bucket(h, nb))
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["v", "s"]).sort_values(["v", "s"], kind="mergesort")
+        v = d["v"].to_numpy()
+        s = d["s"].to_numpy()
+        m = len(d)
+        if m == 0:
+            return pd.DataFrame({"sa": [], "sb": []})
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        run_end = np.repeat(starts + counts, counts)
+        reps = run_end - np.arange(m) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"sa": [], "sb": []})
+        lefts = np.repeat(np.arange(m), reps)
+        block_base = np.repeat(np.cumsum(reps) - reps, reps)
+        rights = lefts + 1 + (np.arange(total) - block_base)
+        sa, sb = s[lefts], s[rights]
+        keep = sa != sb
+        return pd.DataFrame({"sa": sa[keep], "sb": sb[keep]}).drop_duplicates()
+
+    def pbucket(t: pa.Table) -> pa.Table:
+        sa = t["sa"].to_numpy(zero_copy_only=False)
+        sb = t["sb"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (_zlib.crc32((a + "\x00" + b).encode()) for a, b in zip(sa, sb)),
+            np.int64,
+            len(sa),
+        )
+        return t.append_column("_pb", hash_bucket(h, nb))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["sa", "sb"])
+        keep = [
+            _ed_le1(a, b) for a, b in zip(d["sa"], d["sb"])
+        ]  # candidate set is tiny (shared-variant collisions only)
+        return d.loc[keep, ["sa", "sb"]]
+
+    return (
+        docs.map_batches(strings, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(neighborhoods, batch_format="pandas")
+        .map_batches(vbucket, batch_format="pyarrow")
+        .groupby("_vb")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .map_batches(pbucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+_TYPO_PAIRS_SQL = """
+WITH s AS (
+  SELECT DISTINCT 'w' || CAST(doc_id // 50 AS VARCHAR) ||
+         CASE doc_id % 5 WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                         WHEN 3 THEN 'ab' WHEN 4 THEN 'ba' ELSE '' END AS s
+  FROM documents),
+nbr AS (
+  SELECT s, unnest(list_append(
+           list_transform(range(1, len(s) + 1),
+                          i -> substr(s, 1, i - 1) || substr(s, i + 1)), s)) AS v
+  FROM s),
+cand AS (
+  SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+  FROM nbr a JOIN nbr b ON a.v = b.v AND a.s <> b.s)
+SELECT sa, sb FROM cand WHERE levenshtein(sa, sb) <= 1
+"""
+
+
+def q_approx_distinct_by_key(sf_dir: str):
+    """Per-group distinct count via per-group KMV sketches — the
+    grouped form of approx_distinct: each batch emits one serialized
+    kilobyte sketch PER GROUP, the driver merges per group. Groups are
+    the event types (bounded); per-group distinct users (≤ a few
+    thousand here) sit far below k=4096, where KMV is EXACT by
+    construction — asserted, so scale growth fails loudly instead of
+    silently going approximate against an exact oracle."""
+    from commons_codec_ray.stages.sketches import KMVSketch
+
+    K = 4096
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        keys, blobs = [], []
+        for et, g in df.groupby("event_type"):
+            keys.append(et)
+            blobs.append(KMVSketch(K).update(g["user_id"].to_numpy()).serialize())
+        return pa.table(
+            {"event_type": pa.array(keys, pa.string()), "sk": pa.array(blobs, pa.binary())}
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        acc = KMVSketch(K)
+        for blob in g["sk"]:
+            acc = acc.merge(KMVSketch.deserialize(K, blob))
+        assert len(acc.values) < K, "approx_distinct_by_key: sketch saturated, estimate no longer exact"
+        rows.append((et, int(acc.estimate())))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_users_est": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+_APPROX_DISTINCT_BY_KEY_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_est
+FROM events GROUP BY event_type
+"""
+
+
+def q_funnel_windowed(sf_dir: str):
+    """Time-constrained funnel: per user, purchases within ONE HOUR of
+    the first click — the MATCH_RECOGNIZE-ish sequential pattern with a
+    window bound (plain funnel has no time constraint). One
+    user-bucketed exchange of the two event types; inside the bucket a
+    merge + boolean mask counts in-window purchases for every user at
+    once."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(mask)
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    HOUR = np.timedelta64(3600, "s")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["event_type"] == "click"]
+        if clicks.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_purchases_1h": pd.Series([], dtype="int64")})
+        t0 = clicks.groupby("user_id")["ts"].min().rename("t0")
+        p = df[df["event_type"] == "purchase"].merge(t0, on="user_id")
+        inw = p[(p["ts"] >= p["t0"]) & (p["ts"] <= p["t0"] + HOUR)]
+        cnt = inw.groupby("user_id").size()
+        out = t0.reset_index()[["user_id"]]
+        out["n_purchases_1h"] = (
+            out["user_id"].map(cnt).fillna(0).astype(np.int64)
+        )
+        return out
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_FUNNEL_WINDOWED_SQL = """
+WITH c AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'click' GROUP BY user_id)
+SELECT c.user_id, CAST(count(e.event_id) AS BIGINT) AS n_purchases_1h
+FROM c LEFT JOIN events e
+  ON e.user_id = c.user_id AND e.event_type = 'purchase'
+ AND e.ts >= c.t0 AND e.ts <= c.t0 + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
+
+
 _ASOF_JOIN_SQL = """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
 r0 AS (SELECT event_id AS r_event_id, user_id, ts, value AS r_value
@@ -5870,6 +6158,10 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "percent_rank": q_percent_rank,
     "basket_pairs": q_basket_pairs,
+    "rolling_agg": q_rolling_agg,
+    "typo_pairs": q_typo_pairs,
+    "approx_distinct_by_key": q_approx_distinct_by_key,
+    "funnel_windowed": q_funnel_windowed,
     "distinct_event_types": q_distinct_event_types,
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
@@ -6001,6 +6293,10 @@ ORACLE_SQL = {
     "mixture_sample": _MIXTURE_SAMPLE_SQL,
     "percent_rank": _PERCENT_RANK_SQL,
     "basket_pairs": _BASKET_PAIRS_SQL,
+    "rolling_agg": _ROLLING_AGG_SQL,
+    "typo_pairs": _TYPO_PAIRS_SQL,
+    "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
+    "funnel_windowed": _FUNNEL_WINDOWED_SQL,
     "distinct_event_types": _DISTINCT_SQL,
     "approx_distinct": _APPROX_DISTINCT_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
