@@ -1958,6 +1958,224 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by revenue. Plan: the customer dimension filters driver-side
+    into a broadcast custkey set (semi-join, no exchange); lineitem
+    revenue is pre-combined per orderkey INSIDE each read batch as
+    exact integer 10⁻⁴ units (p100·(100−d100)); both sides then meet in
+    ONE hash(okey)-bucketed exchange where each bucket joins, finishes
+    the per-order sum, and emits only its LOCAL top-10 — the driver
+    merges nb·10 candidate rows, never the join result."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    nb = adaptive_buckets()
+    CUTOFF = np.datetime64("1998-01-01T00:00:00", "us")
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    kref = _ray.put(np.sort(keys.to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        ks = _ray.get(kref)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        sel = (od < CUTOFF) & np.isin(ck, ks)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        return pa.table(
+            {
+                "_b": hash_bucket(okey, nb),
+                "okey": pa.array(okey, pa.int64()),
+                "rev_c4": pa.array(np.zeros(sel.sum(), np.int64), pa.int64()),
+                "odate": pa.array(od[sel]),
+                "is_order": pa.array(np.ones(int(sel.sum()), bool)),
+            }
+        )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        sel = ship > CUTOFF
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        df = pd.DataFrame({"okey": okey, "rev_c4": p100 * (100 - d100)})
+        g = df.groupby("okey", as_index=False)["rev_c4"].sum()  # combiner
+        ok = g["okey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "_b": hash_bucket(ok, nb),
+                "okey": pa.array(ok, pa.int64()),
+                "rev_c4": pa.array(g["rev_c4"].to_numpy(np.int64), pa.int64()),
+                "odate": pa.array(
+                    np.zeros(len(g), "datetime64[us]"), pa.timestamp("us")
+                ),
+                "is_order": pa.array(np.zeros(len(g), bool)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["is_order"]]
+        l = df[~df["is_order"]]
+        rev = l.groupby("okey", as_index=False)["rev_c4"].sum()
+        j = rev.merge(o[["okey", "odate"]], on="okey")
+        j = j.sort_values(["rev_c4", "okey"], ascending=[False, True], kind="mergesort")
+        return j.head(10)
+
+    cand = orders.union(line).groupby("_b").map_groups(
+        bucket_topk, batch_format="pandas"
+    ).to_pandas()
+    top = cand.sort_values(
+        ["rev_c4", "okey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(top["okey"].to_numpy(np.int64), pa.int64()),
+            "revenue_c4": pa.array(top["rev_c4"].to_numpy(np.int64), pa.int64()),
+            "o_orderdate": pa.array(top["odate"].to_numpy(), pa.timestamp("us")),
+        }
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, o_orderdate FROM orders JOIN c ON o_custkey = c_custkey
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+l AS (SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01' GROUP BY l_orderkey)
+SELECT l.l_orderkey, l.revenue_c4, o.o_orderdate
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_csv_ingest(sf_dir: str):
+    """CSV source path: events staged once as CSV shards (untimed,
+    cached prep), ingested with ray.data.read_csv (Arrow CSV block
+    parser), aggregated per type on exact integer cents. Closes the
+    delimited-text-source box the way jsonl_ingest closes NDJSON."""
+    from pathlib import Path
+
+    stage = Path("/tmp/ccr_csv") / Path(sf_dir).name
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        n_shards = 8
+        per = (t.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            sl = t.slice(s * per, per)
+            with open(stage / f"part-{s:02d}.csv", "w") as f:
+                f.write("event_type,value\n")
+                for et, v in zip(sl["event_type"].to_pylist(), sl["value"].to_pylist()):
+                    f.write(f"{et},{v!r}\n")
+        done.touch()
+
+    ds = rd.read_csv([str(p) for p in sorted(stage.glob("*.csv"))])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "v100": np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            sv100=("v100", "sum"), n=("v100", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_CSV_INGEST_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_partition_prune(sf_dir: str):
+    """Hive-partitioned lake layout + pruned read: the events table is
+    written ONCE as parquet partitioned by event_type
+    (ray.data write path, cached prep), then the query reads ONLY the
+    event_type=click partition directory — zero bytes of the other
+    partitions leave storage (the partition-pruning contract of
+    resumable partitioned output). Aggregates per user on exact cents."""
+    from pathlib import Path
+
+    stage = Path("/tmp/ccr_lake") / Path(sf_dir).name / "events_by_type"
+    done = stage / "_DONE"
+    if not done.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "user_id", "value"],
+        ).write_parquet(str(stage), partition_cols=["event_type"])
+        done.touch()
+
+    part = rd.read_parquet(str(stage / "event_type=click"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "v100": np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            sv100=("v100", "sum"), n=("v100", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = part.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("user_id", as_index=False).sum().sort_values("user_id")
+    return pa.table(
+        {
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64), pa.int64()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_PARTITION_PRUNE_SQL = """
+SELECT user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type = 'click' GROUP BY user_id
+"""
+
+
 def q_rolling_agg(sf_dir: str):
     """ROWS-frame rolling aggregates per key (3 PRECEDING..CURRENT ROW,
     ordered by (ts, event_id)): count, sum, min, max over the trailing
@@ -6158,6 +6376,9 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "percent_rank": q_percent_rank,
     "basket_pairs": q_basket_pairs,
+    "shipping_priority": q_shipping_priority,
+    "csv_ingest": q_csv_ingest,
+    "partition_prune": q_partition_prune,
     "rolling_agg": q_rolling_agg,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
@@ -6293,6 +6514,9 @@ ORACLE_SQL = {
     "mixture_sample": _MIXTURE_SAMPLE_SQL,
     "percent_rank": _PERCENT_RANK_SQL,
     "basket_pairs": _BASKET_PAIRS_SQL,
+    "shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "csv_ingest": _CSV_INGEST_SQL,
+    "partition_prune": _PARTITION_PRUNE_SQL,
     "rolling_agg": _ROLLING_AGG_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
