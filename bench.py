@@ -182,6 +182,8 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "bm25",
         "kmeans",
         "bigrams",
+        "pricing_summary",
+        "rolling_agg",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []

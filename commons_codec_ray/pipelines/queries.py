@@ -2063,6 +2063,52 @@ ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
 """
 
 
+def q_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): one pruned-column scan,
+    vectorized predicate (ship year 1998, discount in [0.05, 0.07],
+    qty < 24), exact integer 10⁻⁴-unit revenue = Σ p100·d100 — per-batch
+    two-int partials, driver-reduced. The canonical filter-scan-agg:
+    no shuffle, no pandas, nothing non-integer until the output."""
+    LO = np.datetime64("1998-01-01T00:00:00", "us")
+    HI = np.datetime64("1999-01-01T00:00:00", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        sel = (ship >= LO) & (ship < HI) & (d100 >= 5) & (d100 <= 7) & (qty < 24)
+        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "rev": pa.array([int((p100 * d100[sel]).sum())], pa.int64()),
+                "n": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_c4": pa.array([int(parts["rev"].sum())], pa.int64()),
+            "n_items": pa.array([int(parts["n"].sum())], pa.int64()),
+        }
+    )
+
+
+_REVENUE_FORECAST_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
 def q_csv_ingest(sf_dir: str):
     """CSV source path: events staged once as CSV shards (untimed,
     cached prep), ingested with ray.data.read_csv (Arrow CSV block
@@ -3162,6 +3208,33 @@ SELECT CAST(i AS BIGINT) AS item_id,
        CAST(CAST(('0x' || substr(sha256(repeat('payload-' || lpad(CAST(i AS VARCHAR), 8, '0'),
                                         CAST(1 + i % 5 AS INT))), 1, 8)) AS UBIGINT) AS BIGINT) AS feat_crc
 FROM range(512) t(i)
+"""
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling (stages/multimodal.py FrameSampleStage):
+    the EXPLODE-shaped multimodal stage — every video row fans out to
+    one row per 200 ms frame via vectorized repeat/arange arithmetic in
+    an actor-pool stage with small batches. The per-frame identity
+    (first 4 sha256 bytes of payload ‖ '#' ‖ ms) is re-derived by the
+    SQL oracle; the real ffmpeg-style decode slot is the injected
+    ``extract_frame_fn`` (tested with a fake in tests)."""
+    from commons_codec_ray.stages.multimodal import (
+        frame_sample,
+        synthesize_multimodal_table,
+    )
+
+    ds = rd.from_arrow(synthesize_multimodal_table(512))
+    return frame_sample(ds, frame_interval_ms=200)
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT CAST(i AS BIGINT) AS item_id, CAST(ms AS INTEGER) AS frame_ms,
+       CAST(CAST(('0x' || substr(sha256(
+           repeat('payload-' || lpad(CAST(i AS VARCHAR), 8, '0'), CAST(1 + i % 5 AS INT))
+           || '#' || CAST(ms AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS frame_crc
+FROM range(512) t(i), (SELECT unnest([0, 200, 400, 600, 800]) AS ms) m
+WHERE i % 3 = 2
 """
 
 
@@ -6377,6 +6450,7 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "basket_pairs": q_basket_pairs,
     "shipping_priority": q_shipping_priority,
+    "revenue_forecast": q_revenue_forecast,
     "csv_ingest": q_csv_ingest,
     "partition_prune": q_partition_prune,
     "rolling_agg": q_rolling_agg,
@@ -6400,6 +6474,7 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
     "ngram_jaccard": q_ngram_jaccard,
     "cap_per_source": q_cap_per_source,
     "semi_join": q_semi_join,
@@ -6515,6 +6590,7 @@ ORACLE_SQL = {
     "percent_rank": _PERCENT_RANK_SQL,
     "basket_pairs": _BASKET_PAIRS_SQL,
     "shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "revenue_forecast": _REVENUE_FORECAST_SQL,
     "csv_ingest": _CSV_INGEST_SQL,
     "partition_prune": _PARTITION_PRUNE_SQL,
     "rolling_agg": _ROLLING_AGG_SQL,
@@ -6538,6 +6614,7 @@ ORACLE_SQL = {
     "lsh_topk": _RECALL_GATE_SQL,
     "ivf_topk": _RECALL_GATE_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
+    "frame_sample": _FRAME_SAMPLE_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "cap_per_source": _CAP_PER_SOURCE_SQL,
     "semi_join": _SEMI_JOIN_SQL,

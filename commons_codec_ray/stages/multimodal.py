@@ -103,6 +103,82 @@ class DeterministicStubCodec:
         return out
 
 
+class FrameSampleStage:
+    """Video frame sampling: one output row per sampled frame at a fixed
+    interval (0, interval, 2·interval, … < duration_ms) — the
+    explode-shaped multimodal stage (vs. DeterministicStubCodec's 1:1
+    feature map). Runs as an actor-pool ``map_batches`` stage with small
+    batches for the same blob-size reasons.
+
+    Real-codec slot: supply ``extract_frame_fn(payload: bytes, ms: int)
+    -> bytes`` (e.g. an ffmpeg seek+decode) to emit a ``frame`` binary
+    column. Without it the stage emits only the deterministic
+    ``frame_crc`` = first 4 bytes of sha256(payload ‖ '#' ‖ ms) — the
+    SQL-re-derivable identity the driver oracle checks — so the
+    plumbing (explode arithmetic, schema, actor signature) is fully
+    exercised in-sandbox.
+    """
+
+    def __init__(self, frame_interval_ms: int = 200, extract_frame_fn=None):
+        self.interval = int(frame_interval_ms)
+        self.extract_frame_fn = extract_frame_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)
+        durs = batch["duration_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [p.as_py() for p in batch["payload"]]
+        n_frames = np.maximum((durs + self.interval - 1) // self.interval, 0)
+        total = int(n_frames.sum())
+        rep_ids = np.repeat(ids, n_frames)
+        # per-row arange explode: global index minus each row's start
+        starts = np.cumsum(n_frames) - n_frames
+        frame_ms = (np.arange(total) - np.repeat(starts, n_frames)) * self.interval
+        rep_payload = np.repeat(np.arange(len(ids)), n_frames)
+        crcs = [
+            int.from_bytes(
+                hashlib.sha256(
+                    (payloads[j] or b"") + b"#" + str(int(ms)).encode()
+                ).digest()[:4],
+                "big",
+            )
+            for j, ms in zip(rep_payload, frame_ms)
+        ]
+        out = pa.table(
+            {
+                "item_id": pa.array(rep_ids, pa.int64()),
+                "frame_ms": pa.array(frame_ms.astype(np.int32), pa.int32()),
+                "frame_crc": pa.array(crcs, pa.int64()),
+            }
+        )
+        if self.extract_frame_fn is not None:
+            frames = [
+                self.extract_frame_fn(payloads[j], int(ms))
+                for j, ms in zip(rep_payload, frame_ms)
+            ]
+            out = out.append_column("frame", pa.array(frames, pa.binary()))
+        return out
+
+
+def frame_sample(ds, frame_interval_ms: int = 200, concurrency: int = 2, batch_size: int = 128):
+    """Actor-pool frame sampling over the video rows of a multimodal
+    Dataset (payloads pruned from the output by construction)."""
+    import pyarrow.compute as pc
+
+    from commons_codec_ray.util import pool_size
+
+    videos = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["modality"], "video")),
+        batch_format="pyarrow",
+    )
+    return videos.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frame_interval_ms": frame_interval_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+    )
+
+
 def synthesize_multimodal_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake multimodal rows for tests (no external data).
 

@@ -135,3 +135,34 @@ def test_actor_mode_matches_groupby_mode(tmp_path):
     p2.replay(str(log), mode="groupby")
     gc = sorted_canonical(pa.Table.from_pandas(p2.read_lake().to_pandas()))
     assert gc.equals(ga)
+
+
+def test_frame_sample_explode_and_decode_slot(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from commons_codec_ray.stages.multimodal import (
+        FrameSampleStage,
+        frame_sample,
+        synthesize_multimodal_table,
+    )
+
+    tbl = synthesize_multimodal_table(30)
+    out = frame_sample(rd.from_arrow(tbl), frame_interval_ms=200).to_pandas()
+    # every video row (item_id % 3 == 2) fans out to 5 frames at 0..800ms
+    vids = [i for i in range(30) if i % 3 == 2]
+    assert sorted(out["item_id"].unique()) == vids
+    assert len(out) == 5 * len(vids)
+    assert sorted(out["frame_ms"].unique()) == [0, 200, 400, 600, 800]
+    # per-frame identity matches the sha256 contract
+    payload = (f"payload-{vids[0]:08d}" * (1 + vids[0] % 5)).encode()
+    want = int.from_bytes(hashlib.sha256(payload + b"#200").digest()[:4], "big")
+    got = out[(out["item_id"] == vids[0]) & (out["frame_ms"] == 200)]["frame_crc"].iloc[0]
+    assert got == want
+
+    # the real-codec slot: an injected extract_frame_fn emits a frame column
+    stage = FrameSampleStage(frame_interval_ms=500, extract_frame_fn=lambda p, ms: p[:4] + str(ms).encode())
+    res = stage(tbl.filter(pa.compute.equal(tbl["modality"], "video")).slice(0, 2))
+    assert "frame" in res.column_names
+    assert res["frame"][0].as_py().endswith(b"0")
