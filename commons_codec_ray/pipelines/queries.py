@@ -2222,6 +2222,169 @@ FROM events WHERE event_type = 'click' GROUP BY user_id
 """
 
 
+def q_rolling_distinct(sf_dir: str):
+    """EXACT 7-day rolling distinct users per day — the classic
+    "windowed COUNT DISTINCT" that naive engines recount per window.
+    Identity: user u counts in window-day w iff u has an event in
+    [w−6, w], i.e. u's event days d cover w through intervals [d, d+6].
+    So: ONE user-bucketed exchange of distinct (user, day) pairs; per
+    user, merge overlapping coverage intervals (vectorized over the
+    whole bucket — searchsorted run math, no per-user loop) and emit
+    ±1 boundary diffs; the driver reduces kilobyte (day, Δ) partials
+    and prefix-sums — each user contributes O(intervals), never
+    O(windows), and nothing is recounted."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        day = (ts.astype("datetime64[D]").astype(np.int64)).astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "day": day}
+        ).drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "_ub", hash_bucket(df["user_id"].to_numpy(np.int64), nb)
+        )
+
+    W = 7
+
+    def diffs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        m = len(d)
+        if m == 0:
+            return pd.DataFrame({"day": [], "delta": [], "observed": []}).astype(
+                {"day": "int64", "delta": "int64", "observed": "int64"}
+            )
+        # interval [day, day+W-1] per pair; merge within user: a pair
+        # STARTS a merged interval iff it's the user's first day or the
+        # gap to the previous day exceeds W-1; it ENDS one iff it's the
+        # user's last day or the gap to the next day exceeds W-1
+        first = np.empty(m, bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] > W - 1)
+        last = np.empty(m, bool)
+        last[-1] = True
+        last[:-1] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] > W - 1)
+        starts = day[first]
+        ends = day[last] + W  # exclusive
+        out = pd.DataFrame(
+            {
+                "day": np.concatenate([starts, ends]),
+                "delta": np.concatenate(
+                    [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+                ),
+            }
+        ).groupby("day", as_index=False)["delta"].sum()
+        out["observed"] = 0
+        obs = pd.DataFrame(
+            {"day": np.unique(day), "delta": 0, "observed": 1}
+        )
+        return pd.concat([out, obs[out.columns]], ignore_index=True)
+
+    parts = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(diffs, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("day", as_index=False).agg(
+        delta=("delta", "sum"), observed=("observed", "max")
+    ).sort_values("day", kind="mergesort")
+    n7 = agg["delta"].cumsum().to_numpy(np.int64)
+    keep = agg["observed"].to_numpy(np.int64) > 0
+    days = agg["day"].to_numpy(np.int64)[keep]
+    return pa.table(
+        {
+            "day": pa.array(days.astype("datetime64[D]").astype("datetime64[us]")),
+            "n7": pa.array(n7[keep], pa.int64()),
+        }
+    )
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+           FROM events),
+days AS (SELECT DISTINCT day FROM d)
+SELECT CAST(w.day AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n7
+FROM days w JOIN d ON d.day BETWEEN w.day - 6 AND w.day
+GROUP BY w.day
+"""
+
+
+def q_event_paths(sf_dir: str):
+    """Event-sequence transition mining: for every consecutive
+    (event_type → next event_type) step per user (ordered by ts,
+    event_id), the global count and the exact total dwell gap in
+    MICROSECONDS (integer sums of int64 timestamp diffs — no float
+    anywhere). One user-bucketed exchange; inside the bucket the
+    next-event shift is one vectorized roll over the (user, ts)-sorted
+    frame; outputs are |types|² kilobyte partials, driver-reduced."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[:-1] == u[1:]  # consecutive rows of the same user
+        step = pd.DataFrame(
+            {
+                "src_type": et[:-1][same],
+                "dst_type": et[1:][same],
+                "gap_us": ts[1:][same] - ts[:-1][same],
+            }
+        )
+        g = step.groupby(["src_type", "dst_type"], as_index=False).agg(
+            n=("gap_us", "size"), sum_gap_us=("gap_us", "sum")
+        )
+        return g
+
+    parts = (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby(["src_type", "dst_type"], as_index=False).sum()
+    g = g.sort_values(["src_type", "dst_type"], kind="mergesort")
+    return pa.table(
+        {
+            "src_type": pa.array(g["src_type"], pa.string()),
+            "dst_type": pa.array(g["dst_type"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "sum_gap_us": pa.array(g["sum_gap_us"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_EVENT_PATHS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS src_type,
+         lead(event_type) OVER w AS dst_type,
+         CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM s WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+"""
+
+
 def q_rolling_agg(sf_dir: str):
     """ROWS-frame rolling aggregates per key (3 PRECEDING..CURRENT ROW,
     ordered by (ts, event_id)): count, sum, min, max over the trailing
@@ -6454,6 +6617,8 @@ QUERIES = {
     "csv_ingest": q_csv_ingest,
     "partition_prune": q_partition_prune,
     "rolling_agg": q_rolling_agg,
+    "event_paths": q_event_paths,
+    "rolling_distinct": q_rolling_distinct,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
     "funnel_windowed": q_funnel_windowed,
@@ -6594,6 +6759,8 @@ ORACLE_SQL = {
     "csv_ingest": _CSV_INGEST_SQL,
     "partition_prune": _PARTITION_PRUNE_SQL,
     "rolling_agg": _ROLLING_AGG_SQL,
+    "event_paths": _EVENT_PATHS_SQL,
+    "rolling_distinct": _ROLLING_DISTINCT_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
     "funnel_windowed": _FUNNEL_WINDOWED_SQL,
