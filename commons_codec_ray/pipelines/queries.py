@@ -2317,6 +2317,108 @@ GROUP BY w.day
 """
 
 
+def q_debounce(sf_dir: str):
+    """Event-stream debounce: drop an event if the same (user, type)
+    fired within the previous 5 minutes — the at-source throttling /
+    near-duplicate-event hygiene operator. One user-bucketed exchange;
+    inside the bucket ONE vectorized lag over the (user, type, ts,
+    event_id)-sorted frame decides every row (ties on identical ts keep
+    the lowest event_id only)."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    FIVE_MIN = 300_000_000  # µs
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        keep = np.empty(len(df), bool)
+        keep[0:1] = True
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        keep[1:] = ~(same & (ts[1:] - ts[:-1] <= FIVE_MIN))
+        out = df.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return out
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_DEBOUNCE_SQL = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events)
+WHERE gap_us IS NULL OR gap_us > 300000000
+"""
+
+
+def q_chi2(sf_dir: str):
+    """Pearson χ² independence test on the source × lang contingency
+    table — the distribution-shift significance check of data cards.
+    Counts reduce from vectorized per-batch partials (the scalable
+    part); the χ² arithmetic runs on the tiny #sources×#langs table
+    driver-side in fixed sorted-cell order, rounded through
+    duckdb_round(4) to match the oracle byte-for-byte."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["source", "lang"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "c"}), preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(["source", "lang"], as_index=False)["c"].sum()
+    c = c.sort_values(["source", "lang"], kind="mergesort")
+    n = float(c["c"].sum())
+    rs = c.groupby("source")["c"].sum()
+    cs = c.groupby("lang")["c"].sum()
+    o = c["c"].to_numpy(np.float64)
+    e = rs.loc[c["source"]].to_numpy(np.float64) * cs.loc[c["lang"]].to_numpy(np.float64) / n
+    # cells absent from the data contribute e (o=0 ⇒ (0−e)²/e = e); the
+    # oracle's pairwise-complete form Σ(o−e)²/e + Σ_missing e reduces to
+    # Σ_cells_present (o²/e) − 2·Σo + Σ_all e = Σ o²/e − n  (Σ_all e = n)
+    chi2 = float((o * o / e).sum() - n)
+    dof = (len(rs) - 1) * (len(cs) - 1)
+    return pa.table(
+        {
+            "chi2": pa.array(duckdb_round([chi2], 4), pa.float64()),
+            "dof": pa.array([dof], pa.int64()),
+        }
+    )
+
+
+_CHI2_SQL = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+           FROM documents GROUP BY source, lang),
+rs AS (SELECT source, sum(c) AS r FROM c GROUP BY source),
+cs AS (SELECT lang, sum(c) AS s FROM c GROUP BY lang),
+n AS (SELECT sum(c) AS n FROM c)
+SELECT round(sum(c.c * c.c / (rs.r * cs.s / n.n)) - max(n.n), 4) AS chi2,
+       CAST((count(DISTINCT c.source) - 1) * (count(DISTINCT c.lang) - 1) AS BIGINT) AS dof
+FROM c JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN n
+"""
+
+
 def q_event_paths(sf_dir: str):
     """Event-sequence transition mining: for every consecutive
     (event_type → next event_type) step per user (ordered by ts,
@@ -6619,6 +6721,8 @@ QUERIES = {
     "rolling_agg": q_rolling_agg,
     "event_paths": q_event_paths,
     "rolling_distinct": q_rolling_distinct,
+    "debounce": q_debounce,
+    "chi2": q_chi2,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
     "funnel_windowed": q_funnel_windowed,
@@ -6761,6 +6865,8 @@ ORACLE_SQL = {
     "rolling_agg": _ROLLING_AGG_SQL,
     "event_paths": _EVENT_PATHS_SQL,
     "rolling_distinct": _ROLLING_DISTINCT_SQL,
+    "debounce": _DEBOUNCE_SQL,
+    "chi2": _CHI2_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
     "funnel_windowed": _FUNNEL_WINDOWED_SQL,
