@@ -2317,6 +2317,140 @@ GROUP BY w.day
 """
 
 
+def q_zonemap_prune(sf_dir: str):
+    """Zone-map (min/max stats) file pruning — the second lake-pruning
+    primitive next to hive partitioning (partition_prune): events are
+    written ONCE as ts-sorted files with per-file min/max recorded in a
+    sidecar manifest (cached prep; what zorder's bounding boxes do for
+    2-D, this does for the sort key). The query consults ONLY the
+    manifest to select files overlapping its ts range — here 2 of 16
+    files — applies the residual filter, and aggregates on exact cents.
+    At 100 TB this is the difference between scanning a day and
+    scanning a decade."""
+    import json as _json
+    from pathlib import Path
+
+    import pyarrow.parquet as _pq
+
+    stage = Path("/tmp/ccr_zonemap") / Path(sf_dir).name
+    manifest = stage / "manifest.json"
+    N_FILES = 16
+    if not manifest.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        t = t.sort_by("ts")
+        per = (t.num_rows + N_FILES - 1) // N_FILES
+        entries = []
+        for i in range(N_FILES):
+            sl = t.slice(i * per, per)
+            if sl.num_rows == 0:
+                continue
+            path = stage / f"part-{i:02d}.parquet"
+            _pq.write_table(sl, path)
+            ts = sl["ts"].to_numpy(zero_copy_only=False)
+            entries.append(
+                {
+                    "file": str(path),
+                    "min_ts": str(ts.min().astype("datetime64[us]")),
+                    "max_ts": str(ts.max().astype("datetime64[us]")),
+                }
+            )
+        manifest.write_text(_json.dumps(entries))
+
+    LO = np.datetime64("2024-01-10T00:00:00", "us")
+    HI = np.datetime64("2024-01-13T00:00:00", "us")
+    entries = _json.loads(manifest.read_text())
+    files = [
+        e["file"]
+        for e in entries
+        if np.datetime64(e["min_ts"]) < HI and np.datetime64(e["max_ts"]) >= LO
+    ]
+    assert len(files) < len(entries), "zone map pruned nothing — layout broken"
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        sel = (ts >= LO) & (ts < HI)
+        v100 = np.rint(t["value"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "sv100": pa.array([int(v100.sum())], pa.int64()),
+                "n": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    parts = rd.read_parquet(files).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "sv100": pa.array([int(parts["sv100"].sum())], pa.int64()),
+            "n": pa.array([int(parts["n"].sum())], pa.int64()),
+        }
+    )
+
+
+_ZONEMAP_PRUNE_SQL = """
+SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+"""
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-group min-max feature scaling to exact integer ppm —
+    the ML-preprocessing normalization primitive:
+    scaled = (v − min)·10⁶ // (max − min) per event_type, on integer
+    cents, so there is no float anywhere. ONE type-bucketed exchange;
+    the group pass computes min/max and scales every row vectorized."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        codes = np.fromiter(
+            (int.from_bytes(s.encode()[:7].ljust(7, b"\0"), "little") for s in et),
+            np.int64,
+            len(et),
+        )
+        return t.append_column("_tb", hash_bucket(codes, nb))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in df.groupby("event_type"):
+            v100 = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+            lo, hi = v100.min(), v100.max()
+            span = max(hi - lo, 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(np.int64),
+                        "event_type": et,
+                        "scaled_ppm": (v100 - lo) * 1_000_000 // span,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_MINMAX_SCALE_SQL = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
+s AS (SELECT event_type, min(v100) AS lo,
+             greatest(max(v100) - min(v100), 1) AS span
+      FROM v GROUP BY event_type)
+SELECT v.event_id, v.event_type,
+       CAST((v.v100 - s.lo) * 1000000 // s.span AS BIGINT) AS scaled_ppm
+FROM v JOIN s USING (event_type)
+"""
+
+
 def q_debounce(sf_dir: str):
     """Event-stream debounce: drop an event if the same (user, type)
     fired within the previous 5 minutes — the at-source throttling /
@@ -6723,6 +6857,8 @@ QUERIES = {
     "rolling_distinct": q_rolling_distinct,
     "debounce": q_debounce,
     "chi2": q_chi2,
+    "zonemap_prune": q_zonemap_prune,
+    "minmax_scale": q_minmax_scale,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
     "funnel_windowed": q_funnel_windowed,
@@ -6867,6 +7003,8 @@ ORACLE_SQL = {
     "rolling_distinct": _ROLLING_DISTINCT_SQL,
     "debounce": _DEBOUNCE_SQL,
     "chi2": _CHI2_SQL,
+    "zonemap_prune": _ZONEMAP_PRUNE_SQL,
+    "minmax_scale": _MINMAX_SCALE_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
     "funnel_windowed": _FUNNEL_WINDOWED_SQL,
