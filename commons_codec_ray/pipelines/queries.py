@@ -68,6 +68,37 @@ def q_cdc_replay(sf_dir: str):
     return apply_changes(ds, cfg)
 
 
+def q_cdc_replay_shuffled(sf_dir: str):
+    """Ordering-robustness evidence: the SAME replay with the envelope
+    stream deliberately SCRAMBLED first (sorted by a splitmix hash of
+    the lsn — adversarial arrival order, duplicates included). Because
+    apply_changes orders per key by lsn inside the partition and LWW is
+    a max, the final lake must be byte-identical to the in-order oracle
+    — per-key ordering survives shuffle + arbitrary arrival order, the
+    §2.8 guarantee the reference gets for free by being single-threaded."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+
+    def scramble_key(t: pa.Table) -> pa.Table:
+        lsn = t["lsn"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (lsn + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        return t.append_column("_scr", pa.array(h.astype(np.int64), pa.int64()))
+
+    ds = ds.map_batches(scramble_key, batch_format="pyarrow").sort("_scr")
+    ds = ds.map_batches(lambda t: t.drop_columns(["_scr"]), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+    return apply_changes(ds, cfg)
+
+
 _CDC_REPLAY_SQL = """
 WITH ops AS (
   SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -6810,6 +6841,7 @@ FROM base JOIN ttop USING (doc_id) LEFT JOIN btop USING (doc_id)
 
 QUERIES = {
     "cdc_replay": q_cdc_replay,
+    "cdc_replay_shuffled": q_cdc_replay_shuffled,
     "cdc_replay_universal": q_cdc_replay_universal,
     "cdc_decode_debezium": q_decode_debezium,
     "cdc_decode_binlog": q_decode_binlog,
@@ -6956,6 +6988,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_replay": _CDC_REPLAY_SQL,
+    "cdc_replay_shuffled": _CDC_REPLAY_SQL,
     "cdc_replay_universal": _CDC_REPLAY_SQL,
     "cdc_decode_debezium": _DECODE_SQL,
     "cdc_decode_binlog": _DECODE_SQL,
