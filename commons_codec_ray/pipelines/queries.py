@@ -2348,6 +2348,116 @@ GROUP BY w.day
 """
 
 
+def q_cross_source_dups(sf_dir: str):
+    """Cross-source duplicate provenance: content (md5 of text) that
+    appears in MORE THAN ONE source — the contamination/propagation
+    signal layered on exact dedup (same text crawled from two domains).
+    Per-batch (hash, source) dedup partials → ONE hash-bucketed
+    exchange → per-hash distinct-source and doc counts; only multi-
+    source hashes survive."""
+    import hashlib as _hashlib
+
+    nb = adaptive_buckets()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        hx = [_hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+        df = pd.DataFrame(
+            {
+                "h": hx,
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "c": np.ones(len(hx), np.int64),
+            }
+        )
+        g = df.groupby(["h", "source"], as_index=False)["c"].sum()
+        hb = np.fromiter(
+            (int(x[:8], 16) for x in g["h"]), np.int64, len(g)
+        )
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column("_hb", hash_bucket(hb, nb))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["h", "source"], as_index=False)["c"].sum()
+        agg = g.groupby("h").agg(n_sources=("source", "nunique"), n_docs=("c", "sum"))
+        agg = agg[agg["n_sources"] > 1].reset_index()
+        return agg[["h", "n_sources", "n_docs"]]
+
+    groups = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    # one summary row (never empty, robust at every scale): how many
+    # content groups span >1 source and how many docs they cover
+    return pa.table(
+        {
+            "n_groups": pa.array([len(groups)], pa.int64()),
+            "n_docs": pa.array([int(groups["n_docs"].sum()) if len(groups) else 0], pa.int64()),
+        }
+    )
+
+
+_CROSS_SOURCE_DUPS_SQL = """
+WITH g AS (
+  SELECT md5(coalesce(text, '')) AS h,
+         count(DISTINCT source) AS n_sources,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents
+  GROUP BY md5(coalesce(text, ''))
+  HAVING count(DISTINCT source) > 1)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs
+FROM g
+"""
+
+
+def q_weekday_profile(sf_dir: str):
+    """Weekday seasonality profile: event counts and exact integer
+    cents sums per (event_type, weekday) — the time-dimension rollup.
+    Weekday from pure epoch-day arithmetic ((days+4) mod 7, DuckDB's
+    Sunday=0 convention) — no calendar library in the hot path; tiny
+    per-batch partials, driver-reduced."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        dow = (days + 4) % 7
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "dow": dow,
+                "v100": np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("v100", "size"), sv100=("v100", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["event_type", "dow"], as_index=False).sum()
+    g = g.sort_values(["event_type", "dow"], kind="mergesort")
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "dow": pa.array(g["dow"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_WEEKDAY_PROFILE_SQL = """
+SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100
+FROM events GROUP BY event_type, dayofweek(ts)
+"""
+
+
 def q_zonemap_prune(sf_dir: str):
     """Zone-map (min/max stats) file pruning — the second lake-pruning
     primitive next to hive partitioning (partition_prune): events are
@@ -6891,6 +7001,8 @@ QUERIES = {
     "chi2": q_chi2,
     "zonemap_prune": q_zonemap_prune,
     "minmax_scale": q_minmax_scale,
+    "cross_source_dups": q_cross_source_dups,
+    "weekday_profile": q_weekday_profile,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
     "funnel_windowed": q_funnel_windowed,
@@ -7038,6 +7150,8 @@ ORACLE_SQL = {
     "chi2": _CHI2_SQL,
     "zonemap_prune": _ZONEMAP_PRUNE_SQL,
     "minmax_scale": _MINMAX_SCALE_SQL,
+    "cross_source_dups": _CROSS_SOURCE_DUPS_SQL,
+    "weekday_profile": _WEEKDAY_PROFILE_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
     "funnel_windowed": _FUNNEL_WINDOWED_SQL,
