@@ -2348,6 +2348,81 @@ GROUP BY w.day
 """
 
 
+def q_lm_score(sf_dir: str):
+    """Bigram language-model fluency scoring — the statistical
+    quality-filter primitive (CCNet-style LM scoring, here an in-corpus
+    bigram model instead of a shipped KenLM): doc score = Σ over
+    adjacent token pairs of P(w₂|w₁) in INTEGER ppm
+    (count(w₁w₂)·10⁶ // count(w₁·)) — all-integer so the oracle replays
+    bit-exactly. Two passes: (1) corpus bigram/prefix counts reduce
+    from per-batch partials (vocabulary-bounded kilobytes, broadcast);
+    (2) per-doc scoring against the broadcast model with per-batch
+    local top-k (the split itself is irreducibly per-doc, like langid).
+    Top-20 lowest-scoring docs (ties → doc_id) = disfluency candidates."""
+    import ray as _ray
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks_all = [(x or "").split(" ") for x in t["text"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "w1": [w for toks in toks_all for w in toks[:-1]],
+                "w2": [w for toks in toks_all for w in toks[1:]],
+            }
+        )
+        g = df.groupby(["w1", "w2"], as_index=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(bigram_partial, batch_format="pyarrow").to_pandas()
+    bg = parts.groupby(["w1", "w2"], as_index=False)["c"].sum()
+    pf = bg.groupby("w1", as_index=False)["c"].sum().rename(columns={"c": "n1"})
+    model = bg.merge(pf, on="w1")
+    model["ppm"] = model["c"].to_numpy(np.int64) * 1_000_000 // model["n1"].to_numpy(np.int64)
+    mref = _ray.put(
+        {(a, b): int(p) for a, b, p in zip(model["w1"], model["w2"], model["ppm"])}
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _ray.get(mref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        scores = np.empty(len(ids), np.int64)
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = (text or "").split(" ")
+            scores[i] = sum(m.get((a, b), 0) for a, b in zip(toks[:-1], toks[1:]))
+        out = pd.DataFrame({"doc_id": ids, "lm_ppm": scores})
+        return pa.Table.from_pandas(
+            out.sort_values(["lm_ppm", "doc_id"], kind="mergesort").head(20),
+            preserve_index=False,
+        )
+
+    cand = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["lm_ppm", "doc_id"], kind="mergesort").head(20)
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+            "lm_ppm": pa.array(top["lm_ppm"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_LM_SCORE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id, l[i.x] AS w1, l[i.x + 1] AS w2
+  FROM t, unnest(range(1, len(l))) AS i(x)),
+counts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+pf AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n1 FROM counts GROUP BY w1),
+model AS (SELECT counts.w1, counts.w2, c * 1000000 // n1 AS ppm
+          FROM counts JOIN pf USING (w1)),
+scores AS (
+  SELECT bg.doc_id, CAST(coalesce(sum(m.ppm), 0) AS BIGINT) AS lm_ppm
+  FROM bg LEFT JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+  GROUP BY bg.doc_id)
+SELECT doc_id, lm_ppm FROM scores ORDER BY lm_ppm, doc_id LIMIT 20
+"""
+
+
 def q_cross_source_dups(sf_dir: str):
     """Cross-source duplicate provenance: content (md5 of text) that
     appears in MORE THAN ONE source — the contamination/propagation
@@ -7003,6 +7078,7 @@ QUERIES = {
     "minmax_scale": q_minmax_scale,
     "cross_source_dups": q_cross_source_dups,
     "weekday_profile": q_weekday_profile,
+    "lm_score": q_lm_score,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
     "funnel_windowed": q_funnel_windowed,
@@ -7152,6 +7228,7 @@ ORACLE_SQL = {
     "minmax_scale": _MINMAX_SCALE_SQL,
     "cross_source_dups": _CROSS_SOURCE_DUPS_SQL,
     "weekday_profile": _WEEKDAY_PROFILE_SQL,
+    "lm_score": _LM_SCORE_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
     "funnel_windowed": _FUNNEL_WINDOWED_SQL,
