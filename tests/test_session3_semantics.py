@@ -41,8 +41,8 @@ def tiny_sf(tmp_path):
             "event_type": pa.array([r[2] for r in rows], pa.string()),
             "value": pa.array([r[3] for r in rows], pa.float64()),
             "ts": pa.array(
-                np.array([r[4] for r in rows], dtype="datetime64[us]")
-                + np.datetime64("2024-01-01T00:00:00", "us"),
+                np.datetime64("2024-01-01T00:00:00", "us")
+                + np.array([r[4] for r in rows], dtype="timedelta64[us]"),
                 pa.timestamp("us"),
             ),
             "props": pa.array(["{}"] * len(rows), pa.string()),
@@ -58,8 +58,10 @@ def test_debounce_boundaries(ray_session, tiny_sf):
     out = q_debounce(tiny_sf).to_pandas()
     kept = sorted(out["event_id"].tolist())
     # event 2 dropped (gap == 300s inclusive), 3 kept (>300s after 2),
-    # tie 4/5 -> 4 kept, alternating types all kept
-    assert kept == [1, 3, 4, 6, 7, 8, 9, 10, 11]
+    # tie 4/5 -> 4 kept; event 9 dropped: the lag partitions by
+    # (user, TYPE), so user 4's second click is 2µs after the first —
+    # the intervening view does not reset the click clock
+    assert kept == [1, 3, 4, 6, 7, 8, 10, 11]
 
 
 def test_event_paths_gaps(ray_session, tiny_sf):
