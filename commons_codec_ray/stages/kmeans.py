@@ -138,11 +138,17 @@ def seed_kmeans_parallel(
         def cost(t: pa.Table, _cref=cref) -> pa.Table:
             c = ray.get(_cref)
             x = np.frombuffer(b"".join(t["qv"].to_pylist()), np.int64).reshape(-1, dims)
-            return pa.table({"psi": pa.array([float(_min_d2(x, c).sum())], pa.float64())})
+            # exact integer partial (str transport dodges int64 overflow):
+            # psi must be a pure function of the ROWS, not the block
+            # layout, or a marginal coin flip could differ across runs
+            s = int(_min_d2(x, c).astype(object).sum())
+            return pa.table({"psi": pa.array([str(s)], pa.string())})
 
-        psi = sum(
-            row["psi"]
-            for row in pts.map_batches(cost, batch_format="pyarrow").take_all()
+        psi = float(
+            sum(
+                int(row["psi"])
+                for row in pts.map_batches(cost, batch_format="pyarrow").take_all()
+            )
         )
         if psi <= 0:
             break
@@ -191,8 +197,10 @@ def seed_kmeans_parallel(
     chosen = [int(np.argmax(w))]
     d2 = _min_d2(cents, cents[chosen])
     while len(chosen) < k:
-        score = w * d2
-        score[chosen] = -1
+        # float64 product (w·d² overflows int64 at scale); elementwise
+        # IEEE ops are deterministic, and this only steers seed QUALITY
+        score = w.astype(np.float64) * d2.astype(np.float64)
+        score[chosen] = -1.0
         nxt = int(np.argmax(score))
         chosen.append(nxt)
         d2 = np.minimum(d2, _min_d2(cents, cents[[nxt]]))
