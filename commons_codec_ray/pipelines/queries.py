@@ -2423,6 +2423,120 @@ SELECT doc_id, lm_ppm FROM scores ORDER BY lm_ppm, doc_id LIMIT 20
 """
 
 
+def q_lm_score_sharded(sf_dir: str):
+    """lm_score with NOTHING broadcast and nothing driver-sized — the
+    unbounded-vocabulary web-scale shape (same relationship to lm_score
+    as triangles_exchange to triangles): the doc-bigram table
+    (doc_id, w1, w2, c) materializes once and feeds three keyed
+    exchanges — (1) w1-keyed to build model rows ppm = c·10⁶ // n1 with
+    the prefix totals computed in-bucket, (2) (w1,w2)-pair-keyed to
+    join doc bigrams against model rows (contrib = c_doc·ppm), (3)
+    doc-keyed to finish per-doc sums with per-bucket bottom-20 local
+    top-k, so the driver merges nb·20 candidate rows. Identical output
+    to lm_score (same oracle)."""
+    import zlib as _zlib
+
+    nb = adaptive_buckets()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _pairhash(w1: pd.Series, w2: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (_zlib.crc32((a + "\x1f" + b).encode()) for a, b in zip(w1, w2)),
+            np.int64,
+            len(w1),
+        )
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks_all = [(x or "").split(" ") for x in t["text"].to_pylist()]
+        n_bg = np.array([max(len(x) - 1, 0) for x in toks_all], np.int64)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, n_bg),
+                "w1": [w for toks in toks_all for w in toks[:-1]],
+                "w2": [w for toks in toks_all for w in toks[1:]],
+            }
+        )
+        g = df.groupby(["doc_id", "w1", "w2"], as_index=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bg = docs.map_batches(doc_bigrams, batch_format="pyarrow").materialize()
+
+    # exchange 1 (w1-keyed): model rows ppm = c(w1,w2)·1e6 // n1(w1)
+    def by_w1(t: pa.Table) -> pa.Table:
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
+        h = np.fromiter((_zlib.crc32(x.encode()) for x in w1), np.int64, len(w1))
+        return pa.table(
+            {"_wb": hash_bucket(h, nb), "w1": t["w1"], "w2": t["w2"], "c": t["c"]}
+        )
+
+    def model_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        n1 = g.groupby("w1")["c"].sum()
+        ppm = g["c"].to_numpy(np.int64) * 1_000_000 // n1.loc[g["w1"]].to_numpy(np.int64)
+        return pd.DataFrame({"w1": g["w1"], "w2": g["w2"], "v": ppm, "doc_id": -1})
+
+    model = (
+        bg.map_batches(by_w1, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(model_rows, batch_format="pandas")
+    )
+
+    # exchange 2 (pair-keyed): join doc bigrams against model rows
+    def pair_rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table(
+            {
+                "_pb": hash_bucket(_pairhash(df["w1"], df["w2"]), nb),
+                "w1": pa.array(df["w1"], pa.string()),
+                "w2": pa.array(df["w2"], pa.string()),
+                "v": pa.array(df["v"].to_numpy(np.int64) if "v" in df else df["c"].to_numpy(np.int64), pa.int64()),
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy(np.int64) if "doc_id" in df else np.full(len(df), -1, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def join_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["doc_id"] < 0]
+        d = df[df["doc_id"] >= 0]
+        j = d.merge(m[["w1", "w2", "v"]], on=["w1", "w2"], suffixes=("_c", "_ppm"))
+        j["s"] = j["v_c"].to_numpy(np.int64) * j["v_ppm"].to_numpy(np.int64)
+        return j.groupby("doc_id", as_index=False)["s"].sum()
+
+    contrib = (
+        model.map_batches(pair_rows, batch_format="pyarrow")
+        .union(bg.map_batches(pair_rows, batch_format="pyarrow"))
+        .groupby("_pb")
+        .map_groups(join_pairs, batch_format="pandas")
+    )
+
+    # exchange 3 (doc-keyed): finish per-doc sums, per-bucket bottom-20
+    def by_doc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_db", hash_bucket(t["doc_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def bucket_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["s"].sum()
+        return g.sort_values(["s", "doc_id"], kind="mergesort").head(20)
+
+    cand = (
+        contrib.map_batches(by_doc, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(bucket_bottom, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(["s", "doc_id"], kind="mergesort").head(20)
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+            "lm_ppm": pa.array(top["s"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_cross_source_dups(sf_dir: str):
     """Cross-source duplicate provenance: content (md5 of text) that
     appears in MORE THAN ONE source — the contamination/propagation
@@ -7079,6 +7193,7 @@ QUERIES = {
     "cross_source_dups": q_cross_source_dups,
     "weekday_profile": q_weekday_profile,
     "lm_score": q_lm_score,
+    "lm_score_sharded": q_lm_score_sharded,
     "typo_pairs": q_typo_pairs,
     "approx_distinct_by_key": q_approx_distinct_by_key,
     "funnel_windowed": q_funnel_windowed,
@@ -7229,6 +7344,7 @@ ORACLE_SQL = {
     "cross_source_dups": _CROSS_SOURCE_DUPS_SQL,
     "weekday_profile": _WEEKDAY_PROFILE_SQL,
     "lm_score": _LM_SCORE_SQL,
+    "lm_score_sharded": _LM_SCORE_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
     "approx_distinct_by_key": _APPROX_DISTINCT_BY_KEY_SQL,
     "funnel_windowed": _FUNNEL_WINDOWED_SQL,
