@@ -2831,6 +2831,76 @@ WHERE gap_us IS NULL OR gap_us > 300000000
 """
 
 
+def q_throttle(sf_dir: str):
+    """Rate-limit against the last KEPT event (true throttle semantics,
+    vs debounce's raw-gap lag): per (user, type), keep an event only if
+    it is > 3 days after the previously KEPT one — a greedy chain with
+    a sequential dependence no single window function expresses (the
+    oracle needs a recursive CTE). One user-bucketed exchange; per
+    group the chain advances by searchsorted jumps, so work is
+    O(kept · log n) — the kept set, not the raw stream, bounds the
+    scalar loop. Chosen 3-day window measurably diverges from debounce
+    on this data (4423 vs 2940 kept at sf0.01)."""
+    nb = adaptive_buckets()
+    G = 3 * 86400 * 1_000_000  # µs
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        m = len(df)
+        new = np.empty(m, bool)
+        new[0:1] = True
+        new[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], m)
+        keep = np.zeros(m, bool)
+        for s, e in zip(starts, ends):
+            i = s
+            while i < e:
+                keep[i] = True
+                i = s + int(np.searchsorted(ts[s:e], ts[i] + G, side="right"))
+        out = df.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return out
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_THROTTLE_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+chain AS (
+  SELECT user_id, event_type, ts, event_id, rn FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_type, b.ts, b.event_id, b.rn
+  FROM chain c JOIN base b
+    ON b.user_id = c.user_id AND b.event_type = c.event_type
+   AND b.rn = (SELECT min(b2.rn) FROM base b2
+               WHERE b2.user_id = c.user_id AND b2.event_type = c.event_type
+                 AND b2.rn > c.rn
+                 AND epoch_us(b2.ts) > epoch_us(c.ts) + 259200000000))
+SELECT event_id, user_id, event_type, ts FROM chain
+"""
+
+
 def q_chi2(sf_dir: str):
     """Pearson χ² independence test on the source × lang contingency
     table — the distribution-shift significance check of data cards.
@@ -7187,6 +7257,7 @@ QUERIES = {
     "event_paths": q_event_paths,
     "rolling_distinct": q_rolling_distinct,
     "debounce": q_debounce,
+    "throttle": q_throttle,
     "chi2": q_chi2,
     "zonemap_prune": q_zonemap_prune,
     "minmax_scale": q_minmax_scale,
@@ -7338,6 +7409,7 @@ ORACLE_SQL = {
     "event_paths": _EVENT_PATHS_SQL,
     "rolling_distinct": _ROLLING_DISTINCT_SQL,
     "debounce": _DEBOUNCE_SQL,
+    "throttle": _THROTTLE_SQL,
     "chi2": _CHI2_SQL,
     "zonemap_prune": _ZONEMAP_PRUNE_SQL,
     "minmax_scale": _MINMAX_SCALE_SQL,
