@@ -2831,6 +2831,74 @@ WHERE gap_us IS NULL OR gap_us > 300000000
 """
 
 
+def q_outliers(sf_dir: str):
+    """Per-user 2σ outlier flags with EXACT integer arithmetic — no
+    float mean/std anywhere: event i is an outlier iff
+    (n−1)·(v·n−s)² > 4·n·(ss·n−s²) on integer cents (algebraically
+    |v−mean| > 2·σ_sample). The products exceed int64 at large per-user
+    n, so the compare runs in arbitrary-precision Python ints
+    (object-dtype lane, exact at ANY scale) while the oracle replays it
+    in DuckDB HUGEINT (int128). ONE user-bucketed exchange; stats and
+    flags are two vectorized passes over the bucket. Groups with n < 2
+    or zero variance flag nothing."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        v = np.rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        # exact int64 per-user stats (v² ≤ ~3e9 · rows/user: int64-safe
+        # far beyond any realistic per-user event count)
+        stats = pd.DataFrame(
+            {"user_id": df["user_id"], "v": v, "vv": v * v}
+        ).groupby("user_id", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")
+        )
+        n = stats.loc[df["user_id"], "n"].to_numpy(np.int64)
+        s = stats.loc[df["user_id"], "s"].to_numpy(np.int64)
+        ss = stats.loc[df["user_id"], "ss"].to_numpy(np.int64)
+        # overflow-safe exact compare: object-dtype Python ints
+        X = (v.astype(object) * n.astype(object)) - s.astype(object)
+        lhs = (n.astype(object) - 1) * X * X
+        rhs = 4 * n.astype(object) * (ss.astype(object) * n.astype(object) - s.astype(object) * s.astype(object))
+        flag = np.array([a > b for a, b in zip(lhs, rhs)], dtype=bool)
+        flag &= n >= 2
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "is_outlier": flag,
+            }
+        )
+
+    return (
+        events.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_OUTLIERS_SQL = """
+WITH v AS (SELECT event_id, user_id,
+                  CAST(round(value * 100) AS HUGEINT) AS v100 FROM events),
+st AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+              sum(v100) AS s, sum(v100 * v100) AS ss
+       FROM v GROUP BY user_id)
+SELECT v.event_id, CAST(v.user_id AS BIGINT) AS user_id,
+       (st.n >= 2 AND
+        (st.n - 1) * (v.v100 * st.n - st.s) * (v.v100 * st.n - st.s)
+        > 4 * st.n * (st.ss * st.n - st.s * st.s)) AS is_outlier
+FROM v JOIN st USING (user_id)
+"""
+
+
 def q_throttle(sf_dir: str):
     """Rate-limit against the last KEPT event (true throttle semantics,
     vs debounce's raw-gap lag): per (user, type), keep an event only if
@@ -7258,6 +7326,7 @@ QUERIES = {
     "rolling_distinct": q_rolling_distinct,
     "debounce": q_debounce,
     "throttle": q_throttle,
+    "outliers": q_outliers,
     "chi2": q_chi2,
     "zonemap_prune": q_zonemap_prune,
     "minmax_scale": q_minmax_scale,
@@ -7410,6 +7479,7 @@ ORACLE_SQL = {
     "rolling_distinct": _ROLLING_DISTINCT_SQL,
     "debounce": _DEBOUNCE_SQL,
     "throttle": _THROTTLE_SQL,
+    "outliers": _OUTLIERS_SQL,
     "chi2": _CHI2_SQL,
     "zonemap_prune": _ZONEMAP_PRUNE_SQL,
     "minmax_scale": _MINMAX_SCALE_SQL,
