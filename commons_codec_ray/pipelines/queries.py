@@ -2140,6 +2140,110 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-0
 """
 
 
+def q_top_customers(sf_dir: str):
+    """TPC-H Q10-style: top-20 customers by returned-item revenue —
+    the join-then-REAGGREGATE shape (Q3 aggregates by the join key
+    itself; here revenue re-keys from orderkey to custkey after the
+    join). Two exchanges: (1) lineitem R-flag revenue pre-combined per
+    orderkey in-batch meets orders in an okey-bucketed exchange that
+    immediately re-emits (custkey, rev) partials, (2) a custkey-
+    bucketed exchange finishes per-customer sums with per-bucket local
+    top-20; the driver merges nb·20 candidates and decorates the 20
+    winners with the driver-local customer dimension (kilobytes)."""
+    import pyarrow.parquet as _pq
+
+    nb = adaptive_buckets()
+
+    def line_side(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        df = pd.DataFrame({"okey": okey, "rev_c4": p100 * (100 - d100)})
+        g = df.groupby("okey", as_index=False)["rev_c4"].sum()
+        ok = g["okey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "_b": hash_bucket(ok, nb),
+                "okey": pa.array(ok, pa.int64()),
+                "ckey": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+                "rev_c4": pa.array(g["rev_c4"].to_numpy(np.int64), pa.int64()),
+                "is_order": pa.array(np.zeros(len(g), bool)),
+            }
+        )
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": hash_bucket(okey, nb),
+                "okey": pa.array(okey, pa.int64()),
+                "ckey": t["o_custkey"].cast(pa.int64()),
+                "rev_c4": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+                "is_order": pa.array(np.ones(len(okey), bool)),
+            }
+        )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(line_side, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    def join_rekey(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["is_order"]]
+        l = df[~df["is_order"]]
+        rev = l.groupby("okey", as_index=False)["rev_c4"].sum()
+        j = rev.merge(o[["okey", "ckey"]], on="okey")
+        g = j.groupby("ckey", as_index=False)["rev_c4"].sum()
+        g["_cb"] = hash_bucket(g["ckey"].to_numpy(np.int64), nb)
+        return g
+
+    def cust_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ckey", as_index=False)["rev_c4"].sum()
+        return g.sort_values(
+            ["rev_c4", "ckey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    cand = (
+        orders.union(line)
+        .groupby("_b")
+        .map_groups(join_rekey, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(cust_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(
+        ["rev_c4", "ckey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas().set_index("c_custkey")["c_name"]
+    return pa.table(
+        {
+            "c_custkey": pa.array(top["ckey"].to_numpy(np.int64), pa.int64()),
+            "c_name": pa.array(top["ckey"].map(cust), pa.string()),
+            "revenue_c4": pa.array(top["rev_c4"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+WITH l AS (SELECT l_orderkey,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+c AS (SELECT o.o_custkey, sum(l.rev_c4) AS rev_c4
+      FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey)
+SELECT c.o_custkey AS c_custkey, cu.c_name, CAST(c.rev_c4 AS BIGINT) AS revenue_c4
+FROM c JOIN customer cu ON cu.c_custkey = c.o_custkey
+ORDER BY c.rev_c4 DESC, c.o_custkey LIMIT 20
+"""
+
+
 def q_csv_ingest(sf_dir: str):
     """CSV source path: events staged once as CSV shards (untimed,
     cached prep), ingested with ray.data.read_csv (Arrow CSV block
@@ -7319,6 +7423,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "shipping_priority": q_shipping_priority,
     "revenue_forecast": q_revenue_forecast,
+    "top_customers": q_top_customers,
     "csv_ingest": q_csv_ingest,
     "partition_prune": q_partition_prune,
     "rolling_agg": q_rolling_agg,
@@ -7472,6 +7577,7 @@ ORACLE_SQL = {
     "basket_pairs": _BASKET_PAIRS_SQL,
     "shipping_priority": _SHIPPING_PRIORITY_SQL,
     "revenue_forecast": _REVENUE_FORECAST_SQL,
+    "top_customers": _TOP_CUSTOMERS_SQL,
     "csv_ingest": _CSV_INGEST_SQL,
     "partition_prune": _PARTITION_PRUNE_SQL,
     "rolling_agg": _ROLLING_AGG_SQL,
