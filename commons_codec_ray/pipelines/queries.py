@@ -3125,6 +3125,120 @@ FROM c JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN n
 """
 
 
+def q_stickiness(sf_dir: str):
+    """DAU / WAU / MAU + stickiness ratios (DAU/WAU, DAU/MAU in
+    integer ppm) per observed day — the product-analytics dashboard
+    flagship, built on the same O(intervals)-per-user coverage-diff
+    machinery as rolling_distinct, generalized to three window sizes
+    in ONE user-bucketed exchange (each bucket emits ±1 boundary diffs
+    tagged per window; the driver prefix-sums three kilobyte series).
+    Ratios are integer floor-ppm so the compare is exact."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    WINDOWS = (1, 7, 30)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "day": day}
+        ).drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "_ub", hash_bucket(df["user_id"].to_numpy(np.int64), nb)
+        )
+
+    def diffs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        m = len(d)
+        outs = []
+        for W in WINDOWS:
+            first = np.empty(m, bool)
+            first[0:1] = True
+            first[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] > W - 1)
+            last = np.empty(m, bool)
+            last[-1:] = True
+            last[:-1] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] > W - 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "w": W,
+                        "day": np.concatenate([day[first], day[last] + W]),
+                        "delta": np.concatenate(
+                            [
+                                np.ones(int(first.sum()), np.int64),
+                                -np.ones(int(last.sum()), np.int64),
+                            ]
+                        ),
+                        "observed": 0,
+                    }
+                )
+            )
+        if m:
+            outs.append(
+                pd.DataFrame(
+                    {"w": 0, "day": np.unique(day), "delta": 0, "observed": 1}
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.groupby(["w", "day"], as_index=False).agg(
+            delta=("delta", "sum"), observed=("observed", "max")
+        )
+
+    parts = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(diffs, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["w", "day"], as_index=False).agg(
+        delta=("delta", "sum"), observed=("observed", "max")
+    )
+    obs_days = np.sort(agg.loc[agg["observed"] > 0, "day"].unique())
+    series = {}
+    for W in WINDOWS:
+        g = agg[agg["w"] == W].sort_values("day", kind="mergesort")
+        run = g["delta"].cumsum().to_numpy(np.int64)
+        days = g["day"].to_numpy(np.int64)
+        # value at an observed day = last boundary at or before it
+        idx = np.searchsorted(days, obs_days, side="right") - 1
+        series[W] = np.where(idx >= 0, run[np.clip(idx, 0, None)], 0)
+    dau, wau, mau = series[1], series[7], series[30]
+    return pa.table(
+        {
+            "day": pa.array(obs_days.astype("datetime64[D]").astype("datetime64[us]")),
+            "dau": pa.array(dau, pa.int64()),
+            "wau": pa.array(wau, pa.int64()),
+            "mau": pa.array(mau, pa.int64()),
+            "dau_wau_ppm": pa.array(dau * 1_000_000 // wau, pa.int64()),
+            "dau_mau_ppm": pa.array(dau * 1_000_000 // mau, pa.int64()),
+        }
+    )
+
+
+_STICKINESS_SQL = """
+WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+           FROM events),
+days AS (SELECT DISTINCT day FROM d),
+w AS (SELECT w.day,
+             count(DISTINCT CASE WHEN d.day = w.day THEN d.user_id END) AS dau,
+             count(DISTINCT CASE WHEN d.day >= w.day - 6 THEN d.user_id END) AS wau,
+             count(DISTINCT d.user_id) AS mau
+      FROM days w JOIN d ON d.day BETWEEN w.day - 29 AND w.day
+      GROUP BY w.day)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(mau AS BIGINT) AS mau,
+       CAST(dau * 1000000 // wau AS BIGINT) AS dau_wau_ppm,
+       CAST(dau * 1000000 // mau AS BIGINT) AS dau_mau_ppm
+FROM w
+"""
+
+
 def q_event_paths(sf_dir: str):
     """Event-sequence transition mining: for every consecutive
     (event_type → next event_type) step per user (ordered by ts,
@@ -7429,6 +7543,7 @@ QUERIES = {
     "rolling_agg": q_rolling_agg,
     "event_paths": q_event_paths,
     "rolling_distinct": q_rolling_distinct,
+    "stickiness": q_stickiness,
     "debounce": q_debounce,
     "throttle": q_throttle,
     "outliers": q_outliers,
@@ -7583,6 +7698,7 @@ ORACLE_SQL = {
     "rolling_agg": _ROLLING_AGG_SQL,
     "event_paths": _EVENT_PATHS_SQL,
     "rolling_distinct": _ROLLING_DISTINCT_SQL,
+    "stickiness": _STICKINESS_SQL,
     "debounce": _DEBOUNCE_SQL,
     "throttle": _THROTTLE_SQL,
     "outliers": _OUTLIERS_SQL,
