@@ -2140,6 +2140,95 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-0
 """
 
 
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18-style (large-volume orders): orders whose TOTAL
+    lineitem quantity exceeds 250 — the HAVING-on-joined-aggregate
+    shape. Quantities pre-combine per orderkey inside each read batch
+    (exact integer q100); the okey-bucketed exchange finishes the sum,
+    applies the HAVING threshold (survivors are rare — ~1% of orders),
+    and joins the order row in the same bucket pass. Top-20 by
+    (o_totalprice desc, okey) via per-bucket local top-k."""
+    nb = adaptive_buckets()
+    THRESH100 = 250 * 100
+
+    def line_side(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        q100 = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        g = pd.DataFrame({"okey": okey, "q100": q100}).groupby("okey", as_index=False).sum()
+        ok = g["okey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "_b": hash_bucket(ok, nb),
+                "okey": pa.array(ok, pa.int64()),
+                "q100": pa.array(g["q100"].to_numpy(np.int64), pa.int64()),
+                "ckey": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+                "p100": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+                "is_order": pa.array(np.zeros(len(g), bool)),
+            }
+        )
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p100 = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "_b": hash_bucket(okey, nb),
+                "okey": pa.array(okey, pa.int64()),
+                "q100": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+                "ckey": t["o_custkey"].cast(pa.int64()),
+                "p100": pa.array(p100, pa.int64()),
+                "is_order": pa.array(np.ones(len(okey), bool)),
+            }
+        )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_side, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    def bucket_having(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[~df["is_order"]]
+        o = df[df["is_order"]]
+        tq = l.groupby("okey", as_index=False)["q100"].sum()
+        tq = tq[tq["q100"] > THRESH100]
+        j = tq.merge(o[["okey", "ckey", "p100"]], on="okey")
+        return j.sort_values(
+            ["p100", "okey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    cand = (
+        orders.union(line).groupby("_b").map_groups(bucket_having, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(
+        ["p100", "okey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(top["okey"].to_numpy(np.int64), pa.int64()),
+            "o_custkey": pa.array(top["ckey"].to_numpy(np.int64), pa.int64()),
+            "total_q100": pa.array(top["q100"].to_numpy(np.int64), pa.int64()),
+            "totalprice_c": pa.array(top["p100"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_BIG_ORDERS_SQL = """
+WITH tq AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS total_q100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+SELECT o.o_orderkey, o.o_custkey, tq.total_q100,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c
+FROM tq JOIN orders o ON o.o_orderkey = tq.l_orderkey
+ORDER BY totalprice_c DESC, o.o_orderkey LIMIT 20
+"""
+
+
 def q_top_customers(sf_dir: str):
     """TPC-H Q10-style: top-20 customers by returned-item revenue —
     the join-then-REAGGREGATE shape (Q3 aggregates by the join key
@@ -7538,6 +7627,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "revenue_forecast": q_revenue_forecast,
     "top_customers": q_top_customers,
+    "big_orders": q_big_orders,
     "csv_ingest": q_csv_ingest,
     "partition_prune": q_partition_prune,
     "rolling_agg": q_rolling_agg,
@@ -7693,6 +7783,7 @@ ORACLE_SQL = {
     "shipping_priority": _SHIPPING_PRIORITY_SQL,
     "revenue_forecast": _REVENUE_FORECAST_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
+    "big_orders": _BIG_ORDERS_SQL,
     "csv_ingest": _CSV_INGEST_SQL,
     "partition_prune": _PARTITION_PRUNE_SQL,
     "rolling_agg": _ROLLING_AGG_SQL,
