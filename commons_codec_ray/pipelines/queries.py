@@ -2140,6 +2140,89 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-0
 """
 
 
+def q_brand_nation_revenue(sf_dir: str):
+    """Star-join aggregate (TPC-H Q14 flavor, wider): lineitem revenue
+    by (part brand × supplier nation) — exercises the part and supplier
+    dimensions. The canonical star shape: ALL dimension tables are
+    kilobytes, read driver-local, composed into two sorted key→code
+    lookups and broadcast ONCE via ray.put; every lineitem batch maps
+    fact keys through searchsorted (works for sparse keys too) and
+    emits exact-integer (brand, nation) revenue partials — |brands|·
+    |nations| rows, driver-reduced. One pass over the fact table, no
+    shuffle anywhere."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    supp = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_p = np.argsort(pk, kind="stable")
+    brands = part["p_brand"].to_numpy(zero_copy_only=False)[order_p]
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_s = np.argsort(sk, kind="stable")
+    nk = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[order_s]
+    nmap = dict(
+        zip(
+            nation["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nation["n_name"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    nnames = np.array([nmap[int(k)] for k in nk])
+    lref = _ray.put((pk[order_p], brands, sk[order_s], nnames))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pks, br, sks, nn = _ray.get(lref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "p_brand": br[np.searchsorted(pks, lp)],
+                "nation": nn[np.searchsorted(sks, ls)],
+                "revenue_c4": p100 * (100 - d100),
+                "n": np.ones(len(lp), np.int64),
+            }
+        )
+        g = df.groupby(["p_brand", "nation"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby(["p_brand", "nation"], as_index=False).sum()
+    g = g.sort_values(["p_brand", "nation"], kind="mergesort")
+    return pa.table(
+        {
+            "p_brand": pa.array(g["p_brand"], pa.string()),
+            "nation": pa.array(g["nation"], pa.string()),
+            "revenue_c4": pa.array(g["revenue_c4"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_BRAND_NATION_REVENUE_SQL = """
+SELECT p.p_brand, n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY p.p_brand, n.n_name
+"""
+
+
 def q_big_orders(sf_dir: str):
     """TPC-H Q18-style (large-volume orders): orders whose TOTAL
     lineitem quantity exceeds 250 — the HAVING-on-joined-aggregate
@@ -7628,6 +7711,7 @@ QUERIES = {
     "revenue_forecast": q_revenue_forecast,
     "top_customers": q_top_customers,
     "big_orders": q_big_orders,
+    "brand_nation_revenue": q_brand_nation_revenue,
     "csv_ingest": q_csv_ingest,
     "partition_prune": q_partition_prune,
     "rolling_agg": q_rolling_agg,
@@ -7784,6 +7868,7 @@ ORACLE_SQL = {
     "revenue_forecast": _REVENUE_FORECAST_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "big_orders": _BIG_ORDERS_SQL,
+    "brand_nation_revenue": _BRAND_NATION_REVENUE_SQL,
     "csv_ingest": _CSV_INGEST_SQL,
     "partition_prune": _PARTITION_PRUNE_SQL,
     "rolling_agg": _ROLLING_AGG_SQL,
