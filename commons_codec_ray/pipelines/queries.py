@@ -3057,6 +3057,67 @@ FROM v JOIN s USING (event_type)
 """
 
 
+def q_first_last(sf_dir: str):
+    """first_value / last_value per partition (the remaining window-
+    navigation pair next to lag/rank/ntile): each user's earliest and
+    latest event value by (ts, event_id) on exact integer cents.
+    Mergeable argmin/argmax partials: each batch emits at most two
+    candidate rows per user it saw, ONE user-bucketed exchange of
+    those candidates finishes the order statistics — the exchange
+    moves O(users·batches) candidate rows, never the event stream."""
+    nb = adaptive_buckets()
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts": t["ts"].to_numpy(zero_copy_only=False),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "v100": np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = df.groupby("user_id", as_index=False).head(1)
+        last = df.groupby("user_id", as_index=False).tail(1)
+        out = pd.concat([first, last], ignore_index=True).drop_duplicates()
+        out["_ub"] = hash_bucket(out["user_id"].to_numpy(np.int64), nb)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = df.groupby("user_id", as_index=False).head(1)
+        last = df.groupby("user_id", as_index=False).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].to_numpy(np.int64),
+                "first_v100": first["v100"].to_numpy(np.int64),
+                "last_v100": last["v100"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events.map_batches(candidates, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+_FIRST_LAST_SQL = """
+WITH v AS (SELECT user_id, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS v100 FROM events)
+SELECT DISTINCT user_id,
+       first_value(v100) OVER w AS first_v100,
+       last_value(v100) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS last_v100
+FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_debounce(sf_dir: str):
     """Event-stream debounce: drop an event if the same (user, type)
     fired within the previous 5 minutes — the at-source throttling /
@@ -7718,6 +7779,7 @@ QUERIES = {
     "event_paths": q_event_paths,
     "rolling_distinct": q_rolling_distinct,
     "stickiness": q_stickiness,
+    "first_last": q_first_last,
     "debounce": q_debounce,
     "throttle": q_throttle,
     "outliers": q_outliers,
@@ -7875,6 +7937,7 @@ ORACLE_SQL = {
     "event_paths": _EVENT_PATHS_SQL,
     "rolling_distinct": _ROLLING_DISTINCT_SQL,
     "stickiness": _STICKINESS_SQL,
+    "first_last": _FIRST_LAST_SQL,
     "debounce": _DEBOUNCE_SQL,
     "throttle": _THROTTLE_SQL,
     "outliers": _OUTLIERS_SQL,
