@@ -205,6 +205,61 @@ def decode_connect(payload: dict) -> list[OpTuple]:
     raise UnknownOperationError(f"unknown connect op: {op!r}")
 
 
+def decode_mongo(payload: dict) -> list[OpTuple]:
+    """MongoDB change-stream envelope (reference
+    transform/mongodb.py:304-357): ``operationType`` dispatch —
+    insert/update/replace read the ``fullDocument`` image (which
+    requires ``watch(full_document="updateLookup")`` upstream, per the
+    reference's docstring), delete keys off ``documentKey``,
+    drop/invalidate are housekeeping → skip (reference returns None),
+    missing/empty operationType and unknown types raise (reference
+    ValueError taxonomy, tests/transform/mongodb/test_mongodb_cdc.py:100-117).
+
+    Values decode through the Extended-JSON kernels (M6/M7 —
+    decode/extended_json.py), so `$oid`/`$numberInt`/`$date`/... arrive
+    typed. ``documentKey`` carries the shard-key fields next to ``_id``
+    (MongoDB's documented sharded-collection documentKey shape), which
+    is what lets a delete address a (conv_id, turn_idx)-keyed lake; the
+    ``_id`` oid itself routes to ``aux`` — the analog of the
+    reference's dedicated ``oid`` column.
+    """
+    import datetime as _dt
+
+    from commons_codec_ray.decode import extended_json
+
+    op_type = payload.get("operationType")
+    if not op_type:
+        raise MessageFormatError(f"Operation Type missing or empty: {payload}")
+    op_type = str(op_type)
+    if op_type in ("drop", "invalidate"):
+        return []
+    key = payload.get("documentKey")
+    if not isinstance(key, dict):
+        raise MessageFormatError("missing documentKey")
+    key_dec = extended_json.decode_document(key)
+    oid = key_dec.pop("_id", None)
+    aux = {"_id": str(oid)} if oid is not None else {}
+    if op_type == "delete":
+        return [(OP_DELETE, key_dec, aux)]
+    if op_type in ("insert", "update", "replace"):
+        doc = payload.get("fullDocument")
+        if not isinstance(doc, dict):
+            raise MessageFormatError(
+                "missing fullDocument (subscribe with full_document='updateLookup')"
+            )
+        rec = extended_json.decode_document(doc)
+        rec.pop("_id", None)
+        # documentKey fields win over (possibly stale updateLookup) copies
+        rec.update(key_dec)
+        # decoded $date values are datetimes; the op-record schema carries
+        # timestamps as ISO strings until the vectorized Arrow cast
+        for k, v in rec.items():
+            if isinstance(v, _dt.datetime):
+                rec[k] = v.isoformat()
+        return [(OP_UPSERT, rec, aux)]
+    raise UnknownOperationError(f"Unknown CDC operation type: {op_type}")
+
+
 DECODERS = {
     "debezium": decode_debezium,
     "binlog": decode_binlog,
@@ -212,4 +267,5 @@ DECODERS = {
     "maxwell": decode_maxwell,
     "canal": decode_canal,
     "connect": decode_connect,
+    "mongo": decode_mongo,
 }

@@ -252,6 +252,37 @@ def encode_connect(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> 
     )
 
 
+def encode_mongo(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    """MongoDB change-stream envelope (public watch() event shape):
+    operationType ∈ insert/update/replace (full image via
+    ``fullDocument``, the ``updateLookup`` subscription form) or delete
+    (``documentKey`` only). Values are CANONICAL Extended JSON
+    ($oid/$numberInt/$date) so the decode path exercises the typed
+    kernels; documentKey carries the shard-key fields next to _id (the
+    sharded-collection documentKey shape)."""
+    # deterministic 24-hex ObjectId derived from the logical key
+    oid = f"{int(conv_id[2:]):016x}{int(turn_idx):08x}"
+    key = {
+        "_id": {"$oid": oid},
+        "conv_id": conv_id,
+        "turn_idx": {"$numberInt": str(int(turn_idx))},
+    }
+    body: dict = {"documentKey": key}
+    if is_del:
+        body["operationType"] = "delete"
+    else:
+        body["operationType"] = ("insert", "update", "replace")[lsn % 3]
+        full = dict(key)
+        full["role"] = role
+        full["text"] = text
+        full["tool"] = tool  # None → JSON null
+        full["ts"] = {"$date": ts_iso}
+        body["fullDocument"] = full
+    body["ns"] = {"db": "public", "coll": "transcripts"}
+    body["clusterTime"] = {"$timestamp": {"t": int(lsn), "i": 1}}
+    return json.dumps(body, separators=(",", ":"))
+
+
 _ENCODERS = {
     "debezium": encode_debezium,
     "binlog": encode_binlog,
@@ -259,7 +290,13 @@ _ENCODERS = {
     "maxwell": encode_maxwell,
     "canal": encode_canal,
     "connect": encode_connect,
+    "mongo": encode_mongo,
 }
+
+# fixed order for the all-dialect round-robin (lsn % 7)
+ALL_DIALECTS = (
+    "debezium", "binlog", "ddbstream", "maxwell", "canal", "connect", "mongo",
+)
 
 
 class EventsToEnvelopes:
@@ -304,7 +341,7 @@ class EventsToEnvelopes:
         # the RAW float value — the post-widening row shape (INT32 →
         # REAL8) for the type-widening replay
         self.extra_real_field = extra_real_field
-        if dialect is not None and dialect not in _ENCODERS:
+        if dialect is not None and dialect != "all" and dialect not in _ENCODERS:
             raise ValueError(f"unknown dialect {dialect!r} (have {sorted(_ENCODERS)})")
         if (extra_int_field or extra_real_field) and dialect != "debezium":
             raise ValueError("extra fields require dialect='debezium'")
@@ -319,6 +356,10 @@ class EventsToEnvelopes:
         if self.dialect is None:
             dialect_idx = (lsn % 3).astype(np.int64)
             dialect_names = DIALECTS
+        elif self.dialect == "all":
+            # every dialect in one stream — the mixed-bus ingest shape
+            dialect_idx = (lsn % len(ALL_DIALECTS)).astype(np.int64)
+            dialect_names = ALL_DIALECTS
         else:
             # explicit dialect may be OUTSIDE the round-robin triple
             # (maxwell/canal): index into a one-element name table

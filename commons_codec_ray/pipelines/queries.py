@@ -31,9 +31,25 @@ from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 from commons_codec_ray.stages import dedup as dedup_stage
 from commons_codec_ray.stages import text as text_stage
 from commons_codec_ray.stages import similarity as sim_stage
-from commons_codec_ray.util import adaptive_buckets, duckdb_round, hash_bucket, pool_size
+from commons_codec_ray.util import adaptive_buckets, duck_rint, duckdb_round, hash_bucket, pool_size
 
 _EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _stage_dir(prefix: str, sf_dir: str, table: str = "events"):
+    """Content-fingerprinted /tmp staging dir for cached query prep.
+
+    The fingerprint (source parquet size + mtime_ns) is folded into the
+    path so regenerated input data under the SAME sf_dir name never
+    serves stale shards — a bare ``Path(sf_dir).name`` key plus a
+    ``_DONE`` marker would.
+    """
+    import os
+    from pathlib import Path
+
+    st = os.stat(f"{sf_dir}/{table}.parquet")
+    fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
+    return Path(f"/tmp/{prefix}") / f"{Path(sf_dir).name}-{fp}"
 
 
 def _events(sf_dir: str):
@@ -226,6 +242,38 @@ def q_decode_canal(sf_dir: str):
     coercion path, since the oracle compares against natively-typed
     rows."""
     return _q_decode(sf_dir, "canal")
+
+
+def q_decode_mongo(sf_dir: str):
+    """MongoDB change-stream envelope decode only (reference
+    transform/mongodb.py:304-357): operationType dispatch over
+    insert/update/replace (fullDocument image, updateLookup form) and
+    delete (documentKey), values decoded from canonical Extended JSON
+    ($oid/$numberInt/$date) via the M6/M7 kernels."""
+    return _q_decode(sf_dir, "mongo")
+
+
+def q_cdc_replay_all_dialects(sf_dir: str):
+    """The mixed-bus replay: ONE envelope stream round-robining over
+    ALL SEVEN dialects (debezium, binlog, ddbstream, maxwell, canal,
+    connect, mongo — ``lsn % 7``), duplicates included, through the
+    same decode → partition → LWW apply path as cdc_replay. The final
+    lake state is dialect-invariant, so the oracle is the shared
+    envelope-free replay SQL."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(
+        EventsToEnvelopes(dialect="all", duplicates=True), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+    return apply_changes(ds, cfg)
 
 
 _DECODE_SQL = """
@@ -1756,10 +1804,10 @@ def q_pricing_summary(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
         keep = ship <= CUTOFF
-        q100 = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
-        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
-        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
-        t100 = np.rint(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        q100 = duck_rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        p100 = duck_rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        d100 = duck_rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
+        t100 = duck_rint(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)[keep]
         df = pd.DataFrame(
             {
                 "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False)[keep],
@@ -2031,8 +2079,8 @@ def q_shipping_priority(sf_dir: str):
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
         sel = ship > CUTOFF
         okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
-        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
-        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        p100 = duck_rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        d100 = duck_rint(t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
         df = pd.DataFrame({"okey": okey, "rev_c4": p100 * (100 - d100)})
         g = df.groupby("okey", as_index=False)["rev_c4"].sum()  # combiner
         ok = g["okey"].to_numpy(np.int64)
@@ -2109,10 +2157,10 @@ def q_revenue_forecast(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
-        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d100 = duck_rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         qty = t["l_quantity"].to_numpy(zero_copy_only=False)
         sel = (ship >= LO) & (ship < HI) & (d100 >= 5) & (d100 <= 7) & (qty < 24)
-        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        p100 = duck_rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
         return pa.table(
             {
                 "rev": pa.array([int((p100 * d100[sel]).sum())], pa.int64()),
@@ -2176,8 +2224,8 @@ def q_brand_nation_revenue(sf_dir: str):
         pks, br, sks, nn = _ray.get(lref)
         lp = t["l_partkey"].to_numpy(zero_copy_only=False)
         ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        p100 = duck_rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d100 = duck_rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pd.DataFrame(
             {
                 "p_brand": br[np.searchsorted(pks, lp)],
@@ -2236,7 +2284,7 @@ def q_big_orders(sf_dir: str):
 
     def line_side(t: pa.Table) -> pa.Table:
         okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        q100 = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        q100 = duck_rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         g = pd.DataFrame({"okey": okey, "q100": q100}).groupby("okey", as_index=False).sum()
         ok = g["okey"].to_numpy(np.int64)
         return pa.table(
@@ -2252,7 +2300,7 @@ def q_big_orders(sf_dir: str):
 
     def orders_side(t: pa.Table) -> pa.Table:
         okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
-        p100 = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        p100 = duck_rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table(
             {
                 "_b": hash_bucket(okey, nb),
@@ -2329,8 +2377,8 @@ def q_top_customers(sf_dir: str):
     def line_side(t: pa.Table) -> pa.Table:
         sel = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
         okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
-        p100 = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
-        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        p100 = duck_rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        d100 = duck_rint(t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
         df = pd.DataFrame({"okey": okey, "rev_c4": p100 * (100 - d100)})
         g = df.groupby("okey", as_index=False)["rev_c4"].sum()
         ok = g["okey"].to_numpy(np.int64)
@@ -2421,11 +2469,11 @@ def q_csv_ingest(sf_dir: str):
     cached prep), ingested with ray.data.read_csv (Arrow CSV block
     parser), aggregated per type on exact integer cents. Closes the
     delimited-text-source box the way jsonl_ingest closes NDJSON."""
-    from pathlib import Path
-
-    stage = Path("/tmp/ccr_csv") / Path(sf_dir).name
+    stage = _stage_dir("ccr_csv", sf_dir)
     done = stage / "_DONE"
     if not done.exists():
+        import csv as _csv
+
         import pyarrow.parquet as _pq
 
         stage.mkdir(parents=True, exist_ok=True)
@@ -2434,10 +2482,17 @@ def q_csv_ingest(sf_dir: str):
         per = (t.num_rows + n_shards - 1) // n_shards
         for s in range(n_shards):
             sl = t.slice(s * per, per)
-            with open(stage / f"part-{s:02d}.csv", "w") as f:
-                f.write("event_type,value\n")
-                for et, v in zip(sl["event_type"].to_pylist(), sl["value"].to_pylist()):
-                    f.write(f"{et},{v!r}\n")
+            # csv.writer handles quoting/escaping — a comma, quote, or
+            # newline inside event_type must not corrupt the shard
+            with open(stage / f"part-{s:02d}.csv", "w", newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(["event_type", "value"])
+                w.writerows(
+                    (et, repr(v))
+                    for et, v in zip(
+                        sl["event_type"].to_pylist(), sl["value"].to_pylist()
+                    )
+                )
         done.touch()
 
     ds = rd.read_csv([str(p) for p in sorted(stage.glob("*.csv"))])
@@ -2446,7 +2501,7 @@ def q_csv_ingest(sf_dir: str):
         df = pd.DataFrame(
             {
                 "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-                "v100": np.rint(
+                "v100": duck_rint(
                     t["value"].to_numpy(zero_copy_only=False) * 100
                 ).astype(np.int64),
             }
@@ -2484,7 +2539,7 @@ def q_partition_prune(sf_dir: str):
     resumable partitioned output). Aggregates per user on exact cents."""
     from pathlib import Path
 
-    stage = Path("/tmp/ccr_lake") / Path(sf_dir).name / "events_by_type"
+    stage = _stage_dir("ccr_lake", sf_dir) / "events_by_type"
     done = stage / "_DONE"
     if not done.exists():
         stage.mkdir(parents=True, exist_ok=True)
@@ -2500,7 +2555,7 @@ def q_partition_prune(sf_dir: str):
         df = pd.DataFrame(
             {
                 "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-                "v100": np.rint(
+                "v100": duck_rint(
                     t["value"].to_numpy(zero_copy_only=False) * 100
                 ).astype(np.int64),
             }
@@ -2894,7 +2949,7 @@ def q_weekday_profile(sf_dir: str):
             {
                 "event_type": t["event_type"].to_numpy(zero_copy_only=False),
                 "dow": dow,
-                "v100": np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64),
+                "v100": duck_rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64),
             }
         )
         g = df.groupby(["event_type", "dow"], as_index=False).agg(
@@ -2938,7 +2993,7 @@ def q_zonemap_prune(sf_dir: str):
 
     import pyarrow.parquet as _pq
 
-    stage = Path("/tmp/ccr_zonemap") / Path(sf_dir).name
+    stage = _stage_dir("ccr_zonemap", sf_dir)
     manifest = stage / "manifest.json"
     N_FILES = 16
     if not manifest.exists():
@@ -2976,7 +3031,7 @@ def q_zonemap_prune(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False)
         sel = (ts >= LO) & (ts < HI)
-        v100 = np.rint(t["value"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
+        v100 = duck_rint(t["value"].to_numpy(zero_copy_only=False)[sel] * 100).astype(np.int64)
         return pa.table(
             {
                 "sv100": pa.array([int(v100.sum())], pa.int64()),
@@ -3024,7 +3079,7 @@ def q_minmax_scale(sf_dir: str):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for et, g in df.groupby("event_type"):
-            v100 = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+            v100 = duck_rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
             lo, hi = v100.min(), v100.max()
             span = max(hi - lo, 1)
             outs.append(
@@ -3076,7 +3131,7 @@ def q_first_last(sf_dir: str):
                 "user_id": t["user_id"].to_numpy(zero_copy_only=False),
                 "ts": t["ts"].to_numpy(zero_copy_only=False),
                 "event_id": t["event_id"].to_numpy(zero_copy_only=False),
-                "v100": np.rint(
+                "v100": duck_rint(
                     t["value"].to_numpy(zero_copy_only=False) * 100
                 ).astype(np.int64),
             }
@@ -3190,7 +3245,7 @@ def q_outliers(sf_dir: str):
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "event_id"], kind="mergesort")
-        v = np.rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        v = duck_rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
         # exact int64 per-user stats (v² ≤ ~3e9 · rows/user: int64-safe
         # far beyond any realistic per-user event count)
         stats = pd.DataFrame(
@@ -3561,7 +3616,7 @@ def q_rolling_agg(sf_dir: str):
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        df["v100"] = np.rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        df["v100"] = duck_rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
         r = df.groupby("user_id", sort=False).rolling(4, min_periods=1)
         return pd.DataFrame(
             {
@@ -5962,7 +6017,7 @@ def q_jsonl_ingest(sf_dir: str):
     import orjson
     from pathlib import Path
 
-    stage = Path("/tmp/ccr_jsonl") / Path(sf_dir).name
+    stage = _stage_dir("ccr_jsonl", sf_dir)
     done = stage / "_DONE"
     if not done.exists():
         import pyarrow.parquet as _pq
@@ -7736,6 +7791,8 @@ QUERIES = {
     "cdc_decode_ddbstream": q_decode_ddbstream,
     "cdc_decode_maxwell": q_decode_maxwell,
     "cdc_decode_canal": q_decode_canal,
+    "cdc_decode_mongo": q_decode_mongo,
+    "cdc_replay_all_dialects": q_cdc_replay_all_dialects,
     "cdc_decode_connect": q_decode_connect,
     "cdc_dead_letter": q_dead_letter,
     "windowed_agg": q_windowed_agg,
@@ -7894,6 +7951,8 @@ ORACLE_SQL = {
     "cdc_decode_ddbstream": _DECODE_SQL,
     "cdc_decode_maxwell": _DECODE_SQL,
     "cdc_decode_canal": _DECODE_SQL,
+    "cdc_decode_mongo": _DECODE_SQL,
+    "cdc_replay_all_dialects": _CDC_REPLAY_SQL,
     "cdc_decode_connect": _DECODE_SQL,
     "cdc_dead_letter": _DEAD_LETTER_SQL,
     "windowed_agg": _WINDOWED_AGG_SQL,

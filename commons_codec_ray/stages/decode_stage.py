@@ -73,6 +73,12 @@ def _extract_table(payload: dict, default: str) -> str:
         if name:
             s = t.get("schema") or "public"
             return name if s == "public" else f"{s}.{name}"
+    ns = payload.get("ns")
+    if isinstance(ns, dict):  # MongoDB change-stream namespace {db, coll}
+        coll = ns.get("coll")
+        if coll:
+            db = ns.get("db") or "public"
+            return coll if db == "public" else f"{db}.{coll}"
     return default
 
 

@@ -413,16 +413,31 @@ def snapshot_diff(
         new_ds.map_batches(tag(True), batch_format="pyarrow")
     )
 
+    def _nullable(dt) -> str:
+        return ("U" if dt.kind == "u" else "") + "Int" + str(dt.itemsize * 8)
+
     def diff(df: pd.DataFrame) -> pd.DataFrame:
-        old = df.loc[~df["_new"], keys + compare]
-        new = df.loc[df["_new"], keys + compare]
+        old = df.loc[~df["_new"], keys + compare].copy()
+        new = df.loc[df["_new"], keys + compare].copy()
+        # the outer merge introduces missing values on one side for
+        # inserts/deletes; plain int columns would silently upcast to
+        # float64 (lossy above 2^53). Move integer compare columns to
+        # pandas nullable Int* for the merge and restore the exact
+        # original dtype on the never-null output below.
+        int_dtypes = {c: old[c].dtype for c in compare if old[c].dtype.kind in "iu"}
+        for c, dt in int_dtypes.items():
+            old[c] = old[c].astype(_nullable(dt))
+            new[c] = new[c].astype(_nullable(dt))
         m = old.merge(new, on=keys, how="outer", suffixes=("_o", "_n"), indicator=True)
         is_ins = (m["_merge"] == "right_only").to_numpy()
         is_del = (m["_merge"] == "left_only").to_numpy()
         changed = np.zeros(len(m), dtype=bool)
         for c in compare:
             a, b = m[f"{c}_o"], m[f"{c}_n"]
-            changed |= ~((a == b) | (a.isna() & b.isna())).to_numpy()
+            eq = (a == b) | (a.isna() & b.isna())
+            # nullable compare yields pd.NA when exactly one side is
+            # missing — that's a change, so NA counts as not-equal
+            changed |= ~eq.fillna(False).to_numpy(dtype=bool)
         keep = is_ins | is_del | changed
         m = m.loc[keep]
         is_del = is_del[keep]
@@ -435,7 +450,10 @@ def snapshot_diff(
         for k in keys:
             out[k] = m[k]
         for c in compare:
-            out[c] = m[f"{c}_n"].where(~is_del, m[f"{c}_o"])
+            vals = m[f"{c}_n"].where(~is_del, m[f"{c}_o"])
+            if c in int_dtypes:
+                vals = vals.astype(int_dtypes[c])
+            out[c] = vals
         return pd.DataFrame(out)
 
     return both.groupby("_jb").map_groups(diff, batch_format="pandas")

@@ -159,7 +159,10 @@ def bm25_topk(
     """
     import pyarrow.compute as pc
 
-    terms = list(query_terms)
+    # dedupe while preserving order: a duplicated query term would emit
+    # two identical partial rows per batch and the groupby('term') sum
+    # would double-count df, skewing that term's idf
+    terms = list(dict.fromkeys(query_terms))
     tset = pa.array(terms, pa.string())
 
     def partials(t: pa.Table) -> pa.Table:

@@ -83,6 +83,22 @@ def hash_bucket(keys, num_buckets: int) -> pa.Array:
     return pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64))
 
 
+def duck_rint(values):
+    """``np.rint`` drop-in that rounds half AWAY from zero.
+
+    Matches DuckDB ``round(DOUBLE)`` exactly: ``np.rint`` is
+    round-half-to-even (banker's), so the two diverge whenever the
+    value lands exactly on .5 in IEEE double (e.g. ``1.125 * 100 ==
+    112.5`` exactly: rint → 112, DuckDB round → 113). Every
+    integer-cents lane (``round(value * 100)`` oracles) must use this
+    instead of ``np.rint`` or the oracle hash compare breaks on
+    boundary inputs. Returns float64, same contract as ``np.rint``.
+    """
+    arr = np.asarray(values, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        return np.copysign(np.floor(np.abs(arr) + 0.5), arr)
+
+
 def duckdb_round(values, ndigits: int):
     """Round like DuckDB's ``round(x, n)`` for DOUBLE, bit-exactly.
 

@@ -287,3 +287,133 @@ class TestConnect:
         assert decode_connect(up)[0][1]["text"] == "txt"
         de = json.loads(encode_connect("c-9", 5, True, None, None, None, "2024-01-01T00:00:00", 7))
         assert decode_connect(de) == [(OP_DELETE, {"conv_id": "c-9", "turn_idx": 5}, {})]
+
+
+class TestMongo:
+    """Golden cases ported from reference
+    tests/transform/mongodb/test_mongodb_cdc.py:100-167, in Extended-JSON
+    wire form (the bson-object fixtures' JSON serialization)."""
+
+    OID = "669683c2b0750b2c84893f3e"
+
+    def _msg(self, op_type, full=None, key=None):
+        from commons_codec_ray.decode.dialects import decode_mongo  # noqa: F401
+
+        msg = {
+            "operationType": op_type,
+            "clusterTime": {"$timestamp": {"t": 1721140162, "i": 2}},
+            "ns": {"db": "testdrive", "coll": "data"},
+        }
+        if key is not None:
+            msg["documentKey"] = key
+        if full is not None:
+            msg["fullDocument"] = full
+        return msg
+
+    def test_insert(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        full = {
+            "_id": {"$oid": self.OID},
+            "id": "5F9E",
+            "data": {"temperature": 42.42, "humidity": 84.84},
+            "meta": {
+                "timestamp": {"$date": "2024-07-11T23:17:42Z"},
+                "device": "foo",
+            },
+        }
+        [(op, rec, aux)] = decode_mongo(
+            self._msg("insert", full=full, key={"_id": {"$oid": self.OID}})
+        )
+        assert op == OP_UPSERT
+        assert aux == {"_id": self.OID}
+        assert rec["id"] == "5F9E"
+        assert rec["data"] == {"temperature": 42.42, "humidity": 84.84}
+        assert rec["meta"]["device"] == "foo"
+        assert "_id" not in rec  # oid routes to aux, like the reference's oid column
+
+    def test_update_and_replace_take_full_document(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        for op_type, full in (
+            ("update", {"_id": {"$oid": self.OID}, "id": "5F9E",
+                        "data": {"temperature": 42.5}}),
+            ("replace", {"_id": {"$oid": self.OID}, "tags": ["deleted"]}),
+        ):
+            [(op, rec, aux)] = decode_mongo(
+                self._msg(op_type, full=full, key={"_id": {"$oid": self.OID}})
+            )
+            assert op == OP_UPSERT
+            assert aux == {"_id": self.OID}
+            assert "_id" not in rec
+
+    def test_delete_keys_off_document_key(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        oid = "669693c5002ef91ea9c7a562"
+        # sharded-collection documentKey: shard-key fields next to _id
+        key = {"_id": {"$oid": oid}, "conv_id": "c-7",
+               "turn_idx": {"$numberInt": "3"}}
+        [(op, rec, aux)] = decode_mongo(self._msg("delete", key=key))
+        assert op == OP_DELETE
+        assert rec == {"conv_id": "c-7", "turn_idx": 3}
+        assert aux == {"_id": oid}
+
+    def test_drop_and_invalidate_skip(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        assert decode_mongo(self._msg("drop")) == []
+        assert decode_mongo(self._msg("invalidate")) == []
+
+    def test_unknown_operation_raises(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        with pytest.raises(UnknownOperationError, match="foobar"):
+            decode_mongo(self._msg("foobar", key={"_id": {"$oid": self.OID}}))
+
+    def test_missing_or_empty_optype_raises(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        with pytest.raises(MessageFormatError, match="missing or empty"):
+            decode_mongo({})
+        with pytest.raises(MessageFormatError, match="missing or empty"):
+            decode_mongo({"operationType": ""})
+
+    def test_update_without_full_document_raises(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        with pytest.raises(MessageFormatError, match="updateLookup"):
+            decode_mongo(self._msg("update", key={"_id": {"$oid": self.OID}}))
+
+    def test_extended_json_dates_become_iso_strings(self):
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        full = {
+            "_id": {"$oid": self.OID},
+            "conv_id": "c-1",
+            "turn_idx": {"$numberInt": "5"},
+            "ts": {"$date": {"$numberLong": "1720739862000"}},
+        }
+        [(op, rec, _)] = decode_mongo(
+            self._msg("insert", full=full, key={"_id": {"$oid": self.OID}})
+        )
+        assert rec["turn_idx"] == 5
+        assert isinstance(rec["ts"], str) and rec["ts"].startswith("2024-07-")
+
+    def test_encoder_roundtrip(self):
+        import json
+
+        from commons_codec_ray.decode.dialects import decode_mongo
+        from commons_codec_ray.envelopes import encode_mongo
+
+        ts = "2024-07-12T01:17:42.000123"
+        up = json.loads(encode_mongo("c-9", 7, False, "user", "hi", None, ts, 6))
+        [(op, rec, aux)] = decode_mongo(up)
+        assert op == OP_UPSERT
+        assert rec == {"conv_id": "c-9", "turn_idx": 7, "role": "user",
+                       "text": "hi", "tool": None, "ts": ts}
+        assert len(aux["_id"]) == 24
+        de = json.loads(encode_mongo("c-9", 7, True, None, None, None, ts, 6))
+        [(op, rec, _)] = decode_mongo(de)
+        assert op == OP_DELETE
+        assert rec == {"conv_id": "c-9", "turn_idx": 7}

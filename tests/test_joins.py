@@ -247,3 +247,40 @@ def test_snapshot_diff_classifies_and_nullsafe(ray_session):
     # update/insert carry the NEW image, delete the BEFORE image
     assert out["v"].tolist() == ["B", "c", "e", "f"]
     assert out["x"].tolist() == [2.0, 3.0, 5.0, 6.0]
+
+
+def test_snapshot_diff_preserves_int64_exactness(ray_session):
+    from commons_codec_ray.stages.joins import snapshot_diff
+
+    # values above 2^53 are NOT representable in float64 — a merge that
+    # upcast the compare column to float64 would corrupt them
+    big = 2**53 + 1
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "n": pa.array([big, 10, 20], pa.int64()),
+        }
+    )
+    new = pa.table(
+        {
+            # 1 unchanged (huge value must survive the diff untouched),
+            # 2 updated to another >2^53 value, 3 deleted, 4 inserted
+            "k": pa.array([1, 2, 4], pa.int64()),
+            "n": pa.array([big, big + 2, big + 4], pa.int64()),
+        }
+    )
+    out = (
+        snapshot_diff(
+            rd.from_arrow(old).repartition(2),
+            rd.from_arrow(new).repartition(2),
+            keys=["k"],
+            compare=["n"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 3, 4]
+    assert out["change"].tolist() == ["update", "delete", "insert"]
+    assert out["n"].dtype.kind == "i"
+    assert out["n"].tolist() == [big + 2, 20, big + 4]

@@ -159,3 +159,28 @@ def test_ntile_matches_duckdb(ray_session):
         "SELECT id, ntile(7) OVER (ORDER BY v, id) AS tile FROM t ORDER BY id"
     ).df()
     assert got["tile"].tolist() == want["tile"].tolist()
+
+
+def test_bm25_duplicate_query_terms_do_not_double_count(ray_session):
+    from commons_codec_ray.stages.ranking import bm25_topk
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple apple apple apple banana banana"),
+        (3, "cherry date elderberry fig grape"),
+        (4, "banana"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    once = bm25_topk(ds, ["apple", "banana"], k=10).to_pandas()
+    # a duplicated term must not inflate df (idf skew): scores identical
+    twice = bm25_topk(ds, ["apple", "apple", "banana"], k=10).to_pandas()
+    assert dict(zip(once["doc_id"], once["score"])) == dict(
+        zip(twice["doc_id"], twice["score"])
+    )
