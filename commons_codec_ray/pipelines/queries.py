@@ -276,6 +276,131 @@ def q_cdc_replay_all_dialects(sf_dir: str):
     return apply_changes(ds, cfg)
 
 
+def q_mongo_full_load(sf_dir: str):
+    """MongoDB full-load skin (reference transform/mongodb.py:239-269,
+    T4): a Cursor-shaped batch of Extended-JSON documents is
+    bulk-decoded (decode_documents) and keyed by the document OID
+    (get_document_key, reference transform/mongodb.py:244-251) — the
+    engine analog of the reference's executemany
+    ``INSERT INTO (oid, data)``. Documents are synthesized
+    deterministically from events (each event = one document with a
+    hex-of-event_id ObjectId), so the oracle reconstructs the same rows
+    envelope-free."""
+    from commons_codec_ray.decode.extended_json import decode_documents
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+
+    def bulk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        props = t["props"].to_numpy(zero_copy_only=False)
+        ts_iso = np.datetime_as_string(
+            t["ts"].cast(pa.int64()).to_numpy().astype("datetime64[us]"), unit="us"
+        )
+        # the "Cursor" batch of wire-form documents
+        docs = [
+            {
+                "_id": {"$oid": f"{int(eid[i]):024x}"},
+                "conv_id": f"c-{user[i]}",
+                "turn_idx": {"$numberInt": str(int(eid[i]) % 40)},
+                "role": etype[i],
+                "text": props[i],
+                "ts": {"$date": ts_iso[i]},
+            }
+            for i in range(t.num_rows)
+        ]
+        records = decode_documents(docs)
+        oids = [r.pop("_id") for r in records]  # get_document_key
+        return pa.table(
+            {
+                "oid": pa.array(oids, pa.string()),
+                "conv_id": pa.array([r["conv_id"] for r in records], pa.string()),
+                "turn_idx": pa.array(
+                    [r["turn_idx"] for r in records], pa.int32()
+                ),
+                "role": pa.array([r["role"] for r in records], pa.string()),
+                "text": pa.array([r["text"] for r in records], pa.string()),
+                "ts": pa.array([r["ts"] for r in records], pa.timestamp("us")),
+            }
+        )
+
+    return events.map_batches(bulk, batch_format="pyarrow")
+
+
+_MONGO_FULL_LOAD_SQL = """
+SELECT printf('%024x', event_id)          AS oid,
+       'c-' || CAST(user_id AS VARCHAR)   AS conv_id,
+       CAST(event_id % 40 AS INTEGER)     AS turn_idx,
+       event_type                         AS role,
+       props                              AS text,
+       ts
+FROM events
+"""
+
+
+def q_ddb_decimal_sum(sf_dir: str):
+    """Lossless-Decimal DynamoDB numerics (``numeric_mode="decimal"``,
+    the vanilla-boto3 38-digit path the CrateDB flavor's N→float
+    override replaces — reference vendor/boto3/dynamodb/types.py:36-41):
+    N descriptors carrying 8-dp decimal strings whose sums float64
+    cannot represent are decoded to ``decimal.Decimal`` under the
+    DynamoDB context and summed EXACTLY per event_type. Partials travel
+    as Arrow decimal128(38,8); the final reduce runs on kilobyte
+    partials only."""
+    import decimal as _dec
+
+    from commons_codec_ray.decode.dynamodb_types import DYNAMODB_CONTEXT, deserialize
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        sums: dict[str, _dec.Decimal] = {}
+        with _dec.localcontext(DYNAMODB_CONTEXT):
+            for i in range(t.num_rows):
+                e = int(eid[i])
+                v, _ = deserialize(
+                    {"N": f"{e * 10007}.{e % 10**8:08d}"}, numeric_mode="decimal"
+                )
+                k = etype[i]
+                sums[k] = sums[k] + v if k in sums else v
+        keys = sorted(sums)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "part": pa.array([sums[k] for k in keys], pa.decimal128(38, 8)),
+            }
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    with _dec.localcontext(DYNAMODB_CONTEXT):
+        g = parts.groupby("event_type")["part"].apply(
+            lambda s: sum(s, _dec.Decimal(0)).quantize(_dec.Decimal("1E-8"))
+        )
+    keys = sorted(g.index)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "total": pa.array([str(g[k]) for k in keys], pa.string()),
+        }
+    )
+
+
+_DDB_DECIMAL_SUM_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(printf('%d.%08d', event_id * 10007, event_id % 100000000)
+                     AS DECIMAL(38,8))) AS VARCHAR) AS total
+FROM events GROUP BY event_type
+"""
+
+
 _DECODE_SQL = """
 SELECT CASE WHEN event_id % 10 = 7 THEN 'DELETE' ELSE 'UPSERT' END AS op,
        'c-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -7793,6 +7918,8 @@ QUERIES = {
     "cdc_decode_canal": q_decode_canal,
     "cdc_decode_mongo": q_decode_mongo,
     "cdc_replay_all_dialects": q_cdc_replay_all_dialects,
+    "mongo_full_load": q_mongo_full_load,
+    "ddb_decimal_sum": q_ddb_decimal_sum,
     "cdc_decode_connect": q_decode_connect,
     "cdc_dead_letter": q_dead_letter,
     "windowed_agg": q_windowed_agg,
@@ -7953,6 +8080,8 @@ ORACLE_SQL = {
     "cdc_decode_canal": _DECODE_SQL,
     "cdc_decode_mongo": _DECODE_SQL,
     "cdc_replay_all_dialects": _CDC_REPLAY_SQL,
+    "mongo_full_load": _MONGO_FULL_LOAD_SQL,
+    "ddb_decimal_sum": _DDB_DECIMAL_SUM_SQL,
     "cdc_decode_connect": _DECODE_SQL,
     "cdc_dead_letter": _DEAD_LETTER_SQL,
     "windowed_agg": _WINDOWED_AGG_SQL,

@@ -98,3 +98,63 @@ def test_primary_key_schema_rejects_unknown_type():
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+class TestDecimalMode:
+    """numeric_mode='decimal' — the vanilla-boto3 lossless path
+    (reference vendor/boto3/dynamodb/types.py:36-41) next to the
+    CrateDB-flavored N→float default."""
+
+    def test_n_keeps_38_digit_precision(self):
+        import decimal
+
+        from commons_codec_ray.decode.dynamodb_types import deserialize
+
+        s = "1234567890123456789012345678.9012345678"[:39]  # 38 sig digits
+        v, varied = deserialize({"N": s}, numeric_mode="decimal")
+        assert isinstance(v, decimal.Decimal)
+        assert str(v) == s
+        assert not varied
+        # float mode would corrupt this value
+        f, _ = deserialize({"N": s})
+        assert str(f) != s
+
+    def test_ns_and_nested_follow_mode(self):
+        import decimal
+
+        from commons_codec_ray.decode.dynamodb_types import deserialize
+
+        v, _ = deserialize({"NS": ["1.10", "2.20"]}, numeric_mode="decimal")
+        assert v == [decimal.Decimal("1.10"), decimal.Decimal("2.20")]
+        m, _ = deserialize(
+            {"M": {"a": {"N": "0.30000000000000000000000000001"}}},
+            numeric_mode="decimal",
+        )
+        assert str(m["a"]) == "0.30000000000000000000000000001"
+
+    def test_image_decimal_mode(self):
+        import decimal
+
+        from commons_codec_ray.decode.dynamodb_types import deserialize_image
+
+        typed, varied = deserialize_image(
+            {"a": {"N": "42.5"}, "b": {"S": "x"}}, numeric_mode="decimal"
+        )
+        assert typed == {"a": decimal.Decimal("42.5"), "b": "x"}
+        assert varied == {}
+
+    def test_default_stays_float(self):
+        from commons_codec_ray.decode.dynamodb_types import deserialize_image
+
+        typed, _ = deserialize_image({"a": {"N": "42.5"}})
+        assert isinstance(typed["a"], float)
+
+    def test_overflow_traps(self):
+        import decimal
+
+        import pytest
+
+        from commons_codec_ray.decode.dynamodb_types import deserialize
+
+        with pytest.raises(decimal.Overflow):
+            deserialize({"N": "1E200"}, numeric_mode="decimal")

@@ -2,10 +2,17 @@
 oracle SQL via DuckDB (row count + sorted-value equality). Usage:
 
     python tools/check_queries.py [sf_dir] [query ...]
+    python tools/check_queries.py --sample N [--seed S] [sf_dir]
+
+``--sample`` runs a randomized N-query subset (driver-subset insurance:
+the evaluation driver checks a random subset each round — running a
+seeded random 50 here catches any subset-only mismatch builder-side
+first).
 """
 
 from __future__ import annotations
 
+import random
 import sys
 import time
 
@@ -37,8 +44,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    sample_n = seed = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -56,10 +73,14 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    names = [n for n in qs if not only or n in only]
+    if sample_n is not None and sample_n < len(names):
+        rng = random.Random(seed)
+        names = sorted(rng.sample(names, sample_n))
+        print(f"# sampled {len(names)} queries (seed={seed})")
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    for name in names:
+        fn = qs[name]
         t0 = time.time()
         try:
             got = normalize(to_pandas(fn(sf_dir)))
