@@ -101,6 +101,14 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
     # steady-state compute + shuffle, not first disk read / process spawn.
     # decode-warmup uses ONE round file — enough to spawn+import workers.
     total_events = rd.read_parquet(files).count()
+    # count() is metadata-only — actually pull the payload bytes through
+    # the page cache so the timed replay measures steady-state compute,
+    # not the first cold read of the log (the documented intent here)
+    import pyarrow as _pa
+
+    rd.read_parquet(files, override_num_blocks=2 * num_cpus).map_batches(
+        lambda t: _pa.table({"n": _pa.array([t.num_rows])}), batch_format="pyarrow"
+    ).count()
     warm_cfg = PipelineConfig()
     rd.read_parquet(files[:1], override_num_blocks=2 * num_cpus).map_batches(
         DecodeEnvelopes(warm_cfg, combine=True),
@@ -275,8 +283,14 @@ def dedup_once(num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
     import ray.data as rd
 
-    from commons_codec_ray.stages.dedup import jaccard_pairs
+    from commons_codec_ray.stages.dedup import jaccard_pairs, jaccard_pairs_narrow
 
+    # "narrow" (default) is the byte-lean transport: ids-only candidate
+    # explode + two signature exchanges — ~3× fewer shuffle bytes than
+    # the signature-riding "wide" path, identical output (see
+    # stages/dedup.py:jaccard_pairs_narrow byte budget)
+    mode = os.environ.get("GRAFT_DEDUP_MODE", "narrow")
+    pair_fn = jaccard_pairs_narrow if mode == "narrow" else jaccard_pairs
     tiles = int(os.environ.get("GRAFT_DEDUP_TILES", "40"))
     path = _prepare_docs(SF_DIR, tiles)
     # parallelism follows input block count through every downstream
@@ -286,17 +300,18 @@ def dedup_once(num_cpus: int) -> dict:
     n_docs = ds.count()
     ds.map_batches(lambda t: t.slice(0, 1), batch_format="pyarrow").count()  # warm pool
     t0 = time.time()
-    n_pairs = jaccard_pairs(ds, threshold=0.7).count()
+    n_pairs = pair_fn(ds, threshold=0.7).count()
     dt = time.time() - t0
     ray.shutdown()
     return {
-        "metric": "minhash pair-detection seconds (amplified documents)",
+        "metric": f"minhash pair-detection seconds (amplified documents, {mode} transport)",
         "value": round(dt, 3),
         "unit": "sec",
         "docs": n_docs,
         "pairs": n_pairs,
         "docs_per_s": round(n_docs / dt, 1),
         "num_cpus": num_cpus,
+        "transport": mode,
     }
 
 
@@ -334,7 +349,7 @@ def scaling_dedup() -> None:
     )
 
 
-def scaling() -> None:
+def _scaling_dict() -> dict:
     env = dict(os.environ)
     # The scaling criterion compares the SAME job at N vs 4N parallelism
     # (sandbox proxy for N- vs 4N-node clusters). Two choices matter:
@@ -365,21 +380,21 @@ def scaling() -> None:
     t_lo = min(lo1["value"], lo2["value"])
     t_hi = min(hi1["value"], hi2["value"])
     eff = (t_lo / t_hi) / (n_hi / n_lo)
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling efficiency (num_cpus {n_lo} vs {n_hi}, fresh processes, min of 2 interleaved runs)",
-                f"sec_{n_lo}": t_lo,
-                f"sec_{n_hi}": t_hi,
-                "events": hi1["events"],
-                f"events_per_s_{n_lo}": round(hi1["events"] / t_lo, 1),
-                f"events_per_s_{n_hi}": round(hi1["events"] / t_hi, 1),
-                "scaling_efficiency": round(eff, 3),
-                "loadavg_before": round(load_before, 1),
-                "loadavg_after": round(os.getloadavg()[0], 1),
-            }
-        )
-    )
+    return {
+        "metric": f"scaling efficiency (num_cpus {n_lo} vs {n_hi}, fresh processes, min of 2 interleaved runs)",
+        f"sec_{n_lo}": t_lo,
+        f"sec_{n_hi}": t_hi,
+        "events": hi1["events"],
+        f"events_per_s_{n_lo}": round(hi1["events"] / t_lo, 1),
+        f"events_per_s_{n_hi}": round(hi1["events"] / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "loadavg_before": round(load_before, 1),
+        "loadavg_after": round(os.getloadavg()[0], 1),
+    }
+
+
+def scaling() -> None:
+    print(json.dumps(_scaling_dict()))
 
 
 if __name__ == "__main__":
@@ -391,4 +406,15 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         scaling()
     else:
-        print(json.dumps(bench_once(NUM_CPUS, headline_only="--headline-only" in sys.argv)))
+        headline_only = "--headline-only" in sys.argv
+        result = bench_once(NUM_CPUS, headline_only=headline_only)
+        # the driver records this line as BENCH_r{N}.json — fold the
+        # two-parallelism scaling legs into the SAME artifact so the
+        # ≥0.8 criterion evidence lives in the driver's file, not prose
+        # (disable with GRAFT_BENCH_SCALING=0)
+        if not headline_only and os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
+            try:
+                result["scaling"] = _scaling_dict()
+            except Exception as exc:  # noqa: BLE001 — never lose the headline
+                result["scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
+        print(json.dumps(result))

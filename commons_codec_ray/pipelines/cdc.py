@@ -39,6 +39,14 @@ from commons_codec_ray.stages.decode_stage import DecodeEnvelopes
 
 _STATIC_COLUMNS = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
 
+# in-band DDL markers across dialects: Debezium/DMS control records,
+# Maxwell table-alter/table-create, Canal isDdl
+_CONTROL_MARKER_RE = (
+    r'"record-type":\s*"control"'
+    r'|"type":\s*"table-(alter|create)"'
+    r'|"isDdl":\s*true'
+)
+
 
 def _extra_columns(registry: SchemaRegistry, table: str) -> list[tuple[str, pa.DataType]]:
     cols = registry.column_types.get(table, {})
@@ -385,12 +393,16 @@ class CDCPipeline:
 
     def _scan_control_events(self, envelopes) -> list[dict[str, Any]]:
         """Cheap scan for in-band DDL: vectorized substring-regex over raw
-        payloads (no per-row JSON parse), then decode only the matches."""
+        payloads (no per-row JSON parse), then decode only the matches.
+        The marker regex covers every dialect that can carry DDL —
+        Debezium/DMS control records, Maxwell table-alter/create, Canal
+        isDdl — so a schema event reaches the registry regardless of
+        which bus delivered it."""
         from commons_codec_ray.decode.dialects import DECODERS
 
         matches = envelopes.map_batches(
             lambda t: t.filter(
-                pc.match_substring_regex(t["payload"], r'"record-type":\s*"control"')
+                pc.match_substring_regex(t["payload"], _CONTROL_MARKER_RE)
             ),
             batch_format="pyarrow",
         ).take_all()
@@ -474,6 +486,7 @@ class CDCPipeline:
                 envelopes_path,
                 filter=pc.field("source_offset") >= lo,
                 columns=["lsn", "source_offset", "dialect", "payload"],
+                override_num_blocks=num_blocks,
             )
         )
         while lo <= max_offset:
@@ -538,14 +551,18 @@ class CDCPipeline:
         start, epoch = ckpt.next_offset, ckpt.last_epoch + 1
         if start > max_offset:
             return []
+        # spawn the applier pool FIRST (non-blocking actor creation) so
+        # the ~1 s of fresh-process imports overlaps the control prescan;
+        # the first run_epoch waits on readiness
+        runner = self._get_runner(keep_actors)
         all_controls = self._scan_control_events(
             rd.read_parquet(
                 files,
                 filter=pc.field("source_offset") >= start,
                 columns=["lsn", "source_offset", "dialect", "payload"],
+                override_num_blocks=_decode_parallelism(),
             )
         )
-        runner = self._get_runner(keep_actors)
         results = []
         try:
             lo = start

@@ -4749,6 +4749,18 @@ _MINHASH_DEDUP_SQL = """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jaccard FROM documents
 """
 
+
+def q_minhash_dedup_narrow(sf_dir: str):
+    """Byte-lean transport variant of q_minhash_dedup
+    (stages/dedup.py:jaccard_pairs_narrow): ids-only candidate explode,
+    then each signature moves twice keyed by doc id instead of riding
+    all 8 band replicas — ≈3× fewer shuffle bytes, the
+    bandwidth-bound-cluster path. Output contract (and oracle) is
+    IDENTICAL to the wide path."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow")
+    return dedup_stage.jaccard_pairs_narrow(corpus, threshold=0.7)
+
 # Golden-value oracle for the pure text functions (simhash / fingerprint /
 # langid / quality): tools/make_golden.py precomputes them with INDEPENDENT
 # scalar reimplementations over every driver sf's texts; the oracle joins
@@ -7986,6 +7998,7 @@ QUERIES = {
     "kl_per_user": q_kl_per_user,
     "stratified_sample": q_stratified_sample,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_dedup_narrow": q_minhash_dedup_narrow,
     "simhash": q_simhash,
     "simhash_dedup": q_simhash_dedup,
     "langid": q_langid,
@@ -8147,6 +8160,7 @@ ORACLE_SQL = {
     "source_entropy": _SOURCE_ENTROPY_SQL,
     "kl_per_user": _KL_PER_USER_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "minhash_dedup_narrow": _MINHASH_DEDUP_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_dedup": _SIMHASH_DEDUP_SQL,

@@ -477,7 +477,15 @@ class ActorPoolApplyRunner:
             )
             for a in range(self.num_actors)
         ]
-        ray.get([a.ping.remote() for a in self.actors])
+        # actor spawn is ~1 s of fresh-process imports — don't block here;
+        # the caller overlaps it with the control-event prescan and the
+        # first run_epoch waits on readiness
+        self._ping_refs = [a.ping.remote() for a in self.actors]
+
+    def wait_ready(self) -> None:
+        if self._ping_refs is not None:
+            ray.get(self._ping_refs)
+            self._ping_refs = None
 
     def refresh_extra_columns(self) -> None:
         extra = _extra_columns_json(self.config)
@@ -492,6 +500,7 @@ class ActorPoolApplyRunner:
         watermark_us: int | None = None,
     ) -> tuple[list[dict[str, Any]], pa.Table | None]:
         """Returns (lineage rows, dead-letter table or None)."""
+        self.wait_ready()
         slices = plan_file_slices(
             envelope_files, lo, hi, self.num_decode_tasks, self._meta_cache
         )

@@ -392,6 +392,233 @@ def jaccard_pairs(
     return exploded.groupby("_b").map_groups(verified_pairs, batch_format="pyarrow")
 
 
+def _fixed_binary(mat: np.ndarray, width: int) -> pa.Array:
+    """(n, width/itemsize) contiguous matrix → fixed-width binary array,
+    one buffer copy, no per-row tobytes."""
+    buf = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    return pa.Array.from_buffers(pa.binary(width), mat.shape[0] if mat.ndim > 1 else len(mat), [None, buf])
+
+
+def _sig_matrix(col, n: int, num_perm: int, sig_width: int) -> np.ndarray:
+    """Zero-copy view of a fixed-width binary signature column as an
+    (n, num_perm) uint32 matrix."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = col.buffers()[-1]
+    return np.frombuffer(
+        buf, dtype=np.uint32, count=n * num_perm, offset=col.offset * sig_width
+    ).reshape(n, -1)
+
+
+def _distinct_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    if len(a):
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def _run_pairs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (ia < ib) of a sorted key array."""
+    n = len(keys)
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.append(starts, n))
+    ia_parts = [np.empty(0, dtype=np.int64)]
+    ib_parts = [np.empty(0, dtype=np.int64)]
+    two = starts[lens == 2]  # the dominant case, fully vectorized
+    ia_parts.append(two)
+    ib_parts.append(two + 1)
+    for s, L in zip(starts[lens > 2], lens[lens > 2]):  # rare big buckets
+        ti, tj = np.triu_indices(int(L), k=1)
+        ia_parts.append(s + ti)
+        ib_parts.append(s + tj)
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def jaccard_pairs_narrow(
+    ds,
+    threshold: float = 0.7,
+    hasher: MinHasher | None = None,
+    id_column: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Byte-lean variant of :func:`jaccard_pairs` for bandwidth-bound
+    configurations — IDENTICAL output (pairs with estimated Jaccard ≥
+    threshold and at least one fully-equal signature band), different
+    transport.
+
+    Byte budget per document (64 perms → W = 256 B uint32 signature,
+    8 bands, 16 B ids/keys):
+
+    - wide (``jaccard_pairs``): the signature rides EVERY band replica —
+      one exchange of 8 × (W + 24 B) ≈ 2.2 KB/doc. One barrier, but the
+      shuffle and the per-bucket gathers are memory-bandwidth-bound
+      (measured 0.32 single-box 4→16 scaling on the verify leg).
+    - narrow (this): candidates move 8 × 16 B = 128 B/doc (ids only),
+      then each signature moves TWICE keyed by doc id (2 × (W + 25) ≈
+      560 B/doc), plus (W + 25) per surviving candidate PAIR ≈ 0 in the
+      LSH regime (candidates ≈ true near-dups ≪ corpus). Total ≈ 0.7
+      KB/doc — 3.2× fewer bytes — across three light exchanges.
+
+    Use narrow when the corpus is large relative to interconnect/memory
+    bandwidth; wide wins at toy scale where per-exchange fixed cost
+    dominates.
+    """
+    num_buckets = num_buckets or adaptive_buckets()
+    hasher = hasher or MinHasher()
+    num_perm = hasher.num_perm
+    sig_width = num_perm * 4
+    n_bands = hasher.bands
+    rows_per_band = hasher.rows_per_band
+
+    sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    # consumed twice (candidate explode + signature attach) — materialize
+    # so the minhash pass runs once; blocks spill under pressure
+    sigs = sigs.select_columns([id_column, "_sig"] + [f"band_{b}" for b in range(n_bands)])
+    sigs = sigs.materialize()
+
+    # --- exchange 1: id-only band explode → candidate pairs ---------------
+    def explode_light(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        keys = np.concatenate(
+            [batch[f"band_{b}"].to_numpy(zero_copy_only=False) for b in range(n_bands)]
+        )
+        return pa.table(
+            {
+                "_cb": pa.array(keys & (num_buckets - 1)),
+                "band_key": pa.array(keys),
+                id_column: pa.array(np.tile(ids, n_bands), pa.int64()),
+            }
+        )
+
+    def candidates(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        keys0 = group["band_key"].to_numpy(zero_copy_only=False)
+        ids0 = group[id_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids0, keys0))
+        keys, ids = keys0[order], ids0[order]
+        ia, ib = _run_pairs(keys)
+        if not len(ia):
+            return empty
+        a, b = _distinct_pairs(ids[ia], ids[ib])  # ids ascend within runs
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    cand = (
+        sigs.map_batches(explode_light, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(candidates, batch_format="pyarrow")
+    )
+
+    # --- tagged-union rows for the two signature-attach exchanges ---------
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "_b": hash_bucket(ids, num_buckets),
+                "a": pa.array(ids, pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64)),
+                "sig": t["_sig"],
+                "is_sig": pa.array(np.ones(n, bool)),
+            }
+        )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table(
+            {
+                "_b": hash_bucket(a, num_buckets),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "sig": _fixed_binary(np.zeros((n, num_perm), np.uint32), sig_width),
+                "is_sig": pa.array(np.zeros(n, bool)),
+            }
+        )
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        is_sig = group["is_sig"].to_numpy(zero_copy_only=False)
+        mat = _sig_matrix(group["sig"], group.num_rows, num_perm, sig_width)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        sid = a[is_sig]
+        smat = mat[is_sig]
+        s_order = np.argsort(sid, kind="stable")
+        sid, smat = sid[s_order], smat[s_order]
+        pa_, pb = _distinct_pairs(a[~is_sig], b[~is_sig])  # cross-bucket dedup
+        if not len(pa_):
+            return pa.table(
+                {
+                    "_b": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary(sig_width)),
+                    "is_sig": pa.array([], pa.bool_()),
+                }
+            )
+        sig_a = smat[np.searchsorted(sid, pa_)]
+        return pa.table(
+            {
+                "_b": hash_bucket(pb, num_buckets),
+                "a": pa.array(pa_, pa.int64()),
+                "b": pa.array(pb, pa.int64()),
+                "sig": _fixed_binary(sig_a, sig_width),
+                "is_sig": pa.array(np.zeros(len(pa_), bool)),
+            }
+        )
+
+    def attach_b_verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        is_sig = group["is_sig"].to_numpy(zero_copy_only=False)
+        if is_sig.all() or not is_sig.any():
+            return empty
+        mat = _sig_matrix(group["sig"], group.num_rows, num_perm, sig_width)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        sid = a[is_sig]
+        smat = mat[is_sig]
+        s_order = np.argsort(sid, kind="stable")
+        sid, smat = sid[s_order], smat[s_order]
+        pa_, pb, sig_a = a[~is_sig], b[~is_sig], mat[~is_sig]
+        sig_b = smat[np.searchsorted(sid, pb)]
+        eqs = sig_a == sig_b  # (npairs, num_perm)
+        est = eqs.mean(axis=1)
+        band_eq = eqs.reshape(len(pa_), n_bands, rows_per_band).all(axis=2)
+        keep = (est >= threshold) & band_eq.any(axis=1)
+        return pa.table(
+            {"id_a": pa.array(pa_[keep]), "id_b": pa.array(pb[keep]),
+             "jaccard": pa.array(est[keep])}
+        )
+
+    # --- exchange 2: attach sig(id_a), dedup pairs globally ---------------
+    with_a = (
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+        .union(cand.map_batches(pair_rows, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+    # --- exchange 3: attach sig(id_b), verify ------------------------------
+    return (
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+        .union(with_a)
+        .groupby("_b")
+        .map_groups(attach_b_verify, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1,5 +1,5 @@
-"""Distributed PageRank over an edge Dataset (Pregel-shaped: one
-scatter + one gather exchange per iteration).
+"""Distributed PageRank over an edge Dataset (Pregel-shaped, FUSED:
+one integer-keyed exchange per iteration).
 
 Scores are FIXED-POINT int64 (scale 10^12) with floor division at every
 step: integer addition is exact and commutative, so the result is
@@ -16,11 +16,18 @@ allowed); damping d = 85/100; dangling-node mass is NOT redistributed
     base  = 15 · (SCALE // N) // 100
 
 Scale shape: the edge list (with per-source outdegree) is bucketed and
-materialized ONCE; each iteration runs two integer-keyed exchanges —
-scores to their source bucket (scatter: per-edge contributions) and
-contributions to their destination bucket (gather: per-node sum).
-Nothing is ever collected on the driver; per-round state is one int64
-per node.
+materialized ONCE.  The classic Pregel round is TWO exchanges (scores →
+source bucket for the scatter join, contributions → destination bucket
+for the gather sum); here they are FUSED into one because both ends key
+by the same node-bucket hash: a node's new score is computed in bucket
+``hash(v)`` (gather), and its out-edges were materialized into that
+same bucket (``hash(src)``) — so the very same map_groups call that
+sums a node's incoming contributions immediately emits its outgoing
+contributions for the NEXT round.  Per iteration: one exchange moving
+(edges ∪ node-sentinels ∪ contributions); the round-0 contributions
+come straight off the edge table (uniform init score, map-only, no
+exchange).  Nothing is ever collected on the driver; per-round state is
+one int64 per node.
 """
 
 from __future__ import annotations
@@ -97,20 +104,11 @@ def pagerank(
     s0 = SCALE // n_nodes
     base = 15 * s0 // 100
 
-    def init_scores(t: pa.Table) -> pa.Table:
-        v = t["v"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "_sb": hash_bucket(v, nb),
-                "v": pa.array(v, pa.int64()),
-                "s": pa.array(np.full(len(v), s0, np.int64)),
-            }
-        )
-
-    scores = nodes.map_batches(init_scores, batch_format="pyarrow")
-
-    # tagged-union schema for the scatter bucket: edges carry
-    # (src,dst,deg), scores carry (v,s); kind disambiguates
+    # tagged-union schema for the fused bucket: kind 0 = edge rows
+    # (key=src, dst, deg), kind 1 = contribution/sentinel rows (key=node,
+    # c=incoming contribution; sentinels carry c=0 so every node —
+    # including dangling and source-only nodes — computes a score and
+    # emits its out-contributions)
     def tag_edges(t: pa.Table) -> pa.Table:
         n = t.num_rows
         return pa.table(
@@ -119,86 +117,95 @@ def pagerank(
                 "key": t["src"],
                 "dst": t["dst"],
                 "deg": t["deg"].cast(pa.int64()),
-                "s": pa.array(np.zeros(n, np.int64)),
+                "c": pa.array(np.zeros(n, np.int64)),
                 "kind": pa.array(np.zeros(n, np.int8)),
             }
         )
 
-    def tag_scores(t: pa.Table) -> pa.Table:
+    def node_sentinels(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        z = np.zeros(n, np.int64)
         return pa.table(
             {
-                "_b": t["_sb"],
+                "_b": t["_nb"],
                 "key": t["v"],
+                "dst": pa.array(z),
+                "deg": pa.array(np.ones(n, np.int64)),
+                "c": pa.array(z),
+                "kind": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    # round-0 contributions come straight off the edge table (uniform
+    # init score s0) — map-only, no exchange
+    def contrib0(t: pa.Table) -> pa.Table:
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        return pa.table(
+            {
+                "_b": hash_bucket(d, nb),
+                "key": pa.array(d, pa.int64()),
                 "dst": pa.array(np.zeros(n, np.int64)),
                 "deg": pa.array(np.ones(n, np.int64)),
-                "s": t["s"],
+                "c": pa.array(s0 // deg),
                 "kind": pa.array(np.ones(n, np.int8)),
             }
         )
 
     edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    sentinels = nodes.map_batches(node_sentinels, batch_format="pyarrow").materialize()
 
-    def scatter(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["kind"] == 0]
-        sc = g[g["kind"] == 1]
-        if not len(e) or not len(sc):
-            return pd.DataFrame({"dst": [], "c": []}).astype({"dst": "int64", "c": "int64"})
-        m = e.merge(sc[["key", "s"]], on="key", suffixes=("", "_node"))
-        return pd.DataFrame({"dst": m["dst"], "c": m["s_node"] // m["deg"]})
-
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
-        # node rows (c = 0) guarantee every node survives with base score
-        tot = g.groupby("v")["c"].sum()
-        return pd.DataFrame(
-            {"v": tot.index.to_numpy(np.int64), "s": base + 85 * tot.to_numpy() // 100}
-        )
-
-    def node_zero(t: pa.Table) -> pa.Table:
+    def _contrib_table(d: np.ndarray, c: np.ndarray) -> pa.Table:
+        n = len(d)
         return pa.table(
             {
-                "_gb": t["_nb"],
-                "v": t["v"],
-                "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "_b": hash_bucket(d, nb),
+                "key": pa.array(d, pa.int64()),
+                "dst": pa.array(np.zeros(n, np.int64)),
+                "deg": pa.array(np.ones(n, np.int64)),
+                "c": pa.array(c, pa.int64()),
+                "kind": pa.array(np.full(n, 1, np.int8)),
             }
         )
 
-    nodes_zero = nodes.map_batches(node_zero, batch_format="pyarrow").materialize()
+    def fused_step(last: bool):
+        # returns ARROW tables: the output unions with arrow-backed edge
+        # /sentinel blocks and Ray's sort sampler requires one block type
+        def step(g: pd.DataFrame) -> pa.Table:
+            cont = g[g["kind"] == 1]
+            tot = cont.groupby("key")["c"].sum()  # sentinels keep every node
+            v = tot.index.to_numpy(np.int64)
+            s = base + 85 * tot.to_numpy(np.int64) // 100
+            if last:
+                return pa.table(
+                    {"v": pa.array(v, pa.int64()), "s": pa.array(s, pa.int64())}
+                )
+            e = g[g["kind"] == 0]
+            if not len(e):
+                return _contrib_table(
+                    np.empty(0, np.int64), np.empty(0, np.int64)
+                )
+            # emit next round's contributions: the new score of each
+            # edge's source lives in THIS bucket by construction
+            s_of = pd.Series(s, index=v)
+            src = e["key"].to_numpy(np.int64)
+            out_c = s_of.loc[src].to_numpy(np.int64) // e["deg"].to_numpy(np.int64)
+            return _contrib_table(e["dst"].to_numpy(np.int64), out_c)
 
-    def contrib_bucket(t: pa.Table) -> pa.Table:
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        return pa.table({"_gb": hash_bucket(d, nb), "v": t["dst"], "c": t["c"]})
+        return step
 
-    # iterations chain LAZILY — each score Dataset is consumed exactly
-    # once by the next round, so one streaming execution runs all
-    # 2·iterations exchanges back to back (per-round materialize would
-    # pay Ray's fixed execution cost iterations times over)
-    for _ in range(iterations):
-        tagged = edges_tagged.union(
-            scores.map_batches(tag_scores, batch_format="pyarrow")
-        )
-        contribs = (
-            tagged.groupby("_b")
-            .map_groups(scatter, batch_format="pandas")
-            .map_batches(contrib_bucket, batch_format="pyarrow")
-        )
-        new_scores = (
-            contribs.union(nodes_zero)
-            .groupby("_gb")
-            .map_groups(gather, batch_format="pandas")
-        )
-        scores = new_scores.map_batches(
-            lambda t: pa.table(
-                {
-                    "_sb": hash_bucket(t["v"].to_numpy(zero_copy_only=False), nb),
-                    "v": t["v"],
-                    "s": t["s"],
-                }
-            ),
-            batch_format="pyarrow",
+    # iterations chain LAZILY — each round's contributions are consumed
+    # exactly once by the next round, so one streaming execution runs
+    # all ``iterations`` exchanges back to back
+    stream = edges.map_batches(contrib0, batch_format="pyarrow")
+    for k in range(iterations):
+        inp = edges_tagged.union(sentinels).union(stream)
+        stream = inp.groupby("_b").map_groups(
+            fused_step(last=(k == iterations - 1)), batch_format="pandas"
         )
 
-    return scores.map_batches(
+    return stream.map_batches(
         lambda t: pa.table({"node": t["v"], "score": t["s"]}), batch_format="pyarrow"
     )
 

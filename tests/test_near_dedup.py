@@ -148,3 +148,40 @@ def test_near_dedup_keep_min_score():
         _scored_corpus(), threshold=0.7, keep_by=("quality", "min")
     ).to_pandas()
     assert set(got["doc_id"]) == {0, 12, 20, 99}
+
+
+def test_narrow_transport_matches_wide(ray_session):
+    """jaccard_pairs_narrow must produce the IDENTICAL pair set to
+    jaccard_pairs — same candidates, same threshold and band-equality
+    semantics, only the transport differs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.dedup import jaccard_pairs, jaccard_pairs_narrow
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(120):
+        toks = [vocab[rng.randint(300)] for _ in range(30)]
+        texts.append(" ".join(toks))
+        ids.append(i)
+        if i % 3 == 0:  # plant a near-dup: perturb one token
+            toks2 = list(toks)
+            toks2[rng.randint(30)] = vocab[rng.randint(300)]
+            texts.append(" ".join(toks2))
+            ids.append(i + 10_000)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(7)
+
+    def norm(res):
+        df = res.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        df["jaccard"] = df["jaccard"].round(9)
+        return df
+
+    wide = norm(jaccard_pairs(ds, threshold=0.7))
+    narrow = norm(jaccard_pairs_narrow(ds, threshold=0.7))
+    assert len(wide) > 0  # the corpus must actually exercise the path
+    pd.testing.assert_frame_equal(wide, narrow)
