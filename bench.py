@@ -242,22 +242,41 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
 
 
 def _prepare_docs(sf_dir: str, tiles: int) -> str:
-    """Amplified documents table for dedup scaling (cached, untimed):
-    ``tiles`` copies of the sf documents, each with distinct doc_ids and
-    a tile token appended so shingle sets differ across tiles."""
+    """Amplified documents table for dedup scaling (cached, untimed).
+
+    ``tiles`` copies of the sf documents with distinct doc_ids; every
+    doc is truncated to its first 30 tokens and gets 17 unique salt
+    tokens, so the base table's INTERNAL near-dup families don't
+    survive (Jaccard ≈ 30/64 < 0.7 even for identical bases — raw
+    tiling inherited those families 40× over, giving 21 pairs/doc:
+    clique-heavy pair materialization that concentrates quadratic work
+    in single band buckets and measures skew, not the engine). A
+    controlled 10% of docs are planted near-dups of their predecessor
+    (same salts, one extra token → Jaccard ≈ 0.94), so the leg runs in
+    the LSH regime the operator is built for: pairs ≈ 0.1 × docs,
+    cluster size 2."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = WORK_ROOT / f"docs-{Path(sf_dir).name}-t{tiles}.parquet"
+    out = WORK_ROOT / f"docs3-{Path(sf_dir).name}-t{tiles}.parquet"
     if out.exists():
         return str(out)
     WORK_ROOT.mkdir(parents=True, exist_ok=True)
     base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n = base.num_rows
+    base_texts = base["text"].to_pylist()
     ids, texts = [], []
     for j in range(tiles):
         ids.extend((base["doc_id"].to_numpy(zero_copy_only=False) + j * n).tolist())
-        texts.extend(f"{t} tile{j}" for t in base["text"].to_pylist())
+        prev = None
+        for i, t in enumerate(base_texts):
+            if i % 10 == 9 and prev is not None:
+                texts.append(f"{prev} nd")  # planted near-dup of doc i-1
+                continue
+            salt = " ".join(f"s{j}x{i}q{k}" for k in range(17))
+            cur = " ".join(t.split()[:30]) + " " + salt
+            texts.append(cur)
+            prev = cur
     tmp = out.with_suffix(".tmp.parquet")
     pq.write_table(
         pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
@@ -285,13 +304,15 @@ def dedup_once(num_cpus: int) -> dict:
 
     from commons_codec_ray.stages.dedup import jaccard_pairs, jaccard_pairs_narrow
 
-    # "narrow" (default) is the byte-lean transport: ids-only candidate
-    # explode + two signature exchanges — ~3× fewer shuffle bytes than
-    # the signature-riding "wide" path, identical output (see
-    # stages/dedup.py:jaccard_pairs_narrow byte budget)
-    mode = os.environ.get("GRAFT_DEDUP_MODE", "narrow")
+    # transports (identical output, see stages/dedup.py byte budgets):
+    # "wide" (default) — signature rides every band replica, ONE barrier;
+    # wins when aggregate compute is plentiful. "narrow" — byte-lean
+    # (ids-only candidates + two doc-keyed signature exchanges); wins
+    # when bandwidth-per-core is the wall (measured 2.5× faster than
+    # wide at 4 CPUs on the 800k-doc corpus, slower at 16).
+    mode = os.environ.get("GRAFT_DEDUP_MODE", "wide")
     pair_fn = jaccard_pairs_narrow if mode == "narrow" else jaccard_pairs
-    tiles = int(os.environ.get("GRAFT_DEDUP_TILES", "40"))
+    tiles = int(os.environ.get("GRAFT_DEDUP_TILES", "160"))
     path = _prepare_docs(SF_DIR, tiles)
     # parallelism follows input block count through every downstream
     # stage (map -> sort partitions -> verify groups): a 10-row-group

@@ -439,6 +439,28 @@ def _run_pairs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ia_parts), np.concatenate(ib_parts)
 
 
+def _var_binary_from_matrix(mat: np.ndarray, width: int) -> pa.Array:
+    """(n, width/4) contiguous uint32 matrix → variable-width binary
+    array with uniform ``width``-byte values; one buffer copy."""
+    n = mat.shape[0]
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * width).tobytes())
+    data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _var_sig_matrix(col, num_perm: int) -> np.ndarray:
+    """Variable-binary column whose values are ALL ``num_perm*4`` bytes
+    (enforced by construction) → zero-copy (n, num_perm) uint32 view."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), np.uint32)
+    off0 = np.frombuffer(col.buffers()[1], np.int32, count=1, offset=col.offset * 4)[0]
+    return np.frombuffer(
+        col.buffers()[2], dtype=np.uint32, count=n * num_perm, offset=int(off0)
+    ).reshape(n, -1)
+
+
 def jaccard_pairs_narrow(
     ds,
     threshold: float = 0.7,
@@ -452,21 +474,25 @@ def jaccard_pairs_narrow(
     transport.
 
     Byte budget per document (64 perms → W = 256 B uint32 signature,
-    8 bands, 16 B ids/keys):
+    8 bands, ids/keys 8 B each):
 
     - wide (``jaccard_pairs``): the signature rides EVERY band replica —
       one exchange of 8 × (W + 24 B) ≈ 2.2 KB/doc. One barrier, but the
       shuffle and the per-bucket gathers are memory-bandwidth-bound
       (measured 0.32 single-box 4→16 scaling on the verify leg).
-    - narrow (this): candidates move 8 × 16 B = 128 B/doc (ids only),
-      then each signature moves TWICE keyed by doc id (2 × (W + 25) ≈
-      560 B/doc), plus (W + 25) per surviving candidate PAIR ≈ 0 in the
-      LSH regime (candidates ≈ true near-dups ≪ corpus). Total ≈ 0.7
-      KB/doc — 3.2× fewer bytes — across three light exchanges.
+    - narrow (this): candidate explode moves 8 × (24 B + 64 B all-band
+      key vector) ≈ 0.7 KB/doc — the key vector is what lets each LSH
+      bucket apply the minimal-matching-band rule LOCALLY, so every
+      candidate pair enters the attach exchanges exactly once — then
+      each signature moves twice keyed by doc id (2 × (W + 25) ≈ 0.5
+      KB/doc) and once per candidate PAIR (W + 25 each). Pair rows
+      before their signature attaches carry a ZERO-byte variable-width
+      sig, never padding.
 
-    Use narrow when the corpus is large relative to interconnect/memory
-    bandwidth; wide wins at toy scale where per-exchange fixed cost
-    dominates.
+    Total narrow ≈ 1.2 KB/doc + 0.3 KB/pair vs wide's 2.2 KB/doc: ~2×
+    fewer bytes whenever pairs ≲ docs (the LSH regime). On clique-heavy
+    corpora (pairs ≫ docs) the per-pair term dominates and wide wins;
+    at toy scale wide's single barrier also wins on fixed cost.
     """
     num_buckets = num_buckets or adaptive_buckets()
     hasher = hasher or MinHasher()
@@ -474,6 +500,7 @@ def jaccard_pairs_narrow(
     sig_width = num_perm * 4
     n_bands = hasher.bands
     rows_per_band = hasher.rows_per_band
+    allk_width = n_bands * 8
 
     sigs = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
     # consumed twice (candidate explode + signature attach) — materialize
@@ -481,17 +508,21 @@ def jaccard_pairs_narrow(
     sigs = sigs.select_columns([id_column, "_sig"] + [f"band_{b}" for b in range(n_bands)])
     sigs = sigs.materialize()
 
-    # --- exchange 1: id-only band explode → candidate pairs ---------------
+    # --- exchange 1: band explode (ids + all-band key vector) -------------
     def explode_light(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
-        keys = np.concatenate(
+        kmat = np.column_stack(
             [batch[f"band_{b}"].to_numpy(zero_copy_only=False) for b in range(n_bands)]
-        )
+        ).astype(np.int64)
+        keys = kmat.T.reshape(-1)  # band-major, matches np.tile(ids)
         return pa.table(
             {
                 "_cb": pa.array(keys & (num_buckets - 1)),
                 "band_key": pa.array(keys),
                 id_column: pa.array(np.tile(ids, n_bands), pa.int64()),
+                "allk": _fixed_binary(
+                    np.tile(kmat, (n_bands, 1)).view(np.uint32), allk_width
+                ),
             }
         )
 
@@ -504,12 +535,20 @@ def jaccard_pairs_narrow(
             return empty
         keys0 = group["band_key"].to_numpy(zero_copy_only=False)
         ids0 = group[id_column].to_numpy(zero_copy_only=False)
+        allk = _sig_matrix(group["allk"], n, n_bands * 2, allk_width).view(np.int64)
         order = np.lexsort((ids0, keys0))
-        keys, ids = keys0[order], ids0[order]
+        keys, ids, allk = keys0[order], ids0[order], allk[order]
         ia, ib = _run_pairs(keys)
         if not len(ia):
             return empty
-        a, b = _distinct_pairs(ids[ia], ids[ib])  # ids ascend within runs
+        # minimal-matching-band rule on the key vectors: the SAME pair
+        # surfaces in every band whose keys collide — only the bucket
+        # holding the FIRST such band emits it, so the pair enters the
+        # attach exchanges exactly once with no global dedup pass
+        cur_b = (keys[ia] >> 32).astype(np.int64)
+        eqk = allk[ia] == allk[ib]  # (m, n_bands)
+        keep = eqk.argmax(axis=1) == cur_b  # eqk[cur_b] is True by construction
+        a, b = ids[ia][keep], ids[ib][keep]  # ids ascend within runs
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
     cand = (
@@ -519,6 +558,8 @@ def jaccard_pairs_narrow(
     )
 
     # --- tagged-union rows for the two signature-attach exchanges ---------
+    # sig is VARIABLE-width binary: sig rows carry the real W bytes, pair
+    # rows carry ZERO bytes until their signature attaches — padding-free
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = t[id_column].to_numpy(zero_copy_only=False)
         n = len(ids)
@@ -527,10 +568,14 @@ def jaccard_pairs_narrow(
                 "_b": hash_bucket(ids, num_buckets),
                 "a": pa.array(ids, pa.int64()),
                 "b": pa.array(np.zeros(n, np.int64)),
-                "sig": t["_sig"],
+                "sig": t["_sig"].cast(pa.binary()),
                 "is_sig": pa.array(np.ones(n, bool)),
             }
         )
+
+    def _empty_binary(n: int) -> pa.Array:
+        offsets = pa.py_buffer(np.zeros(n + 1, np.int32).tobytes())
+        return pa.Array.from_buffers(pa.binary(), n, [None, offsets, pa.py_buffer(b"")])
 
     def pair_rows(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -541,28 +586,31 @@ def jaccard_pairs_narrow(
                 "_b": hash_bucket(a, num_buckets),
                 "a": pa.array(a, pa.int64()),
                 "b": pa.array(b, pa.int64()),
-                "sig": _fixed_binary(np.zeros((n, num_perm), np.uint32), sig_width),
+                "sig": _empty_binary(n),
                 "is_sig": pa.array(np.zeros(n, bool)),
             }
         )
 
-    def attach_a(group: pa.Table) -> pa.Table:
-        is_sig = group["is_sig"].to_numpy(zero_copy_only=False)
-        mat = _sig_matrix(group["sig"], group.num_rows, num_perm, sig_width)
-        a = group["a"].to_numpy(zero_copy_only=False)
-        b = group["b"].to_numpy(zero_copy_only=False)
-        sid = a[is_sig]
-        smat = mat[is_sig]
+    def _split(group: pa.Table):
+        mask = group["is_sig"]
+        sig_t = group.filter(mask)
+        pair_t = group.filter(pc.invert(mask))
+        sid = sig_t["a"].to_numpy(zero_copy_only=False)
+        smat = _var_sig_matrix(sig_t["sig"], num_perm)
         s_order = np.argsort(sid, kind="stable")
-        sid, smat = sid[s_order], smat[s_order]
-        pa_, pb = _distinct_pairs(a[~is_sig], b[~is_sig])  # cross-bucket dedup
+        return sid[s_order], smat[s_order], pair_t
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        sid, smat, pair_t = _split(group)
+        pa_ = pair_t["a"].to_numpy(zero_copy_only=False)
+        pb = pair_t["b"].to_numpy(zero_copy_only=False)
         if not len(pa_):
             return pa.table(
                 {
                     "_b": pa.array([], pa.int64()),
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
-                    "sig": pa.array([], pa.binary(sig_width)),
+                    "sig": pa.array([], pa.binary()),
                     "is_sig": pa.array([], pa.bool_()),
                 }
             )
@@ -572,7 +620,7 @@ def jaccard_pairs_narrow(
                 "_b": hash_bucket(pb, num_buckets),
                 "a": pa.array(pa_, pa.int64()),
                 "b": pa.array(pb, pa.int64()),
-                "sig": _fixed_binary(sig_a, sig_width),
+                "sig": _var_binary_from_matrix(sig_a, sig_width),
                 "is_sig": pa.array(np.zeros(len(pa_), bool)),
             }
         )
@@ -582,17 +630,12 @@ def jaccard_pairs_narrow(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-        is_sig = group["is_sig"].to_numpy(zero_copy_only=False)
-        if is_sig.all() or not is_sig.any():
+        sid, smat, pair_t = _split(group)
+        pa_ = pair_t["a"].to_numpy(zero_copy_only=False)
+        pb = pair_t["b"].to_numpy(zero_copy_only=False)
+        if not len(pa_) or not len(sid):
             return empty
-        mat = _sig_matrix(group["sig"], group.num_rows, num_perm, sig_width)
-        a = group["a"].to_numpy(zero_copy_only=False)
-        b = group["b"].to_numpy(zero_copy_only=False)
-        sid = a[is_sig]
-        smat = mat[is_sig]
-        s_order = np.argsort(sid, kind="stable")
-        sid, smat = sid[s_order], smat[s_order]
-        pa_, pb, sig_a = a[~is_sig], b[~is_sig], mat[~is_sig]
+        sig_a = _var_sig_matrix(pair_t["sig"], num_perm)
         sig_b = smat[np.searchsorted(sid, pb)]
         eqs = sig_a == sig_b  # (npairs, num_perm)
         est = eqs.mean(axis=1)
@@ -603,7 +646,7 @@ def jaccard_pairs_narrow(
              "jaccard": pa.array(est[keep])}
         )
 
-    # --- exchange 2: attach sig(id_a), dedup pairs globally ---------------
+    # --- exchange 2: attach sig(id_a) --------------------------------------
     with_a = (
         sigs.map_batches(sig_rows, batch_format="pyarrow")
         .union(cand.map_batches(pair_rows, batch_format="pyarrow"))

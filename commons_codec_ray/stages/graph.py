@@ -57,90 +57,108 @@ def pagerank(
     """
     nb = num_buckets or adaptive_buckets()
 
-    def to_sbucket(t: pa.Table) -> pa.Table:
-        return pa.table(
+    # --- setup: ONE exchange builds the whole static per-run state -------
+    # tagged-union schema throughout: kind 0 = edge rows (key=src, dst,
+    # deg), kind 1 = contribution/sentinel rows (key=node, c=incoming
+    # contribution; sentinels carry c=0 so every node — including
+    # dangling and source-only nodes — computes a score and emits its
+    # out-contributions).  Raw edges route to hash(src), node candidates
+    # (src ∪ dst) to hash(v); the per-bucket merge dedupes multi-edges,
+    # counts outdegrees AND dedupes the node set in the same pass — the
+    # former separate edge-dedupe and node-distinct exchanges collapse
+    # into this one sort.
+    def explode_setup(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.unique(np.concatenate([s, d]))  # batch-local candidates
+        ne, nv = len(s), len(v)
+        z = np.zeros(nv, np.int64)
+        edges_part = pa.table(
             {
-                "_sb": hash_bucket(t[src].to_numpy(zero_copy_only=False), nb),
-                "src": t[src].cast(pa.int64()),
-                "dst": t[dst].cast(pa.int64()),
+                "_b": hash_bucket(s, nb),
+                "key": pa.array(s),
+                "dst": pa.array(d),
+                "deg": pa.array(np.zeros(ne, np.int64)),
+                "c": pa.array(np.zeros(ne, np.int64)),
+                "kind": pa.array(np.zeros(ne, np.int8)),
             }
         )
+        nodes_part = pa.table(
+            {
+                "_b": hash_bucket(v, nb),
+                "key": pa.array(v),
+                "dst": pa.array(z),
+                "deg": pa.array(np.ones(nv, np.int64)),
+                "c": pa.array(z),
+                "kind": pa.array(np.ones(nv, np.int8)),
+            }
+        )
+        return pa.concat_tables([edges_part, nodes_part])
 
-    def dedupe_and_degree(g: pd.DataFrame) -> pd.DataFrame:
-        e = g.drop_duplicates(["src", "dst"])
-        deg = e.groupby("src")["dst"].transform("size")
-        return pd.DataFrame(
-            {"_sb": g["_sb"].iloc[0], "src": e["src"], "dst": e["dst"], "deg": deg}
+    def setup_group(g: pd.DataFrame) -> pa.Table:
+        e = g[g["kind"] == 0].drop_duplicates(["key", "dst"])
+        deg = e.groupby("key")["dst"].transform("size").to_numpy(np.int64)
+        v = np.unique(g.loc[g["kind"] == 1, "key"].to_numpy(np.int64))
+        ne, nv = len(e), len(v)
+        zv = np.zeros(nv, np.int64)
+        bucket = np.int64(g["_b"].iloc[0])
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "_b": pa.array(np.full(ne, bucket)),
+                        "key": pa.array(e["key"].to_numpy(np.int64)),
+                        "dst": pa.array(e["dst"].to_numpy(np.int64)),
+                        "deg": pa.array(deg),
+                        "c": pa.array(np.zeros(ne, np.int64)),
+                        "kind": pa.array(np.zeros(ne, np.int8)),
+                    }
+                ),
+                pa.table(
+                    {
+                        "_b": pa.array(np.full(nv, bucket)),
+                        "key": pa.array(v),
+                        "dst": pa.array(zv),
+                        "deg": pa.array(np.ones(nv, np.int64)),
+                        "c": pa.array(zv),
+                        "kind": pa.array(np.ones(nv, np.int8)),
+                    }
+                ),
+            ]
         )
 
-    # static per-run edge state: distinct edges + outdegree, bucketed by
-    # source — materialized once, re-read every iteration
-    edges = (
-        edges_ds.map_batches(to_sbucket, batch_format="pyarrow")
-        .groupby("_sb")
-        .map_groups(dedupe_and_degree, batch_format="pandas")
+    # static state: distinct edges (with outdegree) at hash(src) + one
+    # sentinel per node at hash(v) — materialized once, unioned into
+    # every iteration verbatim
+    static = (
+        edges_ds.map_batches(explode_setup, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(setup_group, batch_format="pandas")
         .materialize()
     )
 
-    # node set: src ∪ dst, distinct inside destination-keyed buckets
-    def node_rows(t: pa.Table) -> pa.Table:
-        v = np.unique(
-            np.concatenate(
-                [
-                    t["src"].to_numpy(zero_copy_only=False),
-                    t["dst"].to_numpy(zero_copy_only=False),
-                ]
-            )
+    # exact node count off the materialized blocks (kilobyte partials)
+    n_nodes = int(
+        sum(
+            r["n"]
+            for r in static.map_batches(
+                lambda t: pa.table(
+                    {"n": pa.array([int((t["kind"].to_numpy(zero_copy_only=False) == 1).sum())])}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
         )
-        return pa.table({"_nb": hash_bucket(v, nb), "v": pa.array(v, pa.int64())})
-
-    nodes = (
-        edges.map_batches(node_rows, batch_format="pyarrow")
-        .groupby("_nb")
-        .map_groups(lambda df: df.drop_duplicates("v"), batch_format="pandas")
-        .materialize()
     )
-    n_nodes = nodes.count()
     s0 = SCALE // n_nodes
     base = 15 * s0 // 100
 
-    # tagged-union schema for the fused bucket: kind 0 = edge rows
-    # (key=src, dst, deg), kind 1 = contribution/sentinel rows (key=node,
-    # c=incoming contribution; sentinels carry c=0 so every node —
-    # including dangling and source-only nodes — computes a score and
-    # emits its out-contributions)
-    def tag_edges(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "_b": t["_sb"],
-                "key": t["src"],
-                "dst": t["dst"],
-                "deg": t["deg"].cast(pa.int64()),
-                "c": pa.array(np.zeros(n, np.int64)),
-                "kind": pa.array(np.zeros(n, np.int8)),
-            }
-        )
-
-    def node_sentinels(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        z = np.zeros(n, np.int64)
-        return pa.table(
-            {
-                "_b": t["_nb"],
-                "key": t["v"],
-                "dst": pa.array(z),
-                "deg": pa.array(np.ones(n, np.int64)),
-                "c": pa.array(z),
-                "kind": pa.array(np.ones(n, np.int8)),
-            }
-        )
-
-    # round-0 contributions come straight off the edge table (uniform
-    # init score s0) — map-only, no exchange
+    # round-0 contributions come straight off the static edge rows
+    # (uniform init score s0) — map-only, no exchange
     def contrib0(t: pa.Table) -> pa.Table:
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        sel = kind == 0
+        d = t["dst"].to_numpy(zero_copy_only=False)[sel]
+        deg = t["deg"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
         n = len(d)
         return pa.table(
             {
@@ -152,9 +170,6 @@ def pagerank(
                 "kind": pa.array(np.ones(n, np.int8)),
             }
         )
-
-    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
-    sentinels = nodes.map_batches(node_sentinels, batch_format="pyarrow").materialize()
 
     def _contrib_table(d: np.ndarray, c: np.ndarray) -> pa.Table:
         n = len(d)
@@ -198,9 +213,9 @@ def pagerank(
     # iterations chain LAZILY — each round's contributions are consumed
     # exactly once by the next round, so one streaming execution runs
     # all ``iterations`` exchanges back to back
-    stream = edges.map_batches(contrib0, batch_format="pyarrow")
+    stream = static.map_batches(contrib0, batch_format="pyarrow")
     for k in range(iterations):
-        inp = edges_tagged.union(sentinels).union(stream)
+        inp = static.union(stream)
         stream = inp.groupby("_b").map_groups(
             fused_step(last=(k == iterations - 1)), batch_format="pandas"
         )
