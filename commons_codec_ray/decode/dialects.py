@@ -260,8 +260,48 @@ def decode_mongo(payload: dict) -> list[OpTuple]:
     raise UnknownOperationError(f"Unknown CDC operation type: {op_type}")
 
 
+def decode_dbz_mongo(payload: dict) -> list[OpTuple]:
+    """Debezium MongoDB CONNECTOR envelope (public Kafka wire format —
+    distinct from the native change stream handled by
+    :func:`decode_mongo`): because Mongo documents are schemaless, the
+    connector ships the row images as Extended-JSON *strings* inside
+    the payload — ``after`` for c/r/u, ``filter`` (the delete criteria
+    document) for d. The decode is therefore two-stage: orjson-parse
+    the embedded string, then Extended-JSON value decode via the M6/M7
+    kernels — the JSON-in-string re-parse pattern (T11) applied at the
+    image level."""
+    import datetime as _dt
+    import json as _json
+
+    from commons_codec_ray.decode import extended_json
+
+    op = payload.get("op")
+    if op is None and "payload" in payload:  # tolerate the schema wrapper
+        payload = payload["payload"]
+        op = payload.get("op")
+    if op in ("c", "r", "u"):
+        raw = payload.get("after")
+        if not isinstance(raw, str):
+            raise MessageFormatError("dbz-mongo op without after string")
+        rec = extended_json.decode_document(_json.loads(raw))
+        rec.pop("_id", None)
+        for k, v in rec.items():
+            if isinstance(v, _dt.datetime):
+                rec[k] = v.isoformat()
+        return [(OP_UPSERT, rec, {})]
+    if op == "d":
+        raw = payload.get("filter")
+        if not isinstance(raw, str):
+            raise MessageFormatError("dbz-mongo delete without filter string")
+        key = extended_json.decode_document(_json.loads(raw))
+        key.pop("_id", None)
+        return [(OP_DELETE, key, {})]
+    raise UnknownOperationError(f"unknown dbz-mongo op: {op!r}")
+
+
 DECODERS = {
     "debezium": decode_debezium,
+    "dbz_mongo": decode_dbz_mongo,
     "binlog": decode_binlog,
     "ddbstream": decode_ddbstream,
     "maxwell": decode_maxwell,

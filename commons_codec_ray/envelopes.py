@@ -283,8 +283,37 @@ def encode_mongo(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> st
     return json.dumps(body, separators=(",", ":"))
 
 
+def encode_dbz_mongo(conv_id, turn_idx, is_del, role, text, tool, ts_iso, lsn) -> str:
+    """Debezium MongoDB connector envelope (public Kafka wire format):
+    row images ride as Extended-JSON STRINGS — ``after`` for c/r/u,
+    ``filter`` for deletes."""
+    oid = f"{int(conv_id[2:]):016x}{int(turn_idx):08x}"
+    key = {
+        "_id": {"$oid": oid},
+        "conv_id": conv_id,
+        "turn_idx": {"$numberInt": str(int(turn_idx))},
+    }
+    if is_del:
+        body = {"op": "d", "after": None, "filter": json.dumps(key, separators=(",", ":"))}
+    else:
+        full = dict(key)
+        full["role"] = role
+        full["text"] = text
+        full["tool"] = tool
+        full["ts"] = {"$date": ts_iso}
+        body = {
+            "op": ("c", "u", "r")[lsn % 3],
+            "after": json.dumps(full, separators=(",", ":")),
+            "filter": None,
+        }
+    body["source"] = {"db": "public", "collection": "transcripts", "lsn": int(lsn)}
+    body["ts_ms"] = int(lsn)
+    return json.dumps(body, separators=(",", ":"))
+
+
 _ENCODERS = {
     "debezium": encode_debezium,
+    "dbz_mongo": encode_dbz_mongo,
     "binlog": encode_binlog,
     "ddbstream": encode_ddbstream,
     "maxwell": encode_maxwell,
@@ -293,9 +322,10 @@ _ENCODERS = {
     "mongo": encode_mongo,
 }
 
-# fixed order for the all-dialect round-robin (lsn % 7)
+# fixed order for the all-dialect round-robin (lsn % len)
 ALL_DIALECTS = (
-    "debezium", "binlog", "ddbstream", "maxwell", "canal", "connect", "mongo",
+    "debezium", "binlog", "ddbstream", "maxwell",
+    "canal", "connect", "mongo", "dbz_mongo",
 )
 
 

@@ -253,10 +253,19 @@ def q_decode_mongo(sf_dir: str):
     return _q_decode(sf_dir, "mongo")
 
 
+def q_decode_dbz_mongo(sf_dir: str):
+    """Debezium MongoDB CONNECTOR envelope decode only (public Kafka
+    wire format, distinct from the native change stream): row images
+    arrive as Extended-JSON STRINGS (after / filter) — orjson re-parse
+    then M6/M7 typed decode, the T11 JSON-in-string pattern at image
+    level."""
+    return _q_decode(sf_dir, "dbz_mongo")
+
+
 def q_cdc_replay_all_dialects(sf_dir: str):
     """The mixed-bus replay: ONE envelope stream round-robining over
-    ALL SEVEN dialects (debezium, binlog, ddbstream, maxwell, canal,
-    connect, mongo — ``lsn % 7``), duplicates included, through the
+    ALL EIGHT dialects (debezium, binlog, ddbstream, maxwell, canal,
+    connect, mongo, dbz_mongo — ``lsn % 8``), duplicates included, through the
     same decode → partition → LWW apply path as cdc_replay. The final
     lake state is dialect-invariant, so the oracle is the shared
     envelope-free replay SQL."""
@@ -1229,6 +1238,65 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+def q_embed_dedup(sf_dir: str):
+    """Embedding-cosine near-dup REMOVAL (the fifth dedup family next to
+    exact / MinHash / SimHash / n-gram Jaccard): greedy
+    keep-smallest-id policy — a vector is dropped iff some smaller-id
+    vector sits within cosine ≥ 0.35. Pairs come from the exact
+    bucket-pair replication join (q_embed_pairs, id_a < id_b always),
+    so the removal set is exactly the distinct id_b side; ONE
+    vec_id-bucketed exchange anti-joins it against the corpus — no
+    broadcast, no driver-side set. At real scale swap the exact pair
+    stage for the LSH/IVF candidate generators (stages/similarity) and
+    keep this verify+remove shape."""
+    nb = adaptive_buckets()
+    pairs = q_embed_pairs(sf_dir)
+
+    def removal_rows(t: pa.Table) -> pa.Table:
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": hash_bucket(b, nb),
+                "vec_id": pa.array(b, pa.int64()),
+                "is_rm": pa.array(np.ones(len(b), bool)),
+            }
+        )
+
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": hash_bucket(v, nb),
+                "vec_id": pa.array(v, pa.int64()),
+                "is_rm": pa.array(np.zeros(len(v), bool)),
+            }
+        )
+
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        rm = df.loc[df["is_rm"], "vec_id"].unique()
+        keep = df.loc[~df["is_rm"], "vec_id"]
+        return pd.DataFrame({"vec_id": keep[~keep.isin(rm)].to_numpy(np.int64)})
+
+    return (
+        corpus.map_batches(corpus_rows, batch_format="pyarrow")
+        .union(pairs.map_batches(removal_rows, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(survivors, batch_format="pandas")
+    )
+
+
+_EMBED_DEDUP_SQL = """
+SELECT v.vec_id FROM embeddings v
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings u
+  WHERE u.vec_id < v.vec_id
+    AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                               CAST(v.embedding AS DOUBLE[])) >= 0.35)
 """
 
 
@@ -7929,6 +7997,8 @@ QUERIES = {
     "cdc_decode_maxwell": q_decode_maxwell,
     "cdc_decode_canal": q_decode_canal,
     "cdc_decode_mongo": q_decode_mongo,
+    "cdc_decode_dbz_mongo": q_decode_dbz_mongo,
+    "embed_dedup": q_embed_dedup,
     "cdc_replay_all_dialects": q_cdc_replay_all_dialects,
     "mongo_full_load": q_mongo_full_load,
     "ddb_decimal_sum": q_ddb_decimal_sum,
@@ -8092,6 +8162,8 @@ ORACLE_SQL = {
     "cdc_decode_maxwell": _DECODE_SQL,
     "cdc_decode_canal": _DECODE_SQL,
     "cdc_decode_mongo": _DECODE_SQL,
+    "cdc_decode_dbz_mongo": _DECODE_SQL,
+    "embed_dedup": _EMBED_DEDUP_SQL,
     "cdc_replay_all_dialects": _CDC_REPLAY_SQL,
     "mongo_full_load": _MONGO_FULL_LOAD_SQL,
     "ddb_decimal_sum": _DDB_DECIMAL_SUM_SQL,

@@ -417,3 +417,40 @@ class TestMongo:
         [(op, rec, _)] = decode_mongo(de)
         assert op == OP_DELETE
         assert rec == {"conv_id": "c-9", "turn_idx": 7}
+
+
+class TestDbzMongo:
+    """Debezium MongoDB CONNECTOR envelope (string-embedded Extended
+    JSON images) — distinct from the native change stream (TestMongo)."""
+
+    def test_create_and_delete_roundtrip(self):
+        import json
+
+        from commons_codec_ray.decode.dialects import decode_dbz_mongo
+        from commons_codec_ray.envelopes import encode_dbz_mongo
+
+        ts = "2024-07-12T01:17:42.000123"
+        up = json.loads(encode_dbz_mongo("c-3", 5, False, "user", "hey", "search", ts, 9))
+        assert isinstance(up["after"], str)  # image is a STRING on the wire
+        [(op, rec, _)] = decode_dbz_mongo(up)
+        assert op == OP_UPSERT
+        assert rec == {"conv_id": "c-3", "turn_idx": 5, "role": "user",
+                       "text": "hey", "tool": "search", "ts": ts}
+        de = json.loads(encode_dbz_mongo("c-3", 5, True, None, None, None, ts, 9))
+        [(op, rec, _)] = decode_dbz_mongo(de)
+        assert op == OP_DELETE
+        assert rec == {"conv_id": "c-3", "turn_idx": 5}
+
+    def test_schema_wrapper_tolerated_and_errors(self):
+        import pytest as _pytest
+
+        from commons_codec_ray.decode.dialects import decode_dbz_mongo
+
+        wrapped = {"schema": {"type": "struct"},
+                   "payload": {"op": "c", "after": '{"conv_id":"c-1","turn_idx":{"$numberInt":"2"}}'}}
+        [(op, rec, _)] = decode_dbz_mongo(wrapped)
+        assert op == OP_UPSERT and rec["turn_idx"] == 2
+        with _pytest.raises(MessageFormatError):
+            decode_dbz_mongo({"op": "u", "after": None})
+        with _pytest.raises(UnknownOperationError):
+            decode_dbz_mongo({"op": "zz"})
