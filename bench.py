@@ -192,6 +192,7 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "bigrams",
         "pricing_summary",
         "rolling_agg",
+        "pagerank",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []
@@ -392,6 +393,7 @@ def _scaling_dict() -> dict:
         out = subprocess.run(
             [sys.executable, __file__, "--headline-only"], env=e,
             capture_output=True, text=True, check=True,
+            timeout=int(os.environ.get("GRAFT_SCALING_LEG_TIMEOUT", "600")),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

@@ -1300,6 +1300,148 @@ WHERE NOT EXISTS (
 """
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-style promo revenue share on exact integer cents: the
+    part→is-promo side collapses to a DENSE BITMAP broadcast (p_partkey
+    is a dense integer key, so the whole dimension becomes ONE byte per
+    part — ~20 MB at 20M parts — `ray.put` once, indexed per batch; the
+    classic broadcast-join special case for dense surrogate keys).
+    Lineitem is filtered to a one-year shipdate window at the read and
+    never shuffled: per-batch partials reduce to two int64 counters."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    promo[pk] = np.asarray(part["p_type"].to_pylist()) == "PROMO"
+    bref = ray.put(promo)
+
+    LO = np.datetime64("1996-01-01T00:00:00", "us")
+    HI = np.datetime64("1997-01-01T00:00:00", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        sel = (ship >= LO) & (ship < HI)
+        p100 = duck_rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        d100 = duck_rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        rev = p100 * (100 - d100)
+        is_promo = ray.get(bref)[t["l_partkey"].to_numpy(zero_copy_only=False)[sel]]
+        return pa.table(
+            {
+                "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_rev = int(parts["promo"].sum())
+    total_rev = int(parts["total"].sum())
+    return pa.table(
+        {
+            "promo_ppm": pa.array([promo_rev * 1_000_000 // total_rev], pa.int64()),
+            "promo_rev": pa.array([promo_rev], pa.int64()),
+            "total_rev": pa.array([total_rev], pa.int64()),
+        }
+    )
+
+
+_PROMO_REVENUE_SQL = """
+WITH l AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+         l_partkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01')
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev ELSE 0 END)
+            * 1000000 // sum(l.rev) AS BIGINT) AS promo_ppm,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev ELSE 0 END) AS BIGINT)
+         AS promo_rev,
+       CAST(sum(l.rev) AS BIGINT) AS total_rev
+FROM l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q_priority_orders(sf_dir: str):
+    """TPC-H-Q4-style EXISTS semi-join: count orders per priority class
+    having at least one RETURNED line item. Shape: lineitem is filtered
+    and reduced to batch-distinct orderkeys (16 B rows), then ONE
+    okey-bucketed exchange co-locates them with the orders side; per
+    bucket a vectorized isin marks matches and emits per-priority count
+    partials — the final groupby runs on 5-row partials."""
+    nb = adaptive_buckets()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t["l_returnflag"], "R")
+        k = np.unique(t.filter(sel)["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "_b": hash_bucket(k, nb),
+                "okey": pa.array(k, pa.int64()),
+                "prio": pa.array([""] * len(k), pa.string()),
+                "is_order": pa.array(np.zeros(len(k), bool)),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": hash_bucket(k, nb),
+                "okey": pa.array(k, pa.int64()),
+                "prio": t["o_orderpriority"],
+                "is_order": pa.array(np.ones(len(k), bool)),
+            }
+        )
+
+    def semi_count(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[~df["is_order"], "okey"].unique()
+        o = df.loc[df["is_order"]]
+        hit = o.loc[o["okey"].isin(keys)]
+        g = hit.groupby("prio", as_index=False).size()
+        return pd.DataFrame({"o_orderpriority": g["prio"], "n_part": g["size"].astype("int64")})
+
+    parts = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(li.map_batches(returned_keys, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(semi_count, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby("o_orderpriority", as_index=False)["n_part"].sum()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+            "n": pa.array(g["n_part"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_PRIORITY_ORDERS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -7999,6 +8141,8 @@ QUERIES = {
     "cdc_decode_mongo": q_decode_mongo,
     "cdc_decode_dbz_mongo": q_decode_dbz_mongo,
     "embed_dedup": q_embed_dedup,
+    "promo_revenue": q_promo_revenue,
+    "priority_orders": q_priority_orders,
     "cdc_replay_all_dialects": q_cdc_replay_all_dialects,
     "mongo_full_load": q_mongo_full_load,
     "ddb_decimal_sum": q_ddb_decimal_sum,
@@ -8164,6 +8308,8 @@ ORACLE_SQL = {
     "cdc_decode_mongo": _DECODE_SQL,
     "cdc_decode_dbz_mongo": _DECODE_SQL,
     "embed_dedup": _EMBED_DEDUP_SQL,
+    "promo_revenue": _PROMO_REVENUE_SQL,
+    "priority_orders": _PRIORITY_ORDERS_SQL,
     "cdc_replay_all_dialects": _CDC_REPLAY_SQL,
     "mongo_full_load": _MONGO_FULL_LOAD_SQL,
     "ddb_decimal_sum": _DDB_DECIMAL_SUM_SQL,
