@@ -2241,7 +2241,13 @@ def q_percent_rank(sf_dir: str):
     tie semantics, cd_ppm = |{value ≤ v}|·10⁶ // n. One exchange: rows
     bucket by the partition key (event_type), each partition ranked
     vectorized (sort + searchsorted — ranks are order statistics, so
-    no per-row loop and no global sort)."""
+    no per-row loop and no global sort).
+
+    Partition-fits-bucket assumption: one event_type's rows land in one
+    pandas group. At extreme per-key cardinality (a single key larger
+    than worker memory) switch the rank pass to the sampled-range
+    machinery of stages/ranking.py:global_rank, which ranks one
+    PARTITION across many range-split buckets."""
     nb = adaptive_buckets()
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
