@@ -7394,13 +7394,23 @@ def q_pagerank(sf_dir: str):
     (scale 10^12, floor division everywhere) make the result
     bit-identical at any cluster size AND SQL-expressible — the oracle
     replays the same 4 iterations with unrolled CTEs. Pregel shape: the
-    bucketed distinct-edge + outdegree table is materialized once; each
-    iteration is a scatter exchange (scores meet their out-edges) and a
-    gather exchange (per-destination contribution sum). Same
-    deterministic event-derived graph as q_components, directed."""
-    from commons_codec_ray.stages.graph import pagerank
+    static edge+sentinel state is built in ONE exchange and unioned into
+    each of the four fused scatter+gather iterations. Same
+    deterministic event-derived graph as q_components, directed.
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    Read blocks are capped at ~2×CPUs: Ray's default 200-block read of
+    a small file would flow through FIVE sorts (setup + 4 iterations),
+    and per-sort cost scales with block count — measured 21 s → 2 s at
+    32 cpus from this cap alone. At real scale callers size read blocks
+    to data (~128 MB each) as usual."""
+    from commons_codec_ray.stages.graph import pagerank
+    from commons_codec_ray.util import pool_size
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, 2 * pool_size(1 << 30)),
+    )
 
     def edges(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
