@@ -185,3 +185,37 @@ def test_narrow_transport_matches_wide(ray_session):
     narrow = norm(jaccard_pairs_narrow(ds, threshold=0.7))
     assert len(wide) > 0  # the corpus must actually exercise the path
     pd.testing.assert_frame_equal(wide, narrow)
+
+
+def test_narrow_matches_wide_on_cliques(ray_session):
+    """Clique-heavy corpus (many identical docs): every band of a clique
+    pair collides, so the minimal-matching-band rule must still emit
+    each pair exactly once across buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commons_codec_ray.stages.dedup import jaccard_pairs, jaccard_pairs_narrow
+
+    texts, ids = [], []
+    for c in range(4):  # four cliques of 7 identical docs
+        base = " ".join(f"c{c}tok{k}" for k in range(25))
+        for m in range(7):
+            texts.append(base)
+            ids.append(c * 100 + m)
+    for i in range(40):  # unique background docs
+        texts.append(" ".join(f"u{i}x{k}" for k in range(25)))
+        ids.append(10_000 + i)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(5)
+
+    def norm(res):
+        df = res.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        df["jaccard"] = df["jaccard"].round(9)
+        return df
+
+    wide = norm(jaccard_pairs(ds, threshold=0.7))
+    narrow = norm(jaccard_pairs_narrow(ds, threshold=0.7))
+    assert len(wide) == 4 * (7 * 6 // 2)  # full cliques, nothing else
+    pd.testing.assert_frame_equal(wide, narrow)
