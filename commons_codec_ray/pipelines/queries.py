@@ -410,6 +410,29 @@ FROM events GROUP BY event_type
 """
 
 
+def q_cdc_replay_mongo(sf_dir: str):
+    """End-to-end replay driven ENTIRELY by MongoDB change-stream
+    envelopes (the reference's flagship dialect): encode → decode_mongo
+    → hash partition → LWW apply, duplicates included — proves the
+    mongo grammar carries inserts/updates/replaces/deletes through the
+    full lake path alone, not just the decode stage. Oracle: the shared
+    envelope-free replay SQL (final state is dialect-invariant)."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(
+        EventsToEnvelopes(dialect="mongo", duplicates=True), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+    return apply_changes(ds, cfg)
+
+
 _DECODE_SQL = """
 SELECT CASE WHEN event_id % 10 = 7 THEN 'DELETE' ELSE 'UPSERT' END AS op,
        'c-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -8223,6 +8246,7 @@ QUERIES = {
     "cdc_decode_maxwell": q_decode_maxwell,
     "cdc_decode_canal": q_decode_canal,
     "cdc_decode_mongo": q_decode_mongo,
+    "cdc_replay_mongo": q_cdc_replay_mongo,
     "cdc_decode_dbz_mongo": q_decode_dbz_mongo,
     "embed_dedup": q_embed_dedup,
     "promo_revenue": q_promo_revenue,
@@ -8391,6 +8415,7 @@ ORACLE_SQL = {
     "cdc_decode_maxwell": _DECODE_SQL,
     "cdc_decode_canal": _DECODE_SQL,
     "cdc_decode_mongo": _DECODE_SQL,
+    "cdc_replay_mongo": _CDC_REPLAY_SQL,
     "cdc_decode_dbz_mongo": _DECODE_SQL,
     "embed_dedup": _EMBED_DEDUP_SQL,
     "promo_revenue": _PROMO_REVENUE_SQL,
