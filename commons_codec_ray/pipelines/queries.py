@@ -3410,6 +3410,72 @@ FROM events GROUP BY ROLLUP (event_type, dayofweek(ts))
 """
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, weekday), same single-pass shape as
+    q_rollup: sums/counts are distributive, so the per-weekday level
+    (the one CUBE adds over ROLLUP) is also derived from the finest
+    aggregate — four grouping sets, one scan."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        dow = (days + 4) % 7
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "dow": dow,
+                "v100": duck_rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("v100", "size"), sv100=("v100", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "dow"], as_index=False)
+        .sum()
+    )
+    by_type = fine.groupby("event_type", as_index=False)[["n", "sv100"]].sum()
+    by_type["dow"] = pd.NA
+    by_dow = fine.groupby("dow", as_index=False)[["n", "sv100"]].sum()
+    by_dow["event_type"] = None
+    total = pd.DataFrame(
+        {"event_type": [None], "dow": [pd.NA],
+         "n": [fine["n"].sum()], "sv100": [fine["sv100"].sum()]}
+    )
+    out = pd.concat([fine, by_type, by_dow, total], ignore_index=True)
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [None if v is None else str(v) for v in out["event_type"]],
+                pa.string(),
+            ),
+            "dow": pa.array(
+                [None if pd.isna(v) else int(v) for v in out["dow"]], pa.int64()
+            ),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "sv100": pa.array(out["sv100"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100
+FROM events GROUP BY CUBE (event_type, dayofweek(ts))
+"""
+
+
 def q_zonemap_prune(sf_dir: str):
     """Zone-map (min/max stats) file pruning — the second lake-pruning
     primitive next to hive partitioning (partition_prune): events are
@@ -8307,6 +8373,7 @@ QUERIES = {
     "cross_source_dups": q_cross_source_dups,
     "weekday_profile": q_weekday_profile,
     "rollup": q_rollup,
+    "cube": q_cube,
     "lm_score": q_lm_score,
     "lm_score_sharded": q_lm_score_sharded,
     "typo_pairs": q_typo_pairs,
@@ -8345,6 +8412,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "pii_scrub": q_pii_scrub,
     "rollup": q_rollup,
+    "cube": q_cube,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
@@ -8476,6 +8544,7 @@ ORACLE_SQL = {
     "cross_source_dups": _CROSS_SOURCE_DUPS_SQL,
     "weekday_profile": _WEEKDAY_PROFILE_SQL,
     "rollup": _ROLLUP_SQL,
+    "cube": _CUBE_SQL,
     "lm_score": _LM_SCORE_SQL,
     "lm_score_sharded": _LM_SCORE_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
@@ -8514,6 +8583,7 @@ ORACLE_SQL = {
     "approx_quantiles": _APPROX_QUANTILES_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
     "rollup": _ROLLUP_SQL,
+    "cube": _CUBE_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
