@@ -3476,6 +3476,54 @@ FROM events GROUP BY CUBE (event_type, dayofweek(ts))
 """
 
 
+def q_unpivot(sf_dir: str):
+    """UNPIVOT (wide → long, the reshape inverse of pivot_event_types):
+    the four lineitem measure columns explode into (measure, v100) rows
+    on exact integer cents — a pure map (4× tile + interleave per
+    batch), no exchange, predicate pushed into the parquet read."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=pc.field("l_orderkey") < 1000,
+    )
+    MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        n = len(ok)
+        names = np.concatenate([np.full(n, m, dtype=object) for m in MEASURES])
+        vals = np.concatenate(
+            [
+                duck_rint(t[m].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+                for m in MEASURES
+            ]
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(np.tile(ok, len(MEASURES)), pa.int64()),
+                "l_linenumber": pa.array(np.tile(ln, len(MEASURES)), pa.int64()),
+                "measure": pa.array(names, pa.string()),
+                "v100": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return li.map_batches(explode, batch_format="pyarrow")
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       measure, CAST(round(value * 100) AS BIGINT) AS v100
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 1000)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE value)
+"""
+
+
 def q_zonemap_prune(sf_dir: str):
     """Zone-map (min/max stats) file pruning — the second lake-pruning
     primitive next to hive partitioning (partition_prune): events are
@@ -8374,6 +8422,7 @@ QUERIES = {
     "weekday_profile": q_weekday_profile,
     "rollup": q_rollup,
     "cube": q_cube,
+    "unpivot": q_unpivot,
     "lm_score": q_lm_score,
     "lm_score_sharded": q_lm_score_sharded,
     "typo_pairs": q_typo_pairs,
@@ -8413,6 +8462,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "rollup": q_rollup,
     "cube": q_cube,
+    "unpivot": q_unpivot,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
@@ -8545,6 +8595,7 @@ ORACLE_SQL = {
     "weekday_profile": _WEEKDAY_PROFILE_SQL,
     "rollup": _ROLLUP_SQL,
     "cube": _CUBE_SQL,
+    "unpivot": _UNPIVOT_SQL,
     "lm_score": _LM_SCORE_SQL,
     "lm_score_sharded": _LM_SCORE_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
@@ -8584,6 +8635,7 @@ ORACLE_SQL = {
     "pii_scrub": _PII_SCRUB_SQL,
     "rollup": _ROLLUP_SQL,
     "cube": _CUBE_SQL,
+    "unpivot": _UNPIVOT_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
