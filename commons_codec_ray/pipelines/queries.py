@@ -6566,6 +6566,73 @@ GROUP BY 1
 """
 
 
+def q_orc_ingest(sf_dir: str):
+    """ORC source path — the custom-format pattern for anything Ray Data
+    has no native reader for: events staged as ORC shards (untimed,
+    cached prep), listed with ray.data.read_binary_files(paths only) and
+    decoded per shard inside map_batches via pyarrow.orc — one task per
+    shard, columns pruned at the ORC reader, zero driver-side bytes.
+    Aggregates per type on exact integer cents like csv/jsonl ingest."""
+    from pathlib import Path
+
+    from pyarrow import orc as _orc
+
+    stage = _stage_dir("ccr_orc", sf_dir)
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        n_shards = 8
+        per = (t.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            _orc.write_table(t.slice(s * per, per), str(stage / f"part-{s:02d}.orc"))
+        done.touch()
+
+    files = sorted(str(p) for p in Path(stage).glob("*.orc"))
+    paths = rd.from_items([{"path": p} for p in files])
+
+    def decode_shard(t: pa.Table) -> pa.Table:
+        parts = []
+        for p in t["path"].to_pylist():
+            tbl = _orc.read_table(p, columns=["event_type", "value"])
+            df = pd.DataFrame(
+                {
+                    "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                    "v100": duck_rint(
+                        tbl["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                }
+            )
+            parts.append(
+                df.groupby("event_type", as_index=False).agg(
+                    sv100=("v100", "sum"), n=("v100", "size")
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False)
+
+    parts = paths.map_batches(
+        decode_shard, batch_format="pyarrow", batch_size=1
+    ).to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_ORC_INGEST_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_jsonl_ingest(sf_dir: str):
     """Line-delimited JSON source path (S3-staging-file shape the
     reference's DMS full load consumes): events staged as NDJSON shards
@@ -8488,6 +8555,7 @@ QUERIES = {
     "cdc_scd2": q_cdc_scd2,
     "string_join": q_string_join,
     "jsonl_ingest": q_jsonl_ingest,
+    "orc_ingest": q_orc_ingest,
     "components": q_components,
     "mode_per_group": q_mode_per_group,
     "sft_pairs": q_sft_pairs,
@@ -8661,6 +8729,7 @@ ORACLE_SQL = {
     "cdc_scd2": _CDC_SCD2_SQL,
     "string_join": _STRING_JOIN_SQL,
     "jsonl_ingest": _JSONL_INGEST_SQL,
+    "orc_ingest": _ORC_INGEST_SQL,
     "components": _COMPONENTS_SQL,
     "mode_per_group": _MODE_PER_GROUP_SQL,
     "sft_pairs": _SFT_PAIRS_SQL,
