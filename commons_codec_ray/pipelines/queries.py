@@ -8103,6 +8103,78 @@ GROUP BY n.n_name, feed.change
 """
 
 
+class PiiScrubber:
+    """Stateful map_batches stage: regex PII scrubbing (emails, phone
+    shapes) with patterns COMPILED ONCE per actor in __init__ — the
+    load-once-per-worker pattern for the most common training-data
+    hygiene pass. Patterns are RE2-compatible (no backrefs/lookaround)
+    so the DuckDB oracle's regexp_replace matches byte-for-byte."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\b\d{3}[-.]\d{4}\b"
+
+    def __init__(self):
+        import re
+
+        self.email = re.compile(self.EMAIL)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # plant deterministic PII so the scrub is exercised on every row
+        # (the synthetic corpus contains none); the oracle plants the
+        # same prefix in SQL
+        texts = [
+            f"contact u{int(i)}@example.com tel 555-0100 {s}"
+            for i, s in zip(ids, t["text"].to_pylist())
+        ]
+        scrubbed = [
+            self.phone.sub("[PHONE]", self.email.sub("[EMAIL]", s)) for s in texts
+        ]
+        n_email = [s.count("[EMAIL]") for s in scrubbed]
+        n_phone = [s.count("[PHONE]") for s in scrubbed]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(scrubbed, pa.string()),
+                "n_email": pa.array(n_email, pa.int64()),
+                "n_phone": pa.array(n_phone, pa.int64()),
+            }
+        )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing over the documents corpus: emails and phone shapes
+    replaced with typed placeholders, per-doc redaction counts kept for
+    audit. Actor-pool stage (patterns compiled once per actor); oracle
+    is DuckDB regexp_replace with the identical RE2 patterns."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        PiiScrubber, concurrency=pool_size(4), batch_format="pyarrow"
+    )
+
+
+_PII_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         'contact u' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-0100 '
+           || text AS text
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '{PiiScrubber.EMAIL}', '[EMAIL]', 'g'),
+           '{PiiScrubber.PHONE}', '[PHONE]', 'g') AS text
+  FROM planted)
+SELECT doc_id, text,
+       CAST(length(text) - length(replace(text, '[EMAIL]', ''))
+            AS BIGINT) // 7 AS n_email,
+       CAST(length(text) - length(replace(text, '[PHONE]', ''))
+            AS BIGINT) // 7 AS n_phone
+FROM scrubbed
+"""
+
+
 def q_normalize_text(sf_dir: str):
     """Canonical text normalization (stages/text.py ``normalize_text``):
     lowercase, non-alphanumerics → space, squeeze, trim — the standard
@@ -8584,6 +8656,7 @@ QUERIES = {
     "triangles": q_triangles,
     "triangles_exchange": q_triangles_exchange,
     "normalize_text": q_normalize_text,
+    "pii_scrub": q_pii_scrub,
     "histogram": q_histogram,
     "cdc_feed_enriched": q_cdc_feed_enriched,
     "ntile": q_ntile,
@@ -8758,6 +8831,7 @@ ORACLE_SQL = {
     "triangles": _TRIANGLES_SQL,
     "triangles_exchange": _TRIANGLES_SQL,
     "normalize_text": _NORMALIZE_TEXT_SQL,
+    "pii_scrub": _PII_SCRUB_SQL,
     "histogram": _HISTOGRAM_SQL,
     "cdc_feed_enriched": _CDC_FEED_ENRICHED_SQL,
     "ntile": _NTILE_SQL,
