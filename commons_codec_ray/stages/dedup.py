@@ -392,6 +392,40 @@ def jaccard_pairs(
     return exploded.groupby("_b").map_groups(verified_pairs, batch_format="pyarrow")
 
 
+def lsh_params(
+    threshold: float,
+    num_perm: int = 64,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) split of ``num_perm`` minhashes
+    that minimizes the weighted false-positive + false-negative
+    probability integrals of the LSH S-curve P(s) = 1 − (1 − s^r)^b
+    around ``threshold`` — the standard tuning rule from the MinHash
+    literature (as popularized by Mining of Massive Datasets / the
+    datasketch library; numerical integration, no closed form).
+
+    Returns ``(bands, rows_per_band)`` with ``bands · rows == num_perm``.
+    Feed into ``MinHasher(num_perm=..., bands=...)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    xs = np.linspace(0.0, 1.0, 501)
+    best, best_err = None, float("inf")
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - xs**r) ** b
+        below = xs < threshold
+        fp = np.trapz(p[below], xs[below])  # collides though dissimilar
+        fn = np.trapz(1.0 - p[~below], xs[~below])  # misses though similar
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 def _fixed_binary(mat: np.ndarray, width: int) -> pa.Array:
     """(n, width/itemsize) contiguous matrix → fixed-width binary array,
     one buffer copy, no per-row tobytes."""

@@ -219,3 +219,22 @@ def test_narrow_matches_wide_on_cliques(ray_session):
     narrow = norm(jaccard_pairs_narrow(ds, threshold=0.7))
     assert len(wide) == 4 * (7 * 6 // 2)  # full cliques, nothing else
     pd.testing.assert_frame_equal(wide, narrow)
+
+
+def test_lsh_params_tuning():
+    from commons_codec_ray.stages.dedup import MinHasher, lsh_params
+
+    b, r = lsh_params(0.7, 64)
+    assert b * r == 64
+    # the S-curve midpoint (1/b)^(1/r) must sit near the threshold
+    mid = (1.0 / b) ** (1.0 / r)
+    assert abs(mid - 0.7) < 0.2
+    # higher thresholds want FEWER, LONGER bands (collisions harder)
+    b_hi, r_hi = lsh_params(0.9, 64)
+    assert b_hi <= b and r_hi >= r
+    # lower thresholds want MORE, SHORTER bands
+    b_lo, r_lo = lsh_params(0.4, 64)
+    assert b_lo >= b and r_lo <= r
+    # the tuned split drops straight into the hasher
+    h = MinHasher(num_perm=64, bands=b)
+    assert h.rows_per_band == r
