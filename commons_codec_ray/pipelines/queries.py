@@ -433,6 +433,101 @@ def q_cdc_replay_mongo(sf_dir: str):
     return apply_changes(ds, cfg)
 
 
+def q_lake_audit(sf_dir: str):
+    """Post-ingest data-quality audit of the replayed lake — the
+    invariant check a production ingest runs after every backfill:
+    total rows, DISTINCT (conv_id, turn_idx) key count (uniqueness is
+    the lake's primary invariant; a dup means an apply bug), null-text
+    rows and null-role rows. The distinct count is exact and
+    distributed: packed (hash(conv), turn) int keys → batch-distinct →
+    ONE bucketed exchange of key partials → per-bucket distinct counts
+    summed. Oracle recomputes the same audit from the replay CTE."""
+    nb = adaptive_buckets()
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+    lake = apply_changes(ds, cfg)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()  # batch-distinct; cross-batch dups meet in the bucket
+        h = pd.util.hash_array(df["conv_id"].to_numpy(object)).astype(np.int64)
+        text_null = int(pc.sum(pc.is_null(t["text"])).as_py() or 0)
+        role_null = int(pc.sum(pc.is_null(t["role"])).as_py() or 0)
+        n = len(df)
+        pad = lambda x: [x] + [0] * (n - 1) if n else []  # noqa: E731
+        return pa.table(
+            {
+                "_b": hash_bucket(h, nb),
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64), pa.int64()),
+                "rows": pa.array(pad(t.num_rows), pa.int64()),
+                "null_text": pa.array(pad(text_null), pa.int64()),
+                "null_role": pa.array(pad(role_null), pa.int64()),
+            }
+        )
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "keys": [len(df.drop_duplicates(["conv_id", "turn_idx"]))],
+                "rows": [df["rows"].sum()],
+                "null_text": [df["null_text"].sum()],
+                "null_role": [df["null_role"].sum()],
+            }
+        )
+
+    parts = (
+        lake.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    n_rows = int(parts["rows"].sum())
+    n_keys = int(parts["keys"].sum())
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_dup_keys": pa.array([n_rows - n_keys], pa.int64()),
+            "n_null_text": pa.array([int(parts["null_text"].sum())], pa.int64()),
+            "n_null_role": pa.array([int(parts["null_role"].sum())], pa.int64()),
+        }
+    )
+
+
+_LAKE_AUDIT_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         props AS text, event_type AS role, event_id AS lsn
+  FROM events),
+final AS (
+  SELECT conv_id, turn_idx, text, role FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ops) WHERE rn = 1 AND op = 1)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_keys,
+       CAST(count(*) - count(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_dup_keys,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_role
+FROM final
+"""
+
+
 _DECODE_SQL = """
 SELECT CASE WHEN event_id % 10 = 7 THEN 'DELETE' ELSE 'UPSERT' END AS op,
        'c-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -8500,6 +8595,7 @@ QUERIES = {
     "cdc_decode_canal": q_decode_canal,
     "cdc_decode_mongo": q_decode_mongo,
     "cdc_replay_mongo": q_cdc_replay_mongo,
+    "lake_audit": q_lake_audit,
     "cdc_decode_dbz_mongo": q_decode_dbz_mongo,
     "embed_dedup": q_embed_dedup,
     "promo_revenue": q_promo_revenue,
@@ -8675,6 +8771,7 @@ ORACLE_SQL = {
     "cdc_decode_canal": _DECODE_SQL,
     "cdc_decode_mongo": _DECODE_SQL,
     "cdc_replay_mongo": _CDC_REPLAY_SQL,
+    "lake_audit": _LAKE_AUDIT_SQL,
     "cdc_decode_dbz_mongo": _DECODE_SQL,
     "embed_dedup": _EMBED_DEDUP_SQL,
     "promo_revenue": _PROMO_REVENUE_SQL,
