@@ -7765,18 +7765,19 @@ def q_pagerank(sf_dir: str):
     each of the four fused scatter+gather iterations. Same
     deterministic event-derived graph as q_components, directed.
 
-    Read blocks are capped at ~2×CPUs: Ray's default 200-block read of
-    a small file would flow through FIVE sorts (setup + 4 iterations),
-    and per-sort cost scales with block count — measured 21 s → 2 s at
-    32 cpus from this cap alone. At real scale callers size read blocks
-    to data (~128 MB each) as usual."""
+    Read blocks are capped at ~CPUs/2 (floor 8): Ray's default
+    200-block read of a small file would flow through FIVE sorts
+    (setup + 4 iterations), and per-sort cost scales with block count —
+    measured 21 s (default) / 6.7 s (32 blocks) / 2.0 s (8 blocks) at
+    32 cpus. At real scale callers size read blocks to data (~128 MB
+    each) as usual."""
     from commons_codec_ray.stages.graph import pagerank
     from commons_codec_ray.util import pool_size
 
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id"],
-        override_num_blocks=max(8, 2 * pool_size(1 << 30)),
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
     )
 
     def edges(t: pa.Table) -> pa.Table:
