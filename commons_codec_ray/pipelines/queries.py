@@ -6728,6 +6728,120 @@ FROM events GROUP BY event_type
 """
 
 
+def q_top_users_per_type(sf_dir: str):
+    """Exact per-group top-k frequent values (top-3 most active users
+    per event type, deterministic user_id tie-break): per-batch
+    (type, user) count partials combine BEFORE the exchange, one
+    type-keyed exchange merges partials and takes the local top-3 —
+    the exchange moves O(types·users·batches) partial rows, never
+    events; at unbounded user cardinality this is the same shape with
+    the per-type merge spilling to a (type,user)-keyed pre-exchange."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "user_id"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_part"}), preserve_index=False
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "user_id"], as_index=False)["n_part"].sum()
+        g = g.sort_values(["n_part", "user_id"], ascending=[False, True], kind="mergesort")
+        return g.head(3).rename(columns={"n_part": "n"})
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+_TOP_USERS_SQL = """
+SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id)
+WHERE rn <= 3
+"""
+
+
+def q_gzip_ingest(sf_dir: str):
+    """gzip-compressed NDJSON source (the most common raw-crawl drop
+    format): events staged as .json.gz shards (cached prep), ingested
+    with ray.data.read_json + gzip stream decompression in the read
+    tasks (``arrow_open_stream_args``) — decompression scales with the
+    shard count, nothing is gunzipped on the driver. Same per-type
+    exact-cents aggregate as csv/jsonl/orc ingest."""
+    import gzip as _gzip
+
+    from pathlib import Path
+
+    import orjson
+
+    stage = _stage_dir("ccr_gzjson", sf_dir)
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        n_shards = 8
+        per = (t.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            sl = t.slice(s * per, per)
+            with _gzip.open(stage / f"part-{s:02d}.json.gz", "wb", compresslevel=1) as f:
+                for et, v in zip(sl["event_type"].to_pylist(), sl["value"].to_pylist()):
+                    f.write(orjson.dumps({"event_type": et, "value": v}))
+                    f.write(b"\n")
+        done.touch()
+
+    ds = rd.read_json(
+        [str(p) for p in sorted(Path(stage).glob("*.json.gz"))],
+        arrow_open_stream_args={"compression": "gzip"},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "v100": duck_rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            sv100=("v100", "sum"), n=("v100", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_GZIP_INGEST_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_jsonl_ingest(sf_dir: str):
     """Line-delimited JSON source path (S3-staging-file shape the
     reference's DMS full load consumes): events staged as NDJSON shards
@@ -8725,6 +8839,8 @@ QUERIES = {
     "string_join": q_string_join,
     "jsonl_ingest": q_jsonl_ingest,
     "orc_ingest": q_orc_ingest,
+    "gzip_ingest": q_gzip_ingest,
+    "top_users_per_type": q_top_users_per_type,
     "components": q_components,
     "mode_per_group": q_mode_per_group,
     "sft_pairs": q_sft_pairs,
@@ -8901,6 +9017,8 @@ ORACLE_SQL = {
     "string_join": _STRING_JOIN_SQL,
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "orc_ingest": _ORC_INGEST_SQL,
+    "gzip_ingest": _GZIP_INGEST_SQL,
+    "top_users_per_type": _TOP_USERS_SQL,
     "components": _COMPONENTS_SQL,
     "mode_per_group": _MODE_PER_GROUP_SQL,
     "sft_pairs": _SFT_PAIRS_SQL,
