@@ -5225,6 +5225,50 @@ FROM range(512) t(i)
 """
 
 
+def q_audio_windows(sf_dir: str):
+    """Audio-modality plumbing (stages/multimodal.py AudioWindowStage):
+    deterministic fake-PCM payloads (int16 LE, s_k = (doc_id·31 +
+    k·17) % 201 − 100, 1600 samples/doc) ride a REAL Arrow binary
+    column into an actor-pool stage that frombuffer-decodes and
+    explodes fixed 400-sample windows with exact integer energies. The
+    oracle re-derives the same windows arithmetically — binary column
+    in, typed explode out, no driver bytes."""
+    from commons_codec_ray.stages.multimodal import AudioWindowStage
+
+    N_SAMPLES, WINDOW = 1600, 400
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.arange(N_SAMPLES, dtype=np.int64)
+        # (n_docs, N_SAMPLES) int16 PCM, one buffer copy into binary rows
+        pcm = ((ids[:, None] * 31 + k[None, :] * 17) % 201 - 100).astype("<i2")
+        width = N_SAMPLES * 2
+        buf = pa.py_buffer(np.ascontiguousarray(pcm).tobytes())
+        payload = pa.Array.from_buffers(pa.binary(width), len(ids), [None, buf]).cast(
+            pa.binary()
+        )
+        return pa.table({"doc_id": pa.array(ids), "payload": payload})
+
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        AudioWindowStage,
+        fn_constructor_kwargs={"window": WINDOW},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(2),
+    )
+
+
+_AUDIO_WINDOWS_SQL = """
+SELECT d.doc_id,
+       CAST(k // 400 AS BIGINT) AS widx,
+       CAST(sum(((d.doc_id * 31 + k * 17) % 201 - 100)
+                * ((d.doc_id * 31 + k * 17) % 201 - 100)) AS BIGINT) AS energy
+FROM documents d, range(0, 1600) t(k)
+GROUP BY d.doc_id, k // 400
+"""
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame sampling (stages/multimodal.py FrameSampleStage):
     the EXPLODE-shaped multimodal stage — every video row fans out to
@@ -8797,6 +8841,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
+    "audio_windows": q_audio_windows,
     "ngram_jaccard": q_ngram_jaccard,
     "cap_per_source": q_cap_per_source,
     "semi_join": q_semi_join,
@@ -8975,6 +9020,7 @@ ORACLE_SQL = {
     "ivf_topk": _RECALL_GATE_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
+    "audio_windows": _AUDIO_WINDOWS_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "cap_per_source": _CAP_PER_SOURCE_SQL,
     "semi_join": _SEMI_JOIN_SQL,
