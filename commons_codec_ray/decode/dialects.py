@@ -240,6 +240,19 @@ def decode_mongo(payload: dict) -> list[OpTuple]:
     oid = key_dec.pop("_id", None)
     aux = {"_id": str(oid)} if oid is not None else {}
     if op_type == "delete":
+        if not key_dec:
+            # Unsharded collections carry documentKey={_id} only (the
+            # MongoDB default). After popping _id there is nothing left
+            # to map onto the configured (conv_id, turn_idx) key, so a
+            # silent pass-through would emit a null-keyed delete that
+            # removes nothing. Dead-letter instead — the reference keys
+            # Mongo rows by a dedicated oid column
+            # (transform/mongodb.py:244-251), which our key schema does
+            # not carry.
+            raise MessageFormatError(
+                f"delete keyed only by _id ({aux.get('_id')!r}): cannot map "
+                "an unsharded documentKey onto the configured primary key"
+            )
         return [(OP_DELETE, key_dec, aux)]
     if op_type in ("insert", "update", "replace"):
         doc = payload.get("fullDocument")
@@ -294,7 +307,15 @@ def decode_dbz_mongo(payload: dict) -> list[OpTuple]:
         if not isinstance(raw, str):
             raise MessageFormatError("dbz-mongo delete without filter string")
         key = extended_json.decode_document(_json.loads(raw))
-        key.pop("_id", None)
+        oid = key.pop("_id", None)
+        if not key:
+            # same unsharded-collection hazard as decode_mongo: a filter
+            # of {_id} alone cannot address the configured primary key —
+            # dead-letter rather than emit a null-keyed delete
+            raise MessageFormatError(
+                f"dbz-mongo delete keyed only by _id ({oid!r}): cannot map "
+                "onto the configured primary key"
+            )
         return [(OP_DELETE, key, {})]
     raise UnknownOperationError(f"unknown dbz-mongo op: {op!r}")
 

@@ -555,16 +555,16 @@ class CDCPipeline:
         # the ~1 s of fresh-process imports overlaps the control prescan;
         # the first run_epoch waits on readiness
         runner = self._get_runner(keep_actors)
-        all_controls = self._scan_control_events(
-            rd.read_parquet(
-                files,
-                filter=pc.field("source_offset") >= start,
-                columns=["lsn", "source_offset", "dialect", "payload"],
-                override_num_blocks=_decode_parallelism(),
-            )
-        )
         results = []
         try:
+            all_controls = self._scan_control_events(
+                rd.read_parquet(
+                    files,
+                    filter=pc.field("source_offset") >= start,
+                    columns=["lsn", "source_offset", "dialect", "payload"],
+                    override_num_blocks=_decode_parallelism(),
+                )
+            )
             lo = start
             while lo <= max_offset:
                 hi = min(lo + epoch_size, max_offset + 1)

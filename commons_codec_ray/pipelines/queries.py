@@ -7918,17 +7918,19 @@ def q_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py): fixed-point int64 scores
     (scale 10^12, floor division everywhere) make the result
     bit-identical at any cluster size AND SQL-expressible — the oracle
-    replays the same 4 iterations with unrolled CTEs. Pregel shape: the
-    static edge+sentinel state is built in ONE exchange and unioned into
-    each of the four fused scatter+gather iterations. Same
+    replays the same 4 iterations with unrolled CTEs. Actor-sharded
+    Pregel shape: the static edge+sentinel state is routed to shard
+    actors ONCE (no sort at all — map-only setup + per-block routing
+    tasks); each of the four fused scatter+gather iterations moves only
+    the contribution stream shard→shard as plasma objects. Same
     deterministic event-derived graph as q_components, directed.
 
-    Read blocks are capped at ~CPUs/2 (floor 8): Ray's default
-    200-block read of a small file would flow through FIVE sorts
-    (setup + 4 iterations), and per-sort cost scales with block count —
-    measured 21 s (default) / 6.7 s (32 blocks) / 2.0 s (8 blocks) at
-    32 cpus. At real scale callers size read blocks to data (~128 MB
-    each) as usual."""
+    Read blocks are capped at ~CPUs/2 (floor 8): shard count follows
+    the setup block count (pool_size-clamped), and a 200-block default
+    read of a small file would spawn 200 routing tasks for kilobytes
+    of edges. Measured at sf0.1/32 cpus: 3.46 s (r4 unioned variant,
+    5 sorts) → 1.74 s sharded. At real scale callers size read blocks
+    to data (~128 MB each) as usual."""
     from commons_codec_ray.stages.graph import pagerank
     from commons_codec_ray.util import pool_size
 
@@ -8855,9 +8857,6 @@ QUERIES = {
     "quantiles_per_key_sketch": q_quantiles_per_key_sketch,
     "approx_quantiles": q_approx_quantiles,
     "pii_scrub": q_pii_scrub,
-    "rollup": q_rollup,
-    "cube": q_cube,
-    "unpivot": q_unpivot,
     "median_per_user": q_median_per_user,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_ivm": q_cdc_ivm,
@@ -8914,7 +8913,6 @@ QUERIES = {
     "triangles": q_triangles,
     "triangles_exchange": q_triangles_exchange,
     "normalize_text": q_normalize_text,
-    "pii_scrub": q_pii_scrub,
     "histogram": q_histogram,
     "cdc_feed_enriched": q_cdc_feed_enriched,
     "ntile": q_ntile,
@@ -9034,9 +9032,6 @@ ORACLE_SQL = {
     "quantiles_cont": _QUANTILES_CONT_SQL,
     "approx_quantiles": _APPROX_QUANTILES_SQL,
     "pii_scrub": _PII_SCRUB_SQL,
-    "rollup": _ROLLUP_SQL,
-    "cube": _CUBE_SQL,
-    "unpivot": _UNPIVOT_SQL,
     "median_per_user": _MEDIAN_PER_USER_SQL,
     "cdc_change_feed": _CDC_CHANGE_FEED_SQL,
     "cdc_ivm": _CDC_IVM_SQL,
@@ -9093,7 +9088,6 @@ ORACLE_SQL = {
     "triangles": _TRIANGLES_SQL,
     "triangles_exchange": _TRIANGLES_SQL,
     "normalize_text": _NORMALIZE_TEXT_SQL,
-    "pii_scrub": _PII_SCRUB_SQL,
     "histogram": _HISTOGRAM_SQL,
     "cdc_feed_enriched": _CDC_FEED_ENRICHED_SQL,
     "ntile": _NTILE_SQL,

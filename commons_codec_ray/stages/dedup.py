@@ -418,8 +418,10 @@ def lsh_params(
         r = num_perm // b
         p = 1.0 - (1.0 - xs**r) ** b
         below = xs < threshold
-        fp = np.trapz(p[below], xs[below])  # collides though dissimilar
-        fn = np.trapz(1.0 - p[~below], xs[~below])  # misses though similar
+        # np.trapz was renamed np.trapezoid in NumPy 2.0
+        _trapz = getattr(np, "trapezoid", getattr(np, "trapz", None))
+        fp = _trapz(p[below], xs[below])  # collides though dissimilar
+        fn = _trapz(1.0 - p[~below], xs[~below])  # misses though similar
         err = fp_weight * fp + fn_weight * fn
         if err < best_err:
             best, best_err = (b, r), err

@@ -15,19 +15,20 @@ allowed); damping d = 85/100; dangling-node mass is NOT redistributed
     s'(v) = base + 85 · (Σ_{u→v} s(u) // outdeg(u)) // 100,
     base  = 15 · (SCALE // N) // 100
 
-Scale shape: the edge list (with per-source outdegree) is bucketed and
-materialized ONCE.  The classic Pregel round is TWO exchanges (scores →
-source bucket for the scatter join, contributions → destination bucket
-for the gather sum); here they are FUSED into one because both ends key
-by the same node-bucket hash: a node's new score is computed in bucket
-``hash(v)`` (gather), and its out-edges were materialized into that
-same bucket (``hash(src)``) — so the very same map_groups call that
-sums a node's incoming contributions immediately emits its outgoing
-contributions for the NEXT round.  Per iteration: one exchange moving
-(edges ∪ node-sentinels ∪ contributions); the round-0 contributions
-come straight off the edge table (uniform init score, map-only, no
-exchange).  Nothing is ever collected on the driver; per-round state is
-one int64 per node.
+Scale shape (``pagerank``, the actor-sharded default): the edge list
+(with per-source outdegree) is bucketed and routed to shard actors
+ONCE — hash(src) and hash(v) land a node's out-edges and its score in
+the SAME shard, so the classic Pregel round's two exchanges (scores →
+source for the scatter join, contributions → destination for the
+gather sum) fuse into one.  Per iteration only the (node, contribution)
+stream crosses shards, as direct plasma objects between actors; the
+driver forwards A² object refs per round and never touches data.  The
+static edge table never moves after setup — the fix for the
+per-iteration edge re-sort in :func:`pagerank_unioned`, the retained
+pure-Dataset variant whose single ``union + groupby`` exchange per
+round documents the same fused shape without actors.  Round-0
+contributions come straight off the shard-local edges (uniform init
+score, no exchange); per-round state is one int64 per node.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from commons_codec_ray.util import adaptive_buckets, hash_bucket
@@ -43,17 +45,27 @@ from commons_codec_ray.util import adaptive_buckets, hash_bucket
 SCALE = 1_000_000_000_000
 
 
-def pagerank(
+def pagerank_unioned(
     edges_ds,
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
     num_buckets: int | None = None,
 ):
-    """(node:int64, score:int64) after ``iterations`` rounds.
+    """(node:int64, score:int64) after ``iterations`` rounds — the
+    pure-Dataset variant.
 
     ``edges_ds`` holds integer ``src``/``dst`` columns; duplicates are
     collapsed inside the source bucket before the degree count.
+
+    SCALE NOTE: each iteration re-unions the STATIC edge table into the
+    ``groupby("_b")`` exchange, so the (dominant) edge table goes
+    through Ray's sort-based shuffle once per iteration even though its
+    bucket assignment never changes. :func:`pagerank` (the default)
+    pins the static state in shard actors and moves only the
+    contribution stream per round; this variant is kept as the
+    zero-actor fallback and as documentation of the fused
+    scatter+gather exchange shape.
     """
     nb = num_buckets or adaptive_buckets()
 
@@ -223,6 +235,230 @@ def pagerank(
     return stream.map_batches(
         lambda t: pa.table({"node": t["v"], "score": t["s"]}), batch_format="pyarrow"
     )
+
+
+@ray.remote
+def _pagerank_route(tbl: pa.Table, num_shards: int) -> list[pa.Table] | pa.Table:
+    """Split one setup block by owning shard (``_b % num_shards``) so
+    each row moves to its shard actor exactly once (plasma → actor,
+    never via the driver)."""
+    b = tbl["_b"].to_numpy(zero_copy_only=False)
+    owner = b % num_shards
+    order = np.argsort(owner, kind="stable")
+    t = tbl.take(pa.array(order))
+    bounds = np.searchsorted(owner[order], np.arange(num_shards + 1))
+    parts = [t.slice(bounds[o], bounds[o + 1] - bounds[o]) for o in range(num_shards)]
+    return parts if num_shards > 1 else parts[0]
+
+
+@ray.remote
+class _PagerankShard:
+    """One shard of the static PageRank state: the distinct out-edges of
+    every node whose bucket this shard owns, plus the shard's node set.
+
+    The static edge table is routed here ONCE; after :meth:`build` it
+    never moves again. Per iteration only the (node, contribution)
+    stream crosses shards — the fix for the unioned variant's
+    per-iteration re-sort of the edge table. All arithmetic is the same
+    exact fixed-point int64 rule, so results are bit-identical to
+    :func:`pagerank_unioned` and to the unrolled-CTE SQL oracle.
+    """
+
+    def __init__(self, num_shards: int):
+        self.A = num_shards
+        self._parts: list[pa.Table] = []
+
+    def add_static(self, tbl: pa.Table) -> None:
+        if tbl.num_rows:
+            self._parts.append(tbl)
+
+    def build(self, nb: int) -> int:
+        """Dedupe edges, count outdegrees, freeze per-owner edge layout.
+        Returns the shard-local node count (summed on the driver for N).
+        """
+        if self._parts:
+            t = pa.concat_tables(self._parts)
+            kind = t["kind"].to_numpy(zero_copy_only=False)
+            e_sel = kind == 0
+            s = t["key"].to_numpy(zero_copy_only=False)[e_sel].astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False)[e_sel].astype(np.int64)
+            v = np.unique(t["key"].to_numpy(zero_copy_only=False)[~e_sel]).astype(np.int64)
+        else:
+            s = d = np.empty(0, np.int64)
+            v = np.empty(0, np.int64)
+        self._parts = []
+        # distinct directed edges (multi-edges collapse, self-loops stay)
+        if len(s):
+            order = np.lexsort((d, s))
+            s, d = s[order], d[order]
+            keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+            s, d = s[keep], d[keep]
+            # outdegree per source over the distinct edges (every edge of
+            # a source lives in this shard — routing keys on hash(src))
+            starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+            counts = np.diff(np.r_[starts, len(s)])
+            deg = np.repeat(counts, counts)
+        else:
+            deg = np.empty(0, np.int64)
+        self.v = v
+        # freeze the per-owner layout: reorder edges by the owner of
+        # their destination so each iteration's outbox is a pure slice
+        owner = (
+            hash_bucket(d, nb).to_numpy(zero_copy_only=False) % self.A
+            if len(d)
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(owner, kind="stable")
+        self.dst = d[order]
+        self.deg = deg[order].astype(np.int64)
+        self.src_pos = np.searchsorted(v, s[order])
+        self.bounds = np.searchsorted(owner[order], np.arange(self.A + 1))
+        return int(len(v))
+
+    def _outbox(self, c_edge: np.ndarray):
+        outs = [
+            pa.table(
+                {
+                    "key": pa.array(self.dst[self.bounds[o]:self.bounds[o + 1]]),
+                    "c": pa.array(c_edge[self.bounds[o]:self.bounds[o + 1]]),
+                }
+            )
+            for o in range(self.A)
+        ]
+        return outs if self.A > 1 else outs[0]
+
+    def contrib0(self, s0: int):
+        return self._outbox(s0 // self.deg if len(self.deg) else self.deg)
+
+    def step(self, last: bool, base: int, *inboxes: pa.Table):
+        nv = len(self.v)
+        tot = np.zeros(nv, np.int64)
+        if inboxes:
+            keys = np.concatenate(
+                [t["key"].to_numpy(zero_copy_only=False) for t in inboxes]
+            )
+            cs = np.concatenate(
+                [t["c"].to_numpy(zero_copy_only=False) for t in inboxes]
+            )
+            if len(keys):
+                pos = np.searchsorted(self.v, keys)
+                order = np.argsort(pos, kind="stable")
+                ps, csv = pos[order], cs[order]
+                starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+                # int64 reduceat is exact — summation order can't drift
+                tot[ps[starts]] = np.add.reduceat(csv, starts)
+        score = base + 85 * tot // 100
+        if last:
+            return pa.table(
+                {"node": pa.array(self.v), "score": pa.array(score)}
+            )
+        return self._outbox(
+            score[self.src_pos] // self.deg if len(self.deg) else self.deg
+        )
+
+
+def pagerank(
+    edges_ds,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int | None = None,
+    num_shards: int | None = None,
+):
+    """(node:int64, score:int64) after ``iterations`` rounds — the
+    actor-sharded default.
+
+    The static state (distinct edges + outdegree at hash(src), node
+    sentinels at hash(v)) is built and routed to shard actors ONCE;
+    each iteration moves only the (node, contribution) stream between
+    shards as direct plasma objects (the driver forwards ``A²`` object
+    REFS per round, never data). Identical fixed-point arithmetic to
+    :func:`pagerank_unioned`, hence bit-identical results at any shard
+    or bucket count.
+    """
+    from commons_codec_ray.util import pool_size
+
+    nb = num_buckets or adaptive_buckets()
+
+    def explode_setup(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.unique(np.concatenate([s, d]))  # batch-local candidates
+        ne, nv = len(s), len(v)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "_b": hash_bucket(s, nb),
+                        "key": pa.array(s),
+                        "dst": pa.array(d),
+                        "kind": pa.array(np.zeros(ne, np.int8)),
+                    }
+                ),
+                pa.table(
+                    {
+                        "_b": hash_bucket(v, nb),
+                        "key": pa.array(v),
+                        "dst": pa.array(np.zeros(nv, np.int64)),
+                        "kind": pa.array(np.ones(nv, np.int8)),
+                    }
+                ),
+            ]
+        )
+
+    setup_refs = (
+        edges_ds.map_batches(explode_setup, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    A = num_shards or pool_size(max(1, len(setup_refs)))
+    shards = [
+        _PagerankShard.options(scheduling_strategy="SPREAD").remote(A)
+        for _ in range(A)
+    ]
+    try:
+        # route every setup block to its owning shards (plasma → actor)
+        acks = []
+        for blk in setup_refs:
+            parts = _pagerank_route.options(num_returns=A).remote(blk, A)
+            if A == 1:
+                parts = [parts]
+            acks.extend(
+                shards[o].add_static.remote(parts[o]) for o in range(A)
+            )
+        ray.get(acks)
+        n_nodes = sum(ray.get([w.build.remote(nb) for w in shards]))
+        s0 = SCALE // n_nodes
+        base = 15 * s0 // 100
+
+        def _fan(refs_or_ref):
+            return [refs_or_ref] if A == 1 else refs_or_ref
+
+        outs = [
+            _fan(w.contrib0.options(num_returns=A).remote(s0)) for w in shards
+        ]
+        for k in range(iterations):
+            last = k == iterations - 1
+            nxt = []
+            for o, w in enumerate(shards):
+                inbox = [outs[i][o] for i in range(A)]
+                if last:
+                    nxt.append(w.step.remote(True, base, *inbox))
+                else:
+                    nxt.append(
+                        _fan(
+                            w.step.options(num_returns=A).remote(
+                                False, base, *inbox
+                            )
+                        )
+                    )
+            outs = nxt
+        # final refs must be computed before the actors die
+        ray.wait(outs, num_returns=len(outs), fetch_local=False)
+        return rd.from_arrow_refs(outs)
+    finally:
+        for w in shards:
+            ray.kill(w, no_restart=True)
 
 
 def _orient_by_exchange(edges, deg_partial, pack_sb, nb):

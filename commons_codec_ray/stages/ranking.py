@@ -128,6 +128,176 @@ def global_rank(
     return ranked.map_batches(add_offset, batch_format="pyarrow")
 
 
+def _key_codes(arr) -> np.ndarray:
+    """Deterministic int64 code per key for RANGE partitioning.
+
+    Any fixed total order works (boundaries are drawn from the same
+    encoding), so string keys use their first 7 bytes little-endian and
+    integer keys pass through. Collisions between DIFFERENT keys are
+    harmless — per-key counts are computed on the real key — and ties
+    of the SAME key share a code by construction, which is what keeps a
+    (key, value) tie group inside one partition."""
+    a = np.asarray(arr)
+    if a.dtype.kind in "iu":
+        return a.astype(np.int64)
+    return np.fromiter(
+        (int.from_bytes(str(s).encode()[:7].ljust(7, b"\0"), "little") for s in a),
+        np.int64,
+        len(a),
+    )
+
+
+def _composite_partition(
+    codes: np.ndarray, vals: np.ndarray, b_code: np.ndarray, b_val: np.ndarray
+) -> np.ndarray:
+    """p[i] = |{j : (b_code[j], b_val[j]) <= (codes[i], vals[i])}| under
+    lexicographic order — a vectorized composite ``searchsorted`` via
+    one merge lexsort (boundaries sort BEFORE equal rows, so a boundary
+    exactly on a tie group sends the whole group right)."""
+    nb = len(b_code)
+    if nb == 0:
+        return np.zeros(len(codes), np.int64)
+    all_c = np.concatenate([b_code, codes])
+    all_v = np.concatenate([b_val, vals])
+    is_b = np.zeros(len(all_c), bool)
+    is_b[:nb] = True
+    order = np.lexsort((~is_b, all_v, all_c))
+    before = np.cumsum(is_b[order]) - is_b[order]
+    p = np.empty(len(all_c), np.int64)
+    p[order] = before
+    return p[nb:]
+
+
+def keyed_percent_rank(
+    ds,
+    key: str,
+    value: str,
+    tiebreak: str,
+    out_pr: str = "pr_ppm",
+    out_cd: str = "cd_ppm",
+    num_partitions: int | None = None,
+    sample_mod: int = 16,
+):
+    """Exact percent_rank / cume_dist PER KEY that never assumes one
+    key's rows fit one worker (the skew-safe path for
+    ``q_percent_rank``; engine-added, no reference counterpart).
+
+    Shape: (1) a hash-sampled (key_code, value) set yields composite
+    range boundaries (kilobytes on the driver); (2) ONE shuffle
+    range-partitions rows lexicographically by (key_code, value) — a
+    hot key spreads across MANY partitions by value range, while every
+    (key, value) tie group stays in one partition (boundaries come from
+    the same encoding, so the split points can't land inside a tie);
+    (3) per partition, a vectorized lexsort + per-key-run searchsorted
+    yields local less-than / less-or-equal counts; (4) per-(key,
+    partition) row counts — at most keys × partitions rows, kilobytes —
+    prefix-sum into per-key offsets on the driver and broadcast for the
+    final map. Integer parts-per-million outputs (floor division), so
+    results are bit-identical to the single-group pandas path and the
+    SQL window oracle at any partition count.
+    """
+    num_partitions = num_partitions or adaptive_buckets()
+
+    sample = ds.map_batches(
+        lambda t: t.select([key, value]).filter(
+            pa.array(
+                _splitmix(
+                    t[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                % np.uint64(sample_mod)
+                == 0
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(sample) == 0:
+        b_code = np.empty(0, np.int64)
+        b_val = np.empty(0, np.float64)
+    else:
+        sc = _key_codes(sample[key].to_numpy())
+        sv = sample[value].to_numpy(dtype=np.float64)
+        order = np.lexsort((sv, sc))
+        idx = np.unique(
+            np.linspace(0, len(order), num_partitions + 1, dtype=np.int64)[1:-1]
+        )
+        b_code, b_val = sc[order][idx], sv[order][idx]
+    bounds_ref = ray.put((b_code, b_val))
+
+    def assign(t: pa.Table) -> pa.Table:
+        bc, bv = ray.get(bounds_ref)
+        codes = _key_codes(t[key].to_numpy(zero_copy_only=False))
+        vals = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "_rp", pa.array(_composite_partition(codes, vals, bc, bv))
+        )
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        kf, _ = pd.factorize(df[key], sort=False)
+        v = df[value].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, kf))
+        ks, vs = kf[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        less = np.empty(len(ks), np.int64)
+        le = np.empty(len(ks), np.int64)
+        for s, e in zip(starts, ends):  # per KEY-RUN, not per row
+            less[s:e] = np.searchsorted(vs[s:e], vs[s:e], side="left")
+            le[s:e] = np.searchsorted(vs[s:e], vs[s:e], side="right")
+        df = df.copy()
+        inv = np.empty(len(ks), np.int64)
+        inv[order] = np.arange(len(ks))
+        df["_less"] = less[inv]
+        df["_le"] = le[inv]
+        return df
+
+    ranked = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("_rp")
+        .map_groups(local_counts, batch_format="pandas")
+        .materialize()
+    )
+
+    counts = (
+        ranked.map_batches(
+            lambda t: t.select([key, "_rp"])
+            .group_by([key, "_rp"])
+            .aggregate([("_rp", "count")])
+            .rename_columns([key, "_rp", "n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby([key, "_rp"])["n"]
+        .sum()
+        .reset_index()
+        .sort_values([key, "_rp"])
+    )
+    counts["off"] = counts.groupby(key)["n"].cumsum() - counts["n"]
+    totals = counts.groupby(key)["n"].sum()
+    off_map = {
+        (k, int(p)): int(o)
+        for k, p, o in zip(counts[key], counts["_rp"], counts["off"])
+    }
+    n_map = totals.to_dict()
+    maps_ref = ray.put((off_map, n_map))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        off_m, n_m = ray.get(maps_ref)
+        ks = df[key].to_numpy()
+        ps = df["_rp"].to_numpy()
+        off = np.fromiter(
+            (off_m[(k, int(p))] for k, p in zip(ks, ps)), np.int64, len(df)
+        )
+        n = np.fromiter((n_m[k] for k in ks), np.int64, len(df))
+        df = df.copy()
+        df[out_pr] = (off + df["_less"].to_numpy()) * 1_000_000 // np.maximum(
+            n - 1, 1
+        )
+        df[out_cd] = (off + df["_le"].to_numpy()) * 1_000_000 // n
+        return df.drop(columns=["_rp", "_less", "_le"])
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
 def bm25_topk(
     ds,
     query_terms: list[str],

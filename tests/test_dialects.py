@@ -365,6 +365,25 @@ class TestMongo:
         assert decode_mongo(self._msg("drop")) == []
         assert decode_mongo(self._msg("invalidate")) == []
 
+    def test_unsharded_delete_dead_letters(self):
+        # unsharded collections: documentKey is {_id} only (the MongoDB
+        # default) — after the oid routes to aux nothing remains to
+        # address the configured primary key, so the row must
+        # dead-letter instead of emitting a null-keyed delete
+        from commons_codec_ray.decode.dialects import decode_mongo
+
+        with pytest.raises(MessageFormatError, match="keyed only by _id"):
+            decode_mongo(self._msg("delete", key={"_id": {"$oid": self.OID}}))
+
+    def test_dbz_mongo_unsharded_delete_dead_letters(self):
+        import json
+
+        from commons_codec_ray.decode.dialects import decode_dbz_mongo
+
+        msg = {"op": "d", "filter": json.dumps({"_id": {"$oid": self.OID}})}
+        with pytest.raises(MessageFormatError, match="keyed only by _id"):
+            decode_dbz_mongo(msg)
+
     def test_unknown_operation_raises(self):
         from commons_codec_ray.decode.dialects import decode_mongo
 

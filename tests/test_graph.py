@@ -64,6 +64,20 @@ class TestPagerank:
         assert out["score"].sum() <= SCALE
         assert (out["score"] > 0).all()
 
+    def test_sharded_matches_unioned_variant(self, ray_session):
+        # the actor-sharded default and the pure-Dataset unioned variant
+        # run the same fixed-point rule — results must be bit-identical
+        from commons_codec_ray.stages.graph import pagerank_unioned
+
+        a = pagerank(_edges(self.PAIRS), iterations=3, num_shards=3).to_pandas()
+        b = pagerank_unioned(_edges(self.PAIRS), iterations=3).to_pandas()
+        assert dict(zip(a["node"], a["score"])) == dict(zip(b["node"], b["score"]))
+
+    def test_shard_count_invariance(self, ray_session):
+        a = pagerank(_edges(self.PAIRS), iterations=2, num_shards=1).to_pandas()
+        b = pagerank(_edges(self.PAIRS), iterations=2, num_shards=5).to_pandas()
+        assert dict(zip(a["node"], a["score"])) == dict(zip(b["node"], b["score"]))
+
 
 def test_triangle_count_vs_bruteforce(ray_session):
     import itertools
