@@ -134,49 +134,60 @@ def decode_documents(docs, treatment=None):
     return [decode_document(d, treatment) for d in docs]
 
 
-# --- native BSON plug-point (M5) --------------------------------------------
-# The sandbox ships no bson library, so the engine ingests MongoDB
-# Extended JSON directly; where a deployment has pymongo/bson installed,
-# decode_bson turns raw BSON bytes into the same decoded-document shape
-# (ref transform/mongodb.py:89-113 decode_bson). Import-gated, never a
-# hard dependency.
+# --- native BSON ingestion (M5) ---------------------------------------------
+# The reference decodes native BSON via pymongo (ref
+# transform/mongodb.py:89-113 decode_bson). Where pymongo/bson exists it
+# is used (C-accelerated); otherwise the pure-Python wire reader in
+# :mod:`commons_codec_ray.decode.bson_wire` (public BSON spec) decodes
+# the same bytes to the same shapes — the path is never a stub.
 
 try:  # pragma: no cover — exercised only where bson exists
     import bson as _bson
-except ImportError:  # pragma: no cover
+except ImportError:
     _bson = None
+
+from commons_codec_ray.decode import bson_wire as _bson_wire
 
 
 def decode_bson(raw: bytes, treatment=None) -> dict:
     """Raw BSON document bytes → decoded dict (same output contract as
-    :func:`decode_document`). Requires the ``bson`` package (pymongo);
-    raises ``NotImplementedError`` in environments without it."""
+    :func:`decode_document`). Uses pymongo's C codec when installed,
+    else the pure-Python wire reader; both normalize to the Extended
+    JSON decoder's shapes (ObjectId → hex str, Decimal128 → decimal
+    string, datetime → naive UTC)."""
     if _bson is None:
-        raise NotImplementedError(
-            "no bson library in this environment — install pymongo to ingest "
-            "raw BSON; Extended JSON ingestion (decode_document) needs nothing"
-        )
-    doc = _bson.BSON(raw).decode()
-    # bson yields native python types (datetime, ObjectId, Decimal128…);
-    # normalize the driver-specific wrappers to the engine's plain shapes
-    def _norm(v):
-        tname = type(v).__name__
-        if tname == "ObjectId":
-            return str(v)
-        if tname == "Decimal128":
-            return float(v.to_decimal())
-        if tname in ("Int64",):
-            return int(v)
-        if isinstance(v, dict):
-            return {k: _norm(x) for k, x in v.items()}
-        if isinstance(v, list):
-            return [_norm(x) for x in v]
-        return v
+        out = _bson_wire.loads(raw)
+    else:
+        doc = _bson.BSON(raw).decode()
+        # bson yields driver types (datetime, ObjectId, Decimal128…);
+        # normalize the wrappers to the engine's plain shapes
+        def _norm(v):
+            tname = type(v).__name__
+            if tname == "ObjectId":
+                return str(v)
+            if tname == "Decimal128":
+                return str(v.to_decimal())
+            if tname in ("Int64",):
+                return int(v)
+            if isinstance(v, dict):
+                return {k: _norm(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_norm(x) for x in v]
+            return v
 
-    out = {k: _norm(v) for k, v in doc.items()}
+        out = {k: _norm(v) for k, v in doc.items()}
     if treatment is not None:
         out = treatment(out)
     return out
+
+
+def decode_bson_stream(raw: bytes, treatment=None) -> list[dict]:
+    """Concatenated BSON documents (mongodump framing) → list of
+    decoded dicts — the bulk sibling of :func:`decode_bson`."""
+    return [
+        (treatment(d) if treatment is not None else d)
+        for d in _bson_wire.loads_stream(raw)
+    ]
 
 
 # --- converter flags (ST5) --------------------------------------------------

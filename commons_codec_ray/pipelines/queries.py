@@ -15,6 +15,8 @@ them comparable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2082,6 +2084,82 @@ FROM events
 """
 
 
+class _BsonRoundTrip:
+    """Encode each event row to native BSON bytes and decode it back
+    through the pure-Python wire reader (decode/bson_wire.py — the M5
+    path; ref transform/mongodb.py:89-113 does this via pymongo).
+    Exercises nested documents, arrays, int width selection and the
+    ms-precision BSON datetime on real data. Actor-pool stage: the
+    codec is import-bound once per worker."""
+
+    def __init__(self):
+        from commons_codec_ray.decode import bson_wire
+        from commons_codec_ray.decode.extended_json import decode_bson
+
+        self.dumps = bson_wire.dumps
+        self.loads = decode_bson
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = {
+            "event_id": [],
+            "user_id": [],
+            "event_type": [],
+            "value": [],
+            "ts_ms": [],
+            "half": [],
+        }
+        for r in rows:
+            raw = self.dumps(
+                {
+                    "i": r["event_id"],
+                    "u": r["user_id"],
+                    "t": r["event_type"],
+                    "v": r["value"],
+                    "ts": r["ts"],
+                    "meta": {"half": r["value"] / 2, "tags": [r["event_type"]]},
+                }
+            )
+            d = self.loads(raw)
+            out["event_id"].append(d["i"])
+            out["user_id"].append(d["u"])
+            out["event_type"].append(d["t"])
+            out["value"].append(d["v"])
+            out["ts_ms"].append(d["ts"])
+            out["half"].append(d["meta"]["half"])
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"], pa.int64()),
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "value": pa.array(out["value"], pa.float64()),
+                "ts_ms": pa.array(out["ts_ms"], pa.timestamp("us")),
+                "half": pa.array(out["half"], pa.float64()),
+            }
+        )
+
+
+def q_bson_roundtrip(sf_dir: str):
+    """events → per-row BSON bytes → pure-Python wire decode → columns.
+    The oracle is the identity projection (BSON datetimes truncate to
+    milliseconds; halving a float64 is exact in binary)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "ts"],
+    )
+    return ds.map_batches(
+        _BsonRoundTrip, batch_format="pyarrow", concurrency=pool_size(2)
+    )
+
+
+_BSON_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type, value,
+       date_trunc('millisecond', ts) AS ts_ms,
+       value / 2 AS half
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Broadcast join + pre-aggregated rollup (orders ⋈ customer ⋈ nation)
 # ---------------------------------------------------------------------------
@@ -2361,15 +2439,40 @@ def q_percent_rank(sf_dir: str):
     vectorized (sort + searchsorted — ranks are order statistics, so
     no per-row loop and no global sort).
 
-    Partition-fits-bucket assumption: one event_type's rows land in one
-    pandas group. At extreme per-key cardinality (a single key larger
-    than worker memory) switch the rank pass to the sampled-range
-    machinery of stages/ranking.py:global_rank, which ranks one
-    PARTITION across many range-split buckets."""
+    Partition-fits-bucket guard: the fast path lands one event_type's
+    rows in one pandas group, which caps per-key cardinality at worker
+    memory. A cheap per-key count partial (map-only, kilobytes on the
+    driver) checks that bound first; any key above
+    ``GRAFT_PERCENT_RANK_GUARD`` rows (default 4M) switches the whole
+    query to stages/ranking.py:keyed_percent_rank — the sampled
+    composite-range machinery that spreads ONE hot key across many
+    value-range partitions (bit-identical integer outputs either way;
+    tests/test_skew.py pins the equivalence on a one-key-owns-all
+    corpus)."""
     nb = adaptive_buckets()
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     )
+
+    guard = int(os.environ.get("GRAFT_PERCENT_RANK_GUARD", "4000000"))
+    per_key = (
+        events.map_batches(
+            lambda t: t.select(["event_type"])
+            .group_by("event_type")
+            .aggregate([("event_type", "count")])
+            .rename_columns(["event_type", "n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("event_type")["n"]
+        .sum()
+    )
+    if len(per_key) and int(per_key.max()) > guard:
+        from commons_codec_ray.stages.ranking import keyed_percent_rank
+
+        return keyed_percent_rank(
+            events, key="event_type", value="value", tiebreak="event_id"
+        ).select_columns(["event_id", "event_type", "pr_ppm", "cd_ppm"])
 
     def bucketed(t: pa.Table) -> pa.Table:
         et = t["event_type"].to_numpy(zero_copy_only=False)
@@ -8782,6 +8885,7 @@ QUERIES = {
     "iot_sensor_community": q_iot_sensor_community,
     "iot_tts_uplink": q_iot_tts_uplink,
     "ext_json_roundtrip": q_ext_json_roundtrip,
+    "bson_roundtrip": q_bson_roundtrip,
     "bcast_join_agg": q_bcast_join_agg,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -8957,6 +9061,7 @@ ORACLE_SQL = {
     "iot_sensor_community": _IOT_SENSOR_COMMUNITY_SQL,
     "iot_tts_uplink": _IOT_TTS_SQL,
     "ext_json_roundtrip": _EXT_JSON_SQL,
+    "bson_roundtrip": _BSON_ROUNDTRIP_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
     "asof_join": _ASOF_JOIN_SQL,
     "range_join": _RANGE_JOIN_SQL,

@@ -226,28 +226,27 @@ def test_convert_iso8601(value, expected):
     assert convert_iso8601(value) == expected
 
 
-def test_decode_bson_is_gated_stub_without_bson():
-    """M5 plug-point: raw-BSON ingestion is import-gated; without the
-    bson package it fails loudly at the exact plug-in spot."""
-    import pytest
+def test_decode_bson_always_available():
+    """M5: raw-BSON ingestion works with or without pymongo — the
+    pure-Python wire reader (bson_wire.py) backs the path in
+    environments without the C codec. Empty doc + nested round-trip."""
+    from commons_codec_ray.decode.bson_wire import dumps
+    from commons_codec_ray.decode.extended_json import decode_bson
 
-    from commons_codec_ray.decode import extended_json as ej
-
-    if ej._bson is None:
-        with pytest.raises(NotImplementedError, match="bson"):
-            ej.decode_bson(b"\x05\x00\x00\x00\x00")
-    else:  # pragma: no cover — runs only where pymongo exists
-        assert ej.decode_bson(b"\x05\x00\x00\x00\x00") == {}
+    assert decode_bson(b"\x05\x00\x00\x00\x00") == {}
+    doc = {"a": 1, "nested": {"b": [1, 2]}, "s": "x"}
+    assert decode_bson(dumps(doc)) == doc
 
 
-def test_decode_bson_with_real_library():
-    """Exercises the native-BSON path wherever pymongo/bson exists
-    (skipped in-sandbox), including driver-type normalization."""
+def test_decode_bson_matches_real_library_when_present():
+    """Wherever pymongo/bson exists, the C path and the pure reader
+    must agree (skipped in-sandbox)."""
     import pytest
 
     bson = pytest.importorskip("bson")
 
+    from commons_codec_ray.decode import bson_wire
     from commons_codec_ray.decode.extended_json import decode_bson
 
     raw = bson.BSON.encode({"a": 1, "nested": {"b": [1, 2]}, "s": "x"})
-    assert decode_bson(raw) == {"a": 1, "nested": {"b": [1, 2]}, "s": "x"}
+    assert decode_bson(raw) == bson_wire.loads(raw)

@@ -81,3 +81,96 @@ def test_null_keys_route_to_partition_zero():
     import zlib
 
     assert a[0] == zlib.crc32(b"zzz") % 64
+
+
+def test_keyed_percent_rank_one_hot_key(ray_session):
+    """percent_rank skew guard: one key holds ~all rows. The sampled
+    composite-range path (keyed_percent_rank) must match the
+    single-group reference bit-for-bit — RANK tie semantics, integer
+    ppm — while actually SPLITTING the hot key across partitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commons_codec_ray.stages.ranking import keyed_percent_rank
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = np.where(np.arange(n) % 100 == 99, "cold", "hot")  # 99% one key
+    vals = np.round(rng.normal(0, 10, n), 1)  # heavy ties
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "event_type": pa.array(keys),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        keyed_percent_rank(
+            rd.from_arrow(t).repartition(8),
+            key="event_type",
+            value="value",
+            tiebreak="event_id",
+            num_partitions=16,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # single-group reference (the fast path's math, run in one frame)
+    ref_rows = []
+    df = t.to_pandas()
+    for et, g in df.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        sv = np.sort(v)
+        m = len(v)
+        rank = np.searchsorted(sv, v, side="left") + 1
+        cle = np.searchsorted(sv, v, side="right")
+        ref_rows.append(
+            pd.DataFrame(
+                {
+                    "event_id": g["event_id"].to_numpy(),
+                    "pr_ppm": (rank - 1) * 1_000_000 // max(m - 1, 1),
+                    "cd_ppm": cle * 1_000_000 // m,
+                }
+            )
+        )
+    ref = (
+        pd.concat(ref_rows, ignore_index=True)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (out["pr_ppm"].to_numpy() == ref["pr_ppm"].to_numpy()).all()
+    assert (out["cd_ppm"].to_numpy() == ref["cd_ppm"].to_numpy()).all()
+
+
+def test_percent_rank_guard_switches_paths(ray_session, tmp_path, monkeypatch):
+    """q_percent_rank under a tiny guard (forcing the ranged path) must
+    equal its own fast-path output on the same input."""
+    import pyarrow.parquet as pq
+
+    from commons_codec_ray.pipelines.queries import q_percent_rank
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "event_type": pa.array(
+                    np.where(np.arange(n) % 50 == 0, "rare", "dominant")
+                ),
+                "value": pa.array(np.round(rng.uniform(0, 5, n), 1), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    fast = (
+        q_percent_rank(str(tmp_path)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    monkeypatch.setenv("GRAFT_PERCENT_RANK_GUARD", "100")
+    ranged = (
+        q_percent_rank(str(tmp_path)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert list(ranged.columns) == list(fast.columns)
+    for c in ("pr_ppm", "cd_ppm"):
+        assert (ranged[c].to_numpy() == fast[c].to_numpy()).all()
