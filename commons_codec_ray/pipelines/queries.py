@@ -2160,6 +2160,72 @@ FROM events
 """
 
 
+_IMG_W, _IMG_H = 8, 6  # 144 RGB bytes per synthetic image
+
+
+def q_image_features(sf_dir: str):
+    """Image-modality pipeline with REAL decode: synthesize a
+    deterministic PPM per document (pixel j = (doc_id·7 + j) mod 256 —
+    re-derivable in SQL), run it through ImageDecodeStage's default
+    pure-Python codec (decode/image_codec.py) as an actor-pool stage,
+    then reduce decoded pixels to per-channel integer sums. Width and
+    height come off the DECODED shape column, so the oracle match
+    proves the bytes→pixels path, not just the arithmetic. Blob-stage
+    hygiene: small batch_size, payload pruned by the decode stage."""
+    from commons_codec_ray.stages.multimodal import ImageDecodeStage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    npx = _IMG_W * _IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = (ids[:, None] * 7 + np.arange(npx)[None, :]) % 256
+        header = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
+        payloads = [header + row.tobytes() for row in px.astype(np.uint8)]
+        return pa.table(
+            {"item_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    decoded = docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(4),
+    )
+
+    def features(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        shapes = np.asarray(t["shape"].to_pylist(), np.int64).reshape(n, 3)
+        flat = np.frombuffer(
+            b"".join(p.as_py() for p in t["pixels"]), np.uint8
+        ).reshape(n, npx).astype(np.int64)
+        by_c = flat.reshape(n, _IMG_W * _IMG_H, 3).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": t["item_id"],
+                "width": pa.array(shapes[:, 1], pa.int64()),
+                "height": pa.array(shapes[:, 0], pa.int64()),
+                "r_sum": pa.array(by_c[:, 0], pa.int64()),
+                "g_sum": pa.array(by_c[:, 1], pa.int64()),
+                "b_sum": pa.array(by_c[:, 2], pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(features, batch_format="pyarrow")
+
+
+_IMAGE_FEATURES_SQL = f"""
+SELECT d.doc_id,
+       CAST({_IMG_W} AS BIGINT) AS width,
+       CAST({_IMG_H} AS BIGINT) AS height,
+       CAST(sum(CASE WHEN j % 3 = 0 THEN (d.doc_id * 7 + j) % 256 END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN j % 3 = 1 THEN (d.doc_id * 7 + j) % 256 END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN j % 3 = 2 THEN (d.doc_id * 7 + j) % 256 END) AS BIGINT) AS b_sum
+FROM documents d, generate_series(0, {_IMG_W * _IMG_H * 3 - 1}) AS t(j)
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Broadcast join + pre-aggregated rollup (orders ⋈ customer ⋈ nation)
 # ---------------------------------------------------------------------------
@@ -8886,6 +8952,7 @@ QUERIES = {
     "iot_tts_uplink": q_iot_tts_uplink,
     "ext_json_roundtrip": q_ext_json_roundtrip,
     "bson_roundtrip": q_bson_roundtrip,
+    "image_features": q_image_features,
     "bcast_join_agg": q_bcast_join_agg,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -9062,6 +9129,7 @@ ORACLE_SQL = {
     "iot_tts_uplink": _IOT_TTS_SQL,
     "ext_json_roundtrip": _EXT_JSON_SQL,
     "bson_roundtrip": _BSON_ROUNDTRIP_SQL,
+    "image_features": _IMAGE_FEATURES_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
     "asof_join": _ASOF_JOIN_SQL,
     "range_join": _RANGE_JOIN_SQL,

@@ -5,12 +5,13 @@ typed metadata columns; decode / feature-extraction / resize /
 frame-sample run as actor-pool ``map_batches`` stages (codec state built
 once per actor in ``__init__``).
 
-The sandbox has no image/audio libraries, so the DECODE step is stubbed:
-``DeterministicStubCodec`` produces seeded-deterministic features from
-the payload bytes (so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested), and
-``ImageDecodeStage`` raises ``NotImplementedError`` at the exact spot a
-real codec (Pillow / torchvision / ffmpeg) plugs in.
+The sandbox has no image/audio LIBRARIES, but the decode steps are
+real: ``ImageDecodeStage`` defaults to the pure-Python PPM/PGM/BMP
+codec (``decode/image_codec.py``), ``AudioWindowStage`` reads int16-LE
+PCM, and ``DeterministicStubCodec`` remains the seeded-deterministic
+feature extractor whose output the SQL oracle can re-derive. Pillow /
+torchvision / ffmpeg plug into the same ``decode_fn`` slots for
+JPEG/PNG/video outside the sandbox.
 
 Scale notes: binary payloads are large — these stages should run with a
 SMALL ``batch_size`` (32–256) and ``batch_format="pyarrow"`` (binary
@@ -40,18 +41,21 @@ MULTIMODAL_SCHEMA = pa.schema(
 
 
 class ImageDecodeStage:
-    """Real-codec slot: decode image bytes → pixel arrays.
+    """Decode image bytes → pixel arrays.
 
-    STUB: the container ships no image codec. A real deployment supplies
-    ``decode_fn(payload: bytes) -> np.ndarray``.
+    Defaults to the pure-Python PPM/PGM/BMP codec
+    (``decode/image_codec.py`` — public netpbm/BMP specs), so the image
+    path runs REAL decode end-to-end in-sandbox; a deployment passes
+    ``decode_fn`` (e.g. ``PIL.Image.open`` + ``np.asarray``) for
+    JPEG/PNG. Emits flat pixel bytes + a shape column so the (often
+    ragged) arrays ride Arrow binary, not Python objects.
     """
 
     def __init__(self, decode_fn=None):
         if decode_fn is None:
-            raise NotImplementedError(
-                "no image codec in this environment — pass decode_fn="
-                "(e.g. PIL.Image.open + np.asarray) to enable decoding"
-            )
+            from commons_codec_ray.decode.image_codec import decode_image
+
+            decode_fn = decode_image
         self.decode_fn = decode_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -33,10 +33,45 @@ def test_multimodal_feature_extract_deterministic():
     )
 
 
-def test_image_decode_stage_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        ImageDecodeStage()
-    # with an injected codec it works end-to-end
+def test_image_decode_stage_default_codec_end_to_end(ray_session):
+    """ImageDecodeStage needs no injected codec: the pure-Python
+    PPM/BMP reader (decode/image_codec.py) is the default, so the image
+    path decodes REAL pixel data in-sandbox — through an actor-pool
+    map_batches, mixed formats in one batch."""
+    import numpy as np
+    import ray.data as rd
+
+    from commons_codec_ray.decode.image_codec import encode_bmp, encode_ppm
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(6)]
+    payloads = [
+        encode_ppm(img) if i % 2 == 0 else encode_bmp(img)
+        for i, img in enumerate(imgs)
+    ]
+    tbl = synthesize_multimodal_table(6)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("payload"),
+        "payload",
+        pa.array(payloads, pa.binary()),
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ImageDecodeStage, batch_format="pyarrow", batch_size=4, concurrency=1
+        )
+        .to_pandas()
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    for i in range(6):
+        assert out["shape"].iloc[i].tolist() == [6, 8, 3]
+        px = np.frombuffer(out["pixels"].iloc[i], dtype=np.uint8).reshape(6, 8, 3)
+        assert (px == imgs[i]).all()  # exact pixels back from BOTH formats
+
+
+def test_image_decode_stage_custom_fn_still_plugs_in():
     import numpy as np
 
     stage = ImageDecodeStage(decode_fn=lambda b: np.frombuffer(b, dtype=np.uint8).reshape(-1, 1))
