@@ -353,6 +353,79 @@ FROM events
 """
 
 
+def q_ddb_full_load(sf_dir: str):
+    """DynamoDB full-load skin (reference transform/dynamodb.py:141-159,
+    T2): a bulk batch of TYPED DynamoDB items (S/N/BOOL/M/L descriptors)
+    is attribute-deserialized (decode/dynamodb_types.py:deserialize_image
+    — CrateDB flavor, N→float) and split into the universal
+    (pk, typed, untyped) layout by the record bucketizer
+    (decode/bucketizer.py, ref model.py:161-175): primary-key fields out
+    front, scalar attributes typed, nested maps and VARIED lists routed
+    to the untyped bucket — the engine analog of the reference's
+    executemany ``INSERT INTO (pk, typed, untyped)``. Items are
+    synthesized deterministically from events so the oracle rebuilds
+    the same rows envelope-free (N→float shows up as DOUBLE pk/typed
+    columns; the untyped bucket serializes to canonical sorted-key
+    JSON)."""
+    import json as _json
+
+    from commons_codec_ray.decode.bucketizer import bucketize
+    from commons_codec_ray.decode.dynamodb_types import deserialize_image
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def bulk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        out = {"conv_id": [], "turn_idx": [], "role": [], "value": [], "untyped": []}
+        for i in range(t.num_rows):
+            item = {
+                "conv_id": {"S": f"c-{int(user[i])}"},
+                "turn_idx": {"N": str(int(eid[i]) % 40)},
+                "role": {"S": str(etype[i])},
+                "value": {"N": repr(float(val[i]))},
+                "attrs": {"M": {"src": {"S": "app"}, "n": {"N": str(int(eid[i]) % 5)}}},
+                "tags": {"L": [{"S": str(etype[i])}, {"N": str(int(eid[i]) % 3)}]},
+            }
+            typed, varied = deserialize_image(item)
+            rec = bucketize(typed, ("conv_id", "turn_idx"), varied_fields=varied)
+            out["conv_id"].append(rec["pk"]["conv_id"])
+            out["turn_idx"].append(rec["pk"]["turn_idx"])
+            out["role"].append(rec["typed"]["role"])
+            out["value"].append(rec["typed"]["value"])
+            out["untyped"].append(
+                _json.dumps(rec["untyped"], sort_keys=True, separators=(",", ":"))
+            )
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.float64()),
+                "role": pa.array(out["role"], pa.string()),
+                "value": pa.array(out["value"], pa.float64()),
+                "untyped": pa.array(out["untyped"], pa.string()),
+            }
+        )
+
+    return events.map_batches(bulk, batch_format="pyarrow", concurrency=pool_size(2))
+
+
+_DDB_FULL_LOAD_SQL = """
+SELECT 'c-' || CAST(user_id AS VARCHAR)       AS conv_id,
+       CAST(event_id % 40 AS DOUBLE)          AS turn_idx,
+       event_type                             AS role,
+       value,
+       '{"attrs":{"n":' || CAST(event_id % 5 AS VARCHAR)
+           || '.0,"src":"app"},"tags":["' || event_type || '",'
+           || CAST(event_id % 3 AS VARCHAR) || '.0]}' AS untyped
+FROM events
+"""
+
+
 def q_ddb_decimal_sum(sf_dir: str):
     """Lossless-Decimal DynamoDB numerics (``numeric_mode="decimal"``,
     the vanilla-boto3 38-digit path the CrateDB flavor's N→float
@@ -8932,6 +9005,7 @@ QUERIES = {
     "priority_orders": q_priority_orders,
     "cdc_replay_all_dialects": q_cdc_replay_all_dialects,
     "mongo_full_load": q_mongo_full_load,
+    "ddb_full_load": q_ddb_full_load,
     "ddb_decimal_sum": q_ddb_decimal_sum,
     "cdc_decode_connect": q_decode_connect,
     "cdc_dead_letter": q_dead_letter,
@@ -9109,6 +9183,7 @@ ORACLE_SQL = {
     "priority_orders": _PRIORITY_ORDERS_SQL,
     "cdc_replay_all_dialects": _CDC_REPLAY_SQL,
     "mongo_full_load": _MONGO_FULL_LOAD_SQL,
+    "ddb_full_load": _DDB_FULL_LOAD_SQL,
     "ddb_decimal_sum": _DDB_DECIMAL_SUM_SQL,
     "cdc_decode_connect": _DECODE_SQL,
     "cdc_dead_letter": _DEAD_LETTER_SQL,
