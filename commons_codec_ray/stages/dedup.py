@@ -60,17 +60,20 @@ def exact_dedup(ds, column: str = "text", order_by: str = "doc_id", num_buckets:
             bucket = pa.array(h.to_numpy(zero_copy_only=False) % num_buckets)
         return t.append_column("_b", bucket)
 
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.sort_values(order_by)
-            .drop_duplicates(subset=[column], keep="first")
-            .drop(columns=["_b"])
-        )
+    def _first(group: pa.Table) -> pa.Table:
+        # Arrow-native group body (was pandas): rows — including the
+        # wide text column — stay Arrow; only the order/key columns
+        # materialize to numpy for the stable first-per-key pick
+        ob = group[order_by].to_numpy(zero_copy_only=False)
+        order = np.argsort(ob, kind="stable")
+        key = group[column].to_numpy(zero_copy_only=False)[order]
+        _, first = np.unique(key, return_index=True)
+        return group.drop_columns(["_b"]).take(pa.array(np.sort(order[first])))
 
     return (
         ds.map_batches(_bucketed_hash, batch_format="pyarrow")
         .groupby("_b")
-        .map_groups(_first, batch_format="pandas")
+        .map_groups(_first, batch_format="pyarrow")
     )
 
 
@@ -943,28 +946,38 @@ def exact_jaccard_pairs(
             )
         return pa.concat_tables(parts)
 
-    def verified(group: pd.DataFrame) -> pa.Table:
+    def verified(group: pa.Table) -> pa.Table:
+        # Arrow-native group body (was pandas): the list<uint64> shingle
+        # sets are read as ONE flat values buffer + offsets instead of
+        # per-row numpy objects — the Arrow→pandas conversion of exactly
+        # that column dominated the old path
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-        if len(group) < 2:
+        n = group.num_rows
+        if n < 2:
             return empty
-        g = group.sort_values(["band_key", id_column], kind="mergesort")
-        keys = g["band_key"].to_numpy()
-        ids = g[id_column].to_numpy()
-        sets = g["_shingles"].to_numpy()
-        brk = np.empty(len(g), dtype=bool)
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        sh = group["_shingles"].combine_chunks()
+        offs = sh.offsets.to_numpy().astype(np.int64)
+        vals = sh.values.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        brk = np.empty(n, dtype=bool)
         brk[0] = True
         brk[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(brk)
-        lens = np.diff(np.append(starts, len(g)))
+        lens = np.diff(np.append(starts, n))
         out_a, out_b, out_j = [], [], []
         for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
             for x in range(int(L) - 1):
-                a = np.asarray(sets[s + x], dtype=np.uint64)
+                ox = order[s + x]
+                a = vals[offs[ox] : offs[ox + 1]]
                 for y in range(x + 1, int(L)):
-                    bset = np.asarray(sets[s + y], dtype=np.uint64)
+                    oy = order[s + y]
+                    bset = vals[offs[oy] : offs[oy + 1]]
                     inter = np.intersect1d(a, bset, assume_unique=True).size
                     union = a.size + bset.size - inter
                     j = inter / union if union else 0.0
@@ -982,8 +995,14 @@ def exact_jaccard_pairs(
             {"id_a": pa.array(lo), "id_b": pa.array(hi), "jaccard": pa.array(out_j)}
         )
 
-    def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"])
+    def dedupe_pairs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        keep = np.empty(len(order), dtype=bool)
+        keep[0:1] = True
+        keep[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        return t.drop_columns(["_pb"]).take(pa.array(np.sort(order[keep])))
 
     def pair_bucket(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -995,13 +1014,13 @@ def exact_jaccard_pairs(
         )
 
     sigs = ds.map_batches(explode_with_sets, batch_format="pyarrow", batch_size=4096)
-    pairs = sigs.groupby("_b").map_groups(verified, batch_format="pandas")
+    pairs = sigs.groupby("_b").map_groups(verified, batch_format="pyarrow")
     # pairs matched by several bands appear once per matching band —
     # tiny second shuffle over the verified pair set dedupes them
     return (
         pairs.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("_pb")
-        .map_groups(dedupe_pairs, batch_format="pandas")
+        .map_groups(dedupe_pairs, batch_format="pyarrow")
     )
 
 

@@ -209,14 +209,21 @@ def top_bigrams(ds, column: str = "text", k: int = 30, num_buckets: int | None =
             }
         )
 
-    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
-        tot = df.groupby("bg", as_index=False)["c"].sum()
-        return tot.sort_values(["c", "bg"], ascending=[False, True]).head(k)
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        # Arrow-native group body (was pandas): hash-aggregate in Arrow,
+        # then one numpy lexsort for the (count desc, bigram asc) top-k
+        tot = t.select(["bg", "c"]).group_by("bg").aggregate([("c", "sum")])
+        bg = tot["bg"].to_numpy(zero_copy_only=False)
+        c = tot["c_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bg, -c))[:k]
+        return pa.table(
+            {"bg": pa.array(bg[order], pa.string()), "c": pa.array(c[order], pa.int64())}
+        )
 
     winners = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_gb")
-        .map_groups(bucket_topk, batch_format="pandas")
+        .map_groups(bucket_topk, batch_format="pyarrow")
         .to_pandas()
     )
     final = winners.sort_values(["c", "bg"], ascending=[False, True]).head(k)
