@@ -125,3 +125,137 @@ def test_encode_decode_roundtrip_all_dialects(
         assert dt.datetime.fromisoformat(rec["ts"]) == ts
     else:
         assert rec["ts"] == ts_iso
+
+
+# --- adversarial envelope fuzzing (VERDICT r4 #9) ---------------------------
+# Poison envelopes must dead-letter, never crash the decode stage and
+# never emit a silently null-keyed data op.
+
+import pyarrow as pa
+
+from commons_codec_ray.config import PipelineConfig
+from commons_codec_ray.envelopes import (
+    encode_canal,
+    encode_connect,
+    encode_dbz_mongo,
+    encode_maxwell,
+    encode_mongo,
+)
+from commons_codec_ray.schemas import OP_DEAD
+from commons_codec_ray.stages.decode_stage import DecodeEnvelopes, split_dead_letters
+
+_ALL_ENCODERS = {
+    "debezium": encode_debezium,
+    "binlog": encode_binlog,
+    "ddbstream": encode_ddbstream,
+    "maxwell": encode_maxwell,
+    "canal": encode_canal,
+    "connect": encode_connect,
+    "mongo": encode_mongo,
+    "dbz_mongo": encode_dbz_mongo,
+}
+
+_WRONG_VALUES = (None, 123, "garbage", {}, [], {"взрыв": ["☃", {"x": None}]})
+
+
+def _mutate(doc: dict, which_key: int, wrong: int):
+    """Deterministic single-point mutation of a parsed envelope."""
+    keys = sorted(doc)
+    out = dict(doc)
+    key = keys[which_key % len(keys)]
+    if wrong == len(_WRONG_VALUES):  # drop the field entirely
+        del out[key]
+    else:
+        out[key] = _WRONG_VALUES[wrong]
+    return out
+
+
+def _envelope_batch(payloads: list[str], dialect: str) -> pa.Table:
+    n = len(payloads)
+    return pa.table(
+        {
+            "lsn": pa.array(range(1, n + 1), pa.int64()),
+            "source_offset": pa.array(range(n), pa.int64()),
+            "dialect": pa.array([dialect] * n, pa.string()),
+            "payload": pa.array(payloads, pa.string()),
+        }
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    dialect=st.sampled_from(sorted(_ALL_ENCODERS)),
+    which_key=st.integers(min_value=0, max_value=30),
+    wrong=st.integers(min_value=0, max_value=len(_WRONG_VALUES)),
+    is_delete=st.booleans(),
+    lsn=st.integers(min_value=0, max_value=2**62),
+)
+def test_adversarial_envelope_decodes_or_dead_letters(
+    dialect, which_key, wrong, is_delete, lsn
+):
+    """One-point-mutated envelopes (field dropped / wrong-typed /
+    unicode-keyed) through the per-dialect decoder: any failure must be
+    an exception (→ dead letter in the stage), and any success must not
+    produce a NULL-KEYED data op — the silent-delete hazard."""
+    from commons_codec_ray.schemas import OP_DELETE, OP_UPSERT
+
+    payload = _ALL_ENCODERS[dialect](
+        "c-7", 3, is_delete, "user", "héllo ☃", None,
+        "2024-01-02T03:04:05.000000", lsn,
+    )
+    mutated = _mutate(json.loads(payload), which_key, wrong)
+    try:
+        decoded = DECODERS[dialect](mutated)
+    except Exception:
+        return  # exception == dead letter in the stage: acceptable
+    for op, rec, _aux in decoded:
+        assert isinstance(rec, dict)
+        if op in (OP_UPSERT, OP_DELETE):
+            assert not (
+                rec.get("conv_id") is None and rec.get("turn_idx") is None
+            ), f"null-keyed data op from mutated {dialect} envelope: {mutated!r}"
+
+
+def test_poison_batch_dead_letters_with_lineage_counts(ray_session):
+    """A mixed batch (valid + structurally poison envelopes per dialect)
+    through the full DecodeEnvelopes stage: never raises, every poison
+    row becomes a self-describing OP_DEAD row, and split_dead_letters
+    partitions exactly — the counts cdc_lineage reports."""
+    valid, poison = [], []
+    for d, enc in _ALL_ENCODERS.items():
+        valid.append((d, enc("c-1", 1, False, "user", "ok", None,
+                              "2024-01-02T03:04:05.000000", 10)))
+        poison.append((d, "not json at all {"))
+        poison.append((d, json.dumps({"utterly": {"wrong": ["shape", 1]}})))
+    stage = DecodeEnvelopes(PipelineConfig(), combine=False)
+    for d in _ALL_ENCODERS:
+        batch = _envelope_batch(
+            [p for dd, p in valid + poison if dd == d], d
+        )
+        out = stage(batch)
+        good, dead = split_dead_letters(out)
+        assert dead.num_rows == 2, d
+        assert good.num_rows >= 1, d
+        errs = dead["error"].to_pylist()
+        assert all(e for e in errs), d
+        # self-describing: dialect + raw payload survive in aux for replay
+        for a in dead["aux"].to_pylist():
+            blob = json.loads(a)
+            assert blob["dialect"] == d and blob["payload"], d
+
+
+def test_huge_lsn_and_unicode_keys_survive_decode():
+    """int64-edge lsn and multi-byte key/field values must decode, not
+    overflow (the mongo ENCODERS derive the fixture ObjectId from a
+    ``c-<digits>`` conv_id, so those two dialects keep the numeric key
+    but still carry the unicode field values)."""
+    for d, enc in _ALL_ENCODERS.items():
+        cid = "c-77" if d in ("mongo", "dbz_mongo") else "Ключ-🙂"
+        payload = enc(cid, 2**31 - 1, False, "rôle", "τext", "🛠",
+                      "2024-01-02T03:04:05.000000", 2**62)
+        decoded = DECODERS[d](json.loads(payload))
+        assert len(decoded) == 1
+        op, rec, _ = decoded[0]
+        assert str(rec["conv_id"]) == cid
+        assert int(rec["turn_idx"]) == 2**31 - 1
+        assert rec["role"] == "rôle" and rec["text"] == "τext"
