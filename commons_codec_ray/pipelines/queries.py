@@ -2233,6 +2233,84 @@ FROM events
 """
 
 
+def q_treatment_rules(sf_dir: str):
+    """Path-targeted treatment rules (decode/treatments.py:PathRule —
+    the declarative analog of the reference's Tikray/Moksha jq
+    expressions, ref tests/transform/mongodb/test_mongodb_full.py:40-47)
+    applied in the decode path: per-event wire documents run through a
+    rule set (flatten a nested list, rename a field, stringify the turn
+    index, default a missing language) inside decode_document's
+    transformation slot, exactly the reference's ``pre=`` composition.
+    Rules are built ONCE per actor (load-once-per-worker)."""
+    import json as _json
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+
+    class RuleStage:
+        def __init__(self):
+            from commons_codec_ray.decode.treatments import Treatment
+
+            self.treatment = Treatment(
+                rules=[
+                    {"path": "vals", "op": "flatten"},
+                    {"path": "role", "op": "rename", "to": "speaker"},
+                    {"path": "turn_idx", "op": "tostring"},
+                    {"path": "lang", "op": "default", "value": "en"},
+                ]
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from commons_codec_ray.decode.extended_json import decode_document
+
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            user = t["user_id"].to_numpy(zero_copy_only=False)
+            etype = t["event_type"].to_numpy(zero_copy_only=False)
+            out = {"event_id": [], "conv_id": [], "turn_idx": [], "speaker": [],
+                   "lang": [], "vals": []}
+            for i in range(t.num_rows):
+                e = int(eid[i])
+                doc = {
+                    "event_id": {"$numberLong": str(e)},
+                    "conv_id": f"c-{int(user[i])}",
+                    "turn_idx": {"$numberInt": str(e % 40)},
+                    "role": str(etype[i]),
+                    "vals": [[e % 3], [e % 5, e % 7]],
+                }
+                rec = decode_document(doc, treatment=self.treatment)
+                out["event_id"].append(rec["event_id"])
+                out["conv_id"].append(rec["conv_id"])
+                out["turn_idx"].append(rec["turn_idx"])
+                out["speaker"].append(rec["speaker"])
+                out["lang"].append(rec["lang"])
+                out["vals"].append(_json.dumps(rec["vals"], separators=(",", ":")))
+            return pa.table(
+                {
+                    "event_id": pa.array(out["event_id"], pa.int64()),
+                    "conv_id": pa.array(out["conv_id"], pa.string()),
+                    "turn_idx": pa.array(out["turn_idx"], pa.string()),
+                    "speaker": pa.array(out["speaker"], pa.string()),
+                    "lang": pa.array(out["lang"], pa.string()),
+                    "vals": pa.array(out["vals"], pa.string()),
+                }
+            )
+
+    return events.map_batches(RuleStage, batch_format="pyarrow", concurrency=pool_size(2))
+
+
+_TREATMENT_RULES_SQL = """
+SELECT event_id,
+       'c-' || CAST(user_id AS VARCHAR)        AS conv_id,
+       CAST(event_id % 40 AS VARCHAR)          AS turn_idx,
+       event_type                              AS speaker,
+       'en'                                    AS lang,
+       '[' || CAST(event_id % 3 AS VARCHAR) || ',' || CAST(event_id % 5 AS VARCHAR)
+           || ',' || CAST(event_id % 7 AS VARCHAR) || ']' AS vals
+FROM events
+"""
+
+
 _IMG_W, _IMG_H = 8, 6  # 144 RGB bytes per synthetic image
 
 
@@ -9027,6 +9105,7 @@ QUERIES = {
     "ext_json_roundtrip": q_ext_json_roundtrip,
     "bson_roundtrip": q_bson_roundtrip,
     "image_features": q_image_features,
+    "treatment_rules": q_treatment_rules,
     "bcast_join_agg": q_bcast_join_agg,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -9205,6 +9284,7 @@ ORACLE_SQL = {
     "ext_json_roundtrip": _EXT_JSON_SQL,
     "bson_roundtrip": _BSON_ROUNDTRIP_SQL,
     "image_features": _IMAGE_FEATURES_SQL,
+    "treatment_rules": _TREATMENT_RULES_SQL,
     "bcast_join_agg": _BCAST_JOIN_SQL,
     "asof_join": _ASOF_JOIN_SQL,
     "range_join": _RANGE_JOIN_SQL,
