@@ -6875,8 +6875,21 @@ def q_components(sf_dir: str):
     propagation + pointer jumping, rounds ≈ log diameter): a
     deterministic event-derived edge list (edges stay within 8-node
     blocks, so the recursive-CTE oracle's transitive closure stays
-    bounded at every sf) → per-node min-reachable-id cluster labels."""
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    bounded at every sf) → per-node min-reachable-id cluster labels.
+
+    Read blocks are capped at ~CPUs/2 (floor 8), same reasoning as
+    q_pagerank: every round re-unions the symmetric edge table into a
+    sort whose cost scales with block count — a 200-block default read
+    of a small file multiplies per-round sort overhead (measured at
+    sf0.1/32 cpus: 52 s default → see PERF.md after the cap). At real
+    scale callers size read blocks to data (~128 MB) as usual."""
+    from commons_codec_ray.util import pool_size
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
 
     def edges(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
