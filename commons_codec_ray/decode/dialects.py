@@ -117,8 +117,17 @@ def decode_maxwell(payload: dict) -> list[OpTuple]:
     typ = payload.get("type")
     if typ in ("bootstrap-start", "bootstrap-complete", "heartbeat"):
         return []
-    if typ == "table-alter" or typ == "table-create":
-        return [(OP_SCHEMA_CHANGE, {}, {"operation": typ, "table": payload.get("table")})]
+    if typ in ("database-create", "database-alter", "database-drop"):
+        return []  # database-level DDL carries no table schema
+    if typ in ("table-alter", "table-create", "table-drop"):
+        # Maxwell's output_ddl=true payloads carry the full NEW table
+        # definition in `def` ({columns: [{name, type}, ...],
+        # "primary-key": [...]}); forward it so the registry can apply
+        # the create/alter (pipelines/cdc.py:_apply_schema_event)
+        aux = {"operation": typ, "table": payload.get("table")}
+        if isinstance(payload.get("def"), dict):
+            aux["def"] = payload["def"]
+        return [(OP_SCHEMA_CHANGE, {}, aux)]
     data = payload.get("data")
     if not isinstance(data, dict):
         raise MessageFormatError("missing data")

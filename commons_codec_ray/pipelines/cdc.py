@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import json
+import re
 import time
 from pathlib import Path
 from typing import Any
@@ -43,9 +44,111 @@ _STATIC_COLUMNS = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
 # Maxwell table-alter/table-create, Canal isDdl
 _CONTROL_MARKER_RE = (
     r'"record-type":\s*"control"'
-    r'|"type":\s*"table-(alter|create)"'
+    r'|"type":\s*"table-(alter|create|drop)"'
     r'|"isDdl":\s*true'
 )
+
+# MySQL-ish DDL type names → the registry's logical type vocabulary
+# (config.py:LOGICAL_TO_ARROW). Parameterized forms (varchar(255),
+# decimal(10,2)) are matched on the bare name.
+_SQL_TYPE_MAP = {
+    "tinyint": "INT8",
+    "smallint": "INT16",
+    "int": "INT32",
+    "integer": "INT32",
+    "mediumint": "INT32",
+    "bigint": "INT64",
+    "float": "REAL4",
+    "double": "REAL8",
+    "real": "REAL8",
+    "decimal": "NUMERIC",
+    "numeric": "NUMERIC",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "datetime": "DATETIME",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def _sql_type_to_logical(raw: str) -> str:
+    base = re.match(r"\s*([a-zA-Z0-9_]+)", raw or "")
+    return _SQL_TYPE_MAP.get(base.group(1).lower() if base else "", "STRING")
+
+
+def _unquote_ident(name: str) -> str:
+    name = name.strip().strip("`\"")
+    return name.split(".")[-1].strip("`\"") if "." in name else name
+
+
+def parse_mysql_ddl(sql: str) -> dict[str, Any] | None:
+    """Tiny CREATE/DROP/ALTER grammar for in-band DDL strings (the Canal
+    ``isDdl`` payload carries raw SQL; public MySQL dialect subset).
+    Returns {"operation", "table", "columns", "primary_key"} or None for
+    statements the registry has nothing to learn from. Parsing failures
+    return None rather than raising — an unparseable DDL must never
+    poison the replay (the registry just doesn't learn the new shape)."""
+    if not sql:
+        return None
+    s = sql.strip().rstrip(";")
+    m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\"\w.]+)", s)
+    if m:
+        return {"operation": "drop", "table": _unquote_ident(m.group(1))}
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+([`\"\w.]+)\s+ADD\s+(?:COLUMN\s+)?([`\"\w]+)\s+(\w+(?:\([\d,\s]*\))?)",
+        s,
+    )
+    if m:
+        return {
+            "operation": "alter",
+            "table": _unquote_ident(m.group(1)),
+            "columns": {_unquote_ident(m.group(2)): _sql_type_to_logical(m.group(3))},
+            "primary_key": [],
+        }
+    m = re.match(
+        r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\"\w.]+)\s*\((.*)\)\s*(?:ENGINE|DEFAULT|CHARSET|COMMENT|$)",
+        s,
+    )
+    if m:
+        table = _unquote_ident(m.group(1))
+        body = m.group(2)
+        # split on top-level commas (parameterized types carry inner commas)
+        parts, depth, cur = [], 0, []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        columns: dict[str, str] = {}
+        pk: list[str] = []
+        for part in parts:
+            p = part.strip()
+            pm = re.match(r"(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)", p)
+            if pm:
+                pk = [_unquote_ident(c) for c in pm.group(1).split(",") if c.strip()]
+                continue
+            if re.match(r"(?is)^(UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN)", p):
+                continue
+            cm = re.match(r"^([`\"\w]+)\s+(\w+(?:\([\d,\s]*\))?)", p)
+            if cm:
+                name = _unquote_ident(cm.group(1))
+                columns[name] = _sql_type_to_logical(cm.group(2))
+                if re.search(r"(?i)\bPRIMARY\s+KEY\b", p):
+                    pk.append(name)
+        if columns:
+            return {
+                "operation": "create",
+                "table": table,
+                "columns": columns,
+                "primary_key": pk,
+            }
+    return None
 
 
 def _extra_columns(registry: SchemaRegistry, table: str) -> list[tuple[str, pa.DataType]]:
@@ -425,9 +528,18 @@ class CDCPipeline:
         return out
 
     def _apply_schema_event(self, row: dict[str, Any]) -> None:
+        """Interpret one control record against the registry. Three
+        control grammars reach here (everything the marker prescan
+        matches): the Debezium/DMS control shape (``create-table`` /
+        ``drop-table`` with a ``table-def``), Maxwell ``output_ddl``
+        payloads (``table-create``/``table-alter`` carrying the full new
+        definition in ``def``, ``table-drop``), and Canal ``isDdl`` rows
+        carrying raw SQL (parsed by :func:`parse_mysql_ddl`)."""
         aux = json.loads(row["aux"] or "{}")
+        registry = self.config.registry
         table = aux.get("table") or self.config.table
-        if aux.get("operation") == "create-table":
+        operation = aux.get("operation")
+        if operation == "create-table":
             control = aux.get("control", {})
             tdef = control.get("table-def", {})
             columns = {
@@ -435,9 +547,38 @@ class CDCPipeline:
                 for name, spec in tdef.get("columns", {}).items()
             }
             pk = tdef.get("primary-key", [])
-            self.config.registry.apply_create_table(table, columns, pk)
-        elif aux.get("operation") == "drop-table":
-            self.config.registry.apply_drop_table(table)
+            registry.apply_create_table(table, columns, pk)
+        elif operation in ("drop-table", "table-drop"):
+            registry.apply_drop_table(table)
+        elif operation in ("table-create", "table-alter"):
+            tdef = aux.get("def") or {}
+            cols_spec = tdef.get("columns") or []
+            columns = {
+                c["name"]: _sql_type_to_logical(str(c.get("type", "")))
+                for c in cols_spec
+                if isinstance(c, dict) and c.get("name")
+            }
+            pk = tdef.get("primary-key") or []
+            if isinstance(pk, str):
+                pk = [pk]
+            if columns or pk:
+                # an alter without PK info keeps the table's current keys
+                registry.apply_create_table(
+                    table, columns, pk or registry.primary_keys.get(table, [])
+                )
+        elif operation == "ddl":
+            parsed = parse_mysql_ddl(aux.get("sql") or "")
+            if parsed is None:
+                return  # unlearnable DDL: never poison the replay
+            table = parsed.get("table") or table
+            if parsed["operation"] == "drop":
+                registry.apply_drop_table(table)
+            else:  # create / alter-add-column
+                registry.apply_create_table(
+                    table,
+                    parsed["columns"],
+                    parsed["primary_key"] or registry.primary_keys.get(table, []),
+                )
 
     # ------------------------------------------------------------------ replay
     def replay(
