@@ -8150,11 +8150,16 @@ def _q_replay_via_pipeline(sf_dir: str, **cfg_kwargs):
     try:
         log = f"{work}/envelopes.parquet"
         _pq.write_table(env, log, row_group_size=512)
+        # ~5 epochs at every sf (epoch boundaries are what this gate
+        # exercises; a FIXED size would mean 500 epoch commits at sf1.0
+        # — per-epoch fixed costs, not the engine, would dominate).
+        # Results are byte-identical at any epoch size by construction.
+        epoch = max(4000, env.num_rows // 5 + 1)
         pipe = CDCPipeline(
             f"{work}/lake",
-            PipelineConfig(num_partitions=16, epoch_size=4000, **cfg_kwargs),
+            PipelineConfig(num_partitions=16, epoch_size=epoch, **cfg_kwargs),
         )
-        pipe.replay(log, epoch_size=4000, mode=mode)
+        pipe.replay(log, epoch_size=epoch, mode=mode)
         out = pa.Table.from_pandas(
             pipe.read_lake().to_pandas(), preserve_index=False
         )
