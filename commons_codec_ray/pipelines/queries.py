@@ -6907,6 +6907,35 @@ def q_components(sf_dir: str):
     )
 
 
+def q_components_sharded(sf_dir: str):
+    """Connected components, actor-sharded (stages/graph.py
+    components_sharded): the symmetric adjacency is hash-routed to
+    shard actors ONCE; per round only label messages move (a delta
+    min-label hop phase + a pointer-jump phase, rounds ≈ log2 of the
+    component diameter) as direct plasma objects between actors. Same
+    deterministic event-derived graph and recursive-CTE oracle as
+    q_components — the pure-Dataset variant that re-unions the edge
+    table into a sort every round; this is the shape that survives a
+    100 TB edge list (static data shuffled exactly once)."""
+    from commons_codec_ray.stages.graph import components_sharded
+    from commons_codec_ray.util import pool_size
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    pairs = events.map_batches(edges, batch_format="pyarrow")
+    return components_sharded(pairs)
+
+
 _COMPONENTS_SQL = """
 WITH RECURSIVE
 edges AS (
@@ -9228,6 +9257,7 @@ QUERIES = {
     "gzip_ingest": q_gzip_ingest,
     "top_users_per_type": q_top_users_per_type,
     "components": q_components,
+    "components_sharded": q_components_sharded,
     "mode_per_group": q_mode_per_group,
     "sft_pairs": q_sft_pairs,
     "conv_dedup": q_conv_dedup,
@@ -9407,6 +9437,7 @@ ORACLE_SQL = {
     "gzip_ingest": _GZIP_INGEST_SQL,
     "top_users_per_type": _TOP_USERS_SQL,
     "components": _COMPONENTS_SQL,
+    "components_sharded": _COMPONENTS_SQL,
     "mode_per_group": _MODE_PER_GROUP_SQL,
     "sft_pairs": _SFT_PAIRS_SQL,
     "conv_dedup": _CONV_DEDUP_SQL,

@@ -731,3 +731,260 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             "n_triangles": pa.array([int(tri)], pa.int64()),
         }
     )
+
+
+@ray.remote
+class _CCShard:
+    """One shard of static connected-components state: the symmetric
+    adjacency (CSR) of every node whose hash bucket this shard owns,
+    plus the node's current min-reachable label.
+
+    The adjacency is routed here ONCE (same setup path as
+    :class:`_PagerankShard`); afterwards only label messages cross
+    shards — a *hop* phase (changed labels flow along edges, classic
+    delta min-label propagation) alternating with a *pointer-jump*
+    phase (label <- label[label], a query/answer pair keyed by the
+    label's owner), so rounds ≈ log2(component diameter) instead of
+    diameter. Labels are component member ids, hence always resolvable
+    at hash(label)'s owner. Compare
+    :func:`~commons_codec_ray.stages.dedup.dedup_clusters_distributed`,
+    the pure-Dataset variant that re-unions the edge table into a sort
+    every round; results are identical (min id per component).
+    """
+
+    def __init__(self, num_shards: int, nb: int):
+        self.A = num_shards
+        self.nb = nb
+        self._parts: list[pa.Table] = []
+
+    def add_static(self, tbl: pa.Table) -> None:
+        if tbl.num_rows:
+            self._parts.append(tbl)
+
+    def build(self) -> int:
+        if self._parts:
+            t = pa.concat_tables(self._parts)
+            k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = t["peer"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            k = p = np.empty(0, np.int64)
+        self._parts = []
+        if len(k):
+            order = np.lexsort((p, k))
+            k, p = k[order], p[order]
+            keep = np.r_[True, (k[1:] != k[:-1]) | (p[1:] != p[:-1])]
+            k, p = k[keep], p[keep]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            self.v = k[starts]
+            self.counts = np.diff(np.r_[starts, len(k)])
+            self.peer = p
+            self.p_owner = (
+                hash_bucket(p, self.nb).to_numpy(zero_copy_only=False) % self.A
+            )
+            # local head start: min over own id and direct neighbors
+            self.label = np.minimum(self.v, np.minimum.reduceat(p, starts))
+        else:
+            self.v = np.empty(0, np.int64)
+            self.counts = np.empty(0, np.int64)
+            self.peer = np.empty(0, np.int64)
+            self.p_owner = np.empty(0, np.int64)
+            self.label = np.empty(0, np.int64)
+        self.changed = np.ones(len(self.v), bool)
+        return int(len(self.v))
+
+    def _route(self, keys: np.ndarray, labs: np.ndarray, owners: np.ndarray):
+        order = np.argsort(owners, kind="stable")
+        keys, labs = keys[order], labs[order]
+        bounds = np.searchsorted(owners[order], np.arange(self.A + 1))
+        outs = [
+            pa.table(
+                {
+                    "key": pa.array(keys[bounds[o]:bounds[o + 1]]),
+                    "lab": pa.array(labs[bounds[o]:bounds[o + 1]]),
+                }
+            )
+            for o in range(self.A)
+        ]
+        return outs if self.A > 1 else outs[0]
+
+    def hop(self):
+        """Emit (peer, label[u]) for every node u whose label changed
+        since the last hop, deduped to the min label per peer; a
+        message is dropped when label[u] >= peer (then label[peer] <=
+        peer <= label[u], it cannot improve)."""
+        e_sel = np.repeat(self.changed, self.counts)
+        self.changed[:] = False
+        peers = self.peer[e_sel]
+        labs = np.repeat(self.label, self.counts)[e_sel]
+        owners = self.p_owner[e_sel]
+        imp = labs < peers
+        peers, labs, owners = peers[imp], labs[imp], owners[imp]
+        if len(peers):
+            order = np.lexsort((labs, peers))
+            peers, labs, owners = peers[order], labs[order], owners[order]
+            first = np.r_[True, peers[1:] != peers[:-1]]
+            peers, labs, owners = peers[first], labs[first], owners[first]
+        return self._route(peers, labs, owners)
+
+    def jump_query(self):
+        """Emit (u, label[u]) to the shard owning node label[u] for
+        every non-root node: the pointer-jump read of label[label[u]]."""
+        sel = self.label != self.v
+        q, l = self.v[sel], self.label[sel]
+        owners = (
+            hash_bucket(l, self.nb).to_numpy(zero_copy_only=False) % self.A
+            if len(l)
+            else np.empty(0, np.int64)
+        )
+        return self._route(q, l, owners)
+
+    def jump_answer(self, *inboxes: pa.Table):
+        """Answer pointer-jump queries: (u, l) -> (u, label[l]) routed
+        back to u's owner, dropping non-improving answers."""
+        if inboxes:
+            q = np.concatenate(
+                [t["key"].to_numpy(zero_copy_only=False) for t in inboxes]
+            )
+            l = np.concatenate(
+                [t["lab"].to_numpy(zero_copy_only=False) for t in inboxes]
+            )
+        else:
+            q = l = np.empty(0, np.int64)
+        if len(q):
+            ans = self.label[np.searchsorted(self.v, l)]
+            imp = ans < l
+            q, ans = q[imp], ans[imp]
+        else:
+            ans = l
+        owners = (
+            hash_bucket(q, self.nb).to_numpy(zero_copy_only=False) % self.A
+            if len(q)
+            else np.empty(0, np.int64)
+        )
+        return self._route(q, ans, owners)
+
+    def apply(self, *inboxes: pa.Table) -> int:
+        """Fold incoming (node, label) messages with min; returns the
+        number of labels that improved (drives driver-side convergence)."""
+        if not inboxes:
+            return 0
+        keys = np.concatenate(
+            [t["key"].to_numpy(zero_copy_only=False) for t in inboxes]
+        )
+        labs = np.concatenate(
+            [t["lab"].to_numpy(zero_copy_only=False) for t in inboxes]
+        )
+        if not len(keys):
+            return 0
+        pos = np.searchsorted(self.v, keys)
+        order = np.argsort(pos, kind="stable")
+        ps, ls = pos[order], labs[order]
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        mn = np.minimum.reduceat(ls, starts)
+        idx = ps[starts]
+        imp = mn < self.label[idx]
+        upd = idx[imp]
+        self.label[upd] = mn[imp]
+        self.changed[upd] = True
+        return int(len(upd))
+
+    def result(self) -> pa.Table:
+        return pa.table(
+            {"node": pa.array(self.v), "cluster_id": pa.array(self.label)}
+        )
+
+
+def components_sharded(
+    pairs_ds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_buckets: int | None = None,
+    num_shards: int | None = None,
+    max_rounds: int = 64,
+):
+    """(node:int64, cluster_id:int64) = min node id per connected
+    component — the actor-sharded variant.
+
+    The symmetric adjacency is bucketed by hash(node) and routed to
+    shard actors ONCE; each round exchanges only label messages as
+    direct plasma objects (the driver forwards A² refs and two int
+    counters per round, never data). A round = one hop phase (delta
+    min-label propagation along edges) + one pointer-jump phase
+    (label <- label[label]), so rounds ≈ log2(diameter); the loop stops
+    at the first round with zero improvements anywhere. Identical
+    output to ``dedup_clusters_distributed`` at any shard count.
+    """
+    from commons_codec_ray.util import pool_size
+
+    nb = num_buckets or adaptive_buckets()
+
+    def explode_setup(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.concatenate([a, b])
+        p = np.concatenate([b, a])
+        return pa.table(
+            {"_b": hash_bucket(k, nb), "key": pa.array(k), "peer": pa.array(p)}
+        )
+
+    setup_refs = (
+        pairs_ds.map_batches(explode_setup, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    A = num_shards or pool_size(max(1, len(setup_refs)))
+    shards = [
+        _CCShard.options(scheduling_strategy="SPREAD").remote(A, nb)
+        for _ in range(A)
+    ]
+    try:
+        acks = []
+        for blk in setup_refs:
+            parts = _pagerank_route.options(num_returns=A).remote(blk, A)
+            if A == 1:
+                parts = [parts]
+            acks.extend(
+                shards[o].add_static.remote(parts[o]) for o in range(A)
+            )
+        ray.get(acks)
+        ray.get([w.build.remote() for w in shards])
+
+        def _fan(refs_or_ref):
+            return [refs_or_ref] if A == 1 else refs_or_ref
+
+        for _ in range(max_rounds):
+            houts = [
+                _fan(w.hop.options(num_returns=A).remote()) for w in shards
+            ]
+            ch_hop = ray.get(
+                [
+                    shards[o].apply.remote(*[houts[i][o] for i in range(A)])
+                    for o in range(A)
+                ]
+            )
+            qouts = [
+                _fan(w.jump_query.options(num_returns=A).remote())
+                for w in shards
+            ]
+            aouts = [
+                _fan(
+                    shards[o].jump_answer.options(num_returns=A).remote(
+                        *[qouts[i][o] for i in range(A)]
+                    )
+                )
+                for o in range(A)
+            ]
+            ch_jump = ray.get(
+                [
+                    shards[o].apply.remote(*[aouts[i][o] for i in range(A)])
+                    for o in range(A)
+                ]
+            )
+            if sum(ch_hop) + sum(ch_jump) == 0:
+                break
+        outs = [w.result.remote() for w in shards]
+        ray.wait(outs, num_returns=len(outs), fetch_local=False)
+        return rd.from_arrow_refs(outs)
+    finally:
+        for w in shards:
+            ray.kill(w, no_restart=True)

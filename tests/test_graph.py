@@ -127,3 +127,72 @@ def test_triangle_count_exchange_degrees_matches_broadcast(ray_session):
     assert bc["n_edges"].iloc[0] == ex["n_edges"].iloc[0]
     assert bc["n_triangles"].iloc[0] == ex["n_triangles"].iloc[0]
     assert bc["n_triangles"].iloc[0] > 0
+
+
+class TestComponentsSharded:
+    @staticmethod
+    def _pairs_ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                    "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _reference(pairs):
+        # union-find ground truth: min id per component
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    def test_path_graph_exercises_jumps(self, ray_session):
+        # one long path: diameter 40, so convergence inside the 64-round
+        # cap requires the pointer-jump phase to actually shorten chains
+        from commons_codec_ray.stages.graph import components_sharded
+
+        pairs = [(i + 1, i) for i in range(40)]
+        out = components_sharded(
+            self._pairs_ds(pairs), num_shards=3, max_rounds=16
+        ).to_pandas()
+        want = self._reference(pairs)
+        assert dict(zip(out["node"], out["cluster_id"])) == want
+
+    def test_random_graph_matches_dataset_variant(self, ray_session):
+        from commons_codec_ray.stages.dedup import dedup_clusters_distributed
+        from commons_codec_ray.stages.graph import components_sharded
+
+        rng = np.random.RandomState(23)
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, 300, 500), rng.randint(0, 300, 500))
+        ]
+        ds = self._pairs_ds(pairs)
+        a = components_sharded(ds, num_shards=4).to_pandas()
+        b = dedup_clusters_distributed(self._pairs_ds(pairs)).to_pandas()
+        got_a = dict(zip(a["node"], a["cluster_id"]))
+        got_b = dict(zip(b["doc_id"], b["cluster_id"]))
+        assert got_a == got_b == self._reference(pairs)
+
+    def test_shard_count_invariance(self, ray_session):
+        from commons_codec_ray.stages.graph import components_sharded
+
+        pairs = [(1, 2), (2, 3), (9, 9), (7, 4), (4, 11), (20, 3)]
+        a = components_sharded(self._pairs_ds(pairs), num_shards=1).to_pandas()
+        b = components_sharded(self._pairs_ds(pairs), num_shards=5).to_pandas()
+        assert dict(zip(a["node"], a["cluster_id"])) == dict(
+            zip(b["node"], b["cluster_id"])
+        )
