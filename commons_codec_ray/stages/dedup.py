@@ -1031,6 +1031,7 @@ def near_dedup(
     id_column: str = "doc_id",
     max_driver_pairs: int = 2_000_000,
     keep_by: tuple[str, str] | None = None,
+    cc: str = "dataset",
 ):
     """Near-duplicate removal: MinHash+LSH pairs → clusters → one
     survivor per cluster. Returns the surviving Dataset.
@@ -1048,6 +1049,14 @@ def near_dedup(
     With ``keep_by``, scores reach the small clusters table via one
     member-filtered scan (driver path) or a bucketed hash join
     (distributed path) — never the reverse.
+
+    ``cc`` picks the distributed clustering engine above the guard:
+    ``"dataset"`` (default) is ``dedup_clusters_distributed`` — streams
+    every round through plasma with spill, the memory-elastic choice
+    when the pair set itself is enormous; ``"sharded"`` is
+    ``graph.components_sharded`` — adjacency pinned in shard actors
+    (routed once, only label messages move per round), ~3× faster when
+    2× the pair set fits cluster RAM. Identical labels either way.
     """
     if keep_by is not None:
         assert keep_by[1] in ("min", "max"), keep_by
@@ -1071,7 +1080,15 @@ def near_dedup(
             lambda t: t.filter(pc.invert(pc.is_in(t[id_column], value_set=loser_arr))),
             batch_format="pyarrow",
         )
-    clusters_ds = dedup_clusters_distributed(pairs_ds)
+    if cc == "sharded":
+        from commons_codec_ray.stages.graph import components_sharded
+
+        clusters_ds = components_sharded(pairs_ds).map_batches(
+            lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+            batch_format="pyarrow",
+        )
+    else:
+        clusters_ds = dedup_clusters_distributed(pairs_ds)
     if keep_by is None:
         losers_ds = clusters_ds.map_batches(
             lambda t: t.filter(

@@ -91,6 +91,11 @@ def test_near_dedup_distributed_path_matches_driver_path():
     dist = near_dedup(corpus, threshold=0.7, max_driver_pairs=0).to_pandas()
     assert sorted(dist.doc_id) == sorted(driver.doc_id)
     assert set(dist.columns) == set(driver.columns)
+    # the actor-sharded CC engine must yield the same survivors
+    shard = near_dedup(
+        corpus, threshold=0.7, max_driver_pairs=0, cc="sharded"
+    ).to_pandas()
+    assert sorted(shard.doc_id) == sorted(driver.doc_id)
 
 
 def test_near_dedup_removes_planted_copies():
