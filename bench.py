@@ -193,6 +193,7 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "pricing_summary",
         "rolling_agg",
         "pagerank",
+        "components_sharded",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []

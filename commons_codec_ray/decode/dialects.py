@@ -329,13 +329,36 @@ def decode_dbz_mongo(payload: dict) -> list[OpTuple]:
     raise UnknownOperationError(f"unknown dbz-mongo op: {op!r}")
 
 
+def _guard_nonempty(fn):
+    """Reject data ops whose record decoded to an EMPTY dict — a
+    mutated/truncated envelope (``data: {}``, ``Keys: {}``) would
+    otherwise surface as a null-keyed upsert/delete that silently
+    addresses nothing (the same hazard class as the unsharded-Mongo
+    delete above). Raising MessageFormatError dead-letters the row in
+    DecodeEnvelopes instead."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload: dict) -> list[OpTuple]:
+        ops = fn(payload)
+        for op, rec, _aux in ops:
+            if op in (OP_UPSERT, OP_DELETE) and not rec:
+                raise MessageFormatError("empty record in data op")
+        return ops
+
+    return wrapped
+
+
 DECODERS = {
-    "debezium": decode_debezium,
-    "dbz_mongo": decode_dbz_mongo,
-    "binlog": decode_binlog,
-    "ddbstream": decode_ddbstream,
-    "maxwell": decode_maxwell,
-    "canal": decode_canal,
-    "connect": decode_connect,
-    "mongo": decode_mongo,
+    name: _guard_nonempty(fn)
+    for name, fn in {
+        "debezium": decode_debezium,
+        "dbz_mongo": decode_dbz_mongo,
+        "binlog": decode_binlog,
+        "ddbstream": decode_ddbstream,
+        "maxwell": decode_maxwell,
+        "canal": decode_canal,
+        "connect": decode_connect,
+        "mongo": decode_mongo,
+    }.items()
 }

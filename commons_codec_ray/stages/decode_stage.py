@@ -47,7 +47,7 @@ except ImportError:  # pragma: no cover
 from commons_codec_ray.config import PipelineConfig
 from commons_codec_ray.decode.dialects import DECODERS
 from commons_codec_ray.hashing import partition_ids_for, shuffle_keys_for
-from commons_codec_ray.schemas import OP_DEAD, OPS_SCHEMA
+from commons_codec_ray.schemas import OP_DEAD, OP_DELETE, OP_UPSERT, OPS_SCHEMA
 from commons_codec_ray.stages.applier import lww_combine_batch
 
 _KNOWN = frozenset(("conv_id", "turn_idx", "role", "text", "tool", "ts"))
@@ -181,11 +181,39 @@ class DecodeEnvelopes:
             for op, rec, extra in decoded:
                 if treatment is not None and rec:
                     rec = treatment(rec)
+                cid = rec.get("conv_id")
+                ti = rec.get("turn_idx")
+                if (
+                    not universal
+                    and cid is None
+                    and ti is None
+                    and op in (OP_UPSERT, OP_DELETE)
+                ):
+                    # direct layout: (conv_id, turn_idx) IS the lake key,
+                    # so a data op carrying neither can only merge into a
+                    # phantom (null, null) row — the silent-delete hazard.
+                    # Dead-letter it (self-describing, replayable) instead.
+                    # The universal layout keeps such rows: its untyped
+                    # bucket addresses pk-less records by content hash.
+                    append(OP_DEAD)
+                    table_col.append(tname)
+                    conv_id.append(None)
+                    turn_idx.append(None)
+                    role.append(None)
+                    text.append(None)
+                    tool.append(None)
+                    ts_raw.append(None)
+                    data_col.append(None)
+                    aux.append(
+                        json.dumps({"dialect": dialects[i], "payload": payloads[i]})
+                    )
+                    lsn_out.append(lsns[i])
+                    off_out.append(offsets[i])
+                    error.append("NullKeyError: data op without key columns")
+                    continue
                 append(op)
                 table_col.append(tname)
-                cid = rec.get("conv_id")
                 conv_id.append(str(cid) if cid is not None else None)
-                ti = rec.get("turn_idx")
                 turn_idx.append(int(ti) if ti is not None else None)
                 if object_columns:
                     # registered MAP/OBJECT columns arriving as JSON strings

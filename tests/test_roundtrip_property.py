@@ -195,9 +195,11 @@ def test_adversarial_envelope_decodes_or_dead_letters(
 ):
     """One-point-mutated envelopes (field dropped / wrong-typed /
     unicode-keyed) through the per-dialect decoder: any failure must be
-    an exception (→ dead letter in the stage), and any success must not
-    produce a NULL-KEYED data op — the silent-delete hazard."""
-    from commons_codec_ray.schemas import OP_DELETE, OP_UPSERT
+    an exception (→ dead letter in the stage), and when the decoder
+    succeeds but yields a data op with NO key columns — the
+    silent-delete hazard — the direct-layout stage must dead-letter
+    that row rather than emit a phantom (null, null)-keyed op."""
+    from commons_codec_ray.schemas import OP_DEAD, OP_DELETE, OP_UPSERT
 
     payload = _ALL_ENCODERS[dialect](
         "c-7", 3, is_delete, "user", "héllo ☃", None,
@@ -208,12 +210,25 @@ def test_adversarial_envelope_decodes_or_dead_letters(
         decoded = DECODERS[dialect](mutated)
     except Exception:
         return  # exception == dead letter in the stage: acceptable
-    for op, rec, _aux in decoded:
+    null_keyed = any(
+        op in (OP_UPSERT, OP_DELETE)
+        and rec.get("conv_id") is None
+        and rec.get("turn_idx") is None
+        for op, rec, _aux in decoded
+    )
+    for _op, rec, _aux in decoded:
         assert isinstance(rec, dict)
-        if op in (OP_UPSERT, OP_DELETE):
+    if null_keyed:
+        stage = DecodeEnvelopes(PipelineConfig(), combine=False)
+        out = stage(_envelope_batch([json.dumps(mutated)], dialect))
+        ops = out["op"].to_pylist()
+        cids = out["conv_id"].to_pylist()
+        tis = out["turn_idx"].to_pylist()
+        for op, cid, ti in zip(ops, cids, tis):
             assert not (
-                rec.get("conv_id") is None and rec.get("turn_idx") is None
-            ), f"null-keyed data op from mutated {dialect} envelope: {mutated!r}"
+                op in (OP_UPSERT, OP_DELETE) and cid is None and ti is None
+            ), f"null-keyed data op survived the stage: {mutated!r}"
+        assert OP_DEAD in ops, f"null-keyed op neither kept nor dead-lettered: {mutated!r}"
 
 
 def test_poison_batch_dead_letters_with_lineage_counts(ray_session):
