@@ -1024,6 +1024,66 @@ def exact_jaccard_pairs(
     )
 
 
+def pick_pair_transport(
+    n_docs: int,
+    num_cpus: int | None = None,
+    crossover_docs_per_cpu: int | None = None,
+) -> str:
+    """Pick the LSH pair-generation transport from the corpus size per
+    unit of parallelism (TODO #12: bandwidth:compute auto-pick).
+
+    Rationale: ``jaccard_pairs`` (wide) moves ~2.2 KB/doc in ONE
+    exchange — it wins while aggregate compute per byte is plentiful,
+    because its extra bytes are amortized over idle cores.
+    ``jaccard_pairs_narrow`` moves ~1.2 KB/doc (+0.3 KB/pair) across
+    three keyed exchanges — its fixed per-exchange costs only pay off
+    once per-core bandwidth is the wall, i.e. when each core must push
+    many documents' worth of shuffle bytes. Docs-per-core is the
+    observable that tracks that ratio on one box AND on a cluster
+    (where NIC bandwidth per core takes the place of memory bandwidth
+    per core).
+
+    Measured crossover on the 32-HT sandbox (``bench.py --dedup-only``,
+    LSH-regime corpus, pairs ≈ 0.16-0.28 × docs, quiet box, 2026-08-18;
+    seconds wide vs narrow):
+
+    =====  ====  ========  =======================
+    docs   cpus  docs/cpu  faster
+    =====  ====  ========  =======================
+    800k   16    50k       wide   (18.7 vs 23.3 s)
+    2.4M   16    150k      wide   (64.4 vs 117.5 s)
+    800k   4     200k      narrow (39.7 vs 18.0 s)
+    2.4M   4     600k      narrow (243.3 vs 80.3 s)
+    =====  ====  ========  =======================
+
+    The crossover sits between 150k and 200k docs/core on BOTH corpus
+    sizes — docs/core separates the regimes where raw corpus size or
+    raw cpu count alone would not; default 175k (env
+    ``GRAFT_NARROW_CROSSOVER``). Note wide's 4-cpu leg degrades
+    SUPER-linearly with corpus size (39.7 → 243.3 s for 3× docs: the
+    2.2 KB/doc exchange outgrows the 4-cpu object store and spills)
+    while narrow stays linear (18.0 → 80.3 s) — exactly the
+    bandwidth-bound regime the narrow layout exists for. On a real
+    cluster whose interconnect is slower per core than this box's
+    shared DRAM, narrow wins earlier — lower the threshold per
+    deployment.
+    """
+    import os
+
+    if crossover_docs_per_cpu is None:
+        crossover_docs_per_cpu = int(
+            os.environ.get("GRAFT_NARROW_CROSSOVER", "175000")
+        )
+    if num_cpus is None:
+        try:
+            import ray
+
+            num_cpus = int(ray.cluster_resources().get("CPU", 1))
+        except Exception:
+            num_cpus = 1
+    return "narrow" if n_docs > crossover_docs_per_cpu * max(1, num_cpus) else "wide"
+
+
 def near_dedup(
     ds,
     threshold: float = 0.7,
@@ -1032,6 +1092,7 @@ def near_dedup(
     max_driver_pairs: int = 2_000_000,
     keep_by: tuple[str, str] | None = None,
     cc: str = "dataset",
+    transport: str = "wide",
 ):
     """Near-duplicate removal: MinHash+LSH pairs → clusters → one
     survivor per cluster. Returns the surviving Dataset.
@@ -1057,10 +1118,21 @@ def near_dedup(
     ``graph.components_sharded`` — adjacency pinned in shard actors
     (routed once, only label messages move per round), ~3× faster when
     2× the pair set fits cluster RAM. Identical labels either way.
+
+    ``transport`` picks the pair-generation exchange layout:
+    ``"wide"`` (default) = :func:`jaccard_pairs` (one barrier, sig
+    rides every band replica), ``"narrow"`` = byte-lean
+    :func:`jaccard_pairs_narrow`, ``"auto"`` = decide from corpus size
+    per core via :func:`pick_pair_transport` (costs one ``ds.count()``
+    — metadata-cheap on parquet-backed inputs).
     """
     if keep_by is not None:
         assert keep_by[1] in ("min", "max"), keep_by
-    pairs_ds = jaccard_pairs(ds, threshold=threshold, hasher=hasher, id_column=id_column)
+    if transport == "auto":
+        transport = pick_pair_transport(ds.count())
+    assert transport in ("wide", "narrow"), transport
+    pair_fn = jaccard_pairs_narrow if transport == "narrow" else jaccard_pairs
+    pairs_ds = pair_fn(ds, threshold=threshold, hasher=hasher, id_column=id_column)
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() <= max_driver_pairs:
         pairs = pairs_ds.to_pandas()

@@ -243,3 +243,36 @@ def test_lsh_params_tuning():
     # the tuned split drops straight into the hasher
     h = MinHasher(num_perm=64, bands=b)
     assert h.rows_per_band == r
+
+
+def test_pick_pair_transport_crossover():
+    from commons_codec_ray.stages.dedup import pick_pair_transport
+
+    # the default threshold must reproduce the measured winners
+    # (dedup.py docstring table: wide ≤150k docs/cpu, narrow ≥200k)
+    assert pick_pair_transport(800_000, num_cpus=16) == "wide"
+    assert pick_pair_transport(2_400_000, num_cpus=16) == "wide"
+    assert pick_pair_transport(800_000, num_cpus=4) == "narrow"
+    assert pick_pair_transport(2_400_000, num_cpus=4) == "narrow"
+    # explicit threshold arg overrides the default
+    assert pick_pair_transport(2_400_000, num_cpus=16,
+                               crossover_docs_per_cpu=100_000) == "narrow"
+    # env override wins when the threshold arg is omitted
+    import os
+
+    os.environ["GRAFT_NARROW_CROSSOVER"] = "1000000000"
+    try:
+        assert pick_pair_transport(2_400_000, num_cpus=4) == "wide"
+    finally:
+        del os.environ["GRAFT_NARROW_CROSSOVER"]
+
+
+def test_near_dedup_transport_variants_identical(ray_session):
+    """near_dedup survivors are transport-invariant (wide / narrow /
+    auto pick different exchange layouts, never different answers)."""
+    base = near_dedup(_scored_corpus(), threshold=0.7).to_pandas()
+    for transport in ("narrow", "auto"):
+        got = near_dedup(
+            _scored_corpus(), threshold=0.7, transport=transport
+        ).to_pandas()
+        assert set(got["doc_id"]) == set(base["doc_id"]), transport
