@@ -8426,7 +8426,10 @@ def q_kmeans(sf_dir: str):
     return kmeans_lloyd(emb, k=4, iterations=3)
 
 
-def _kmeans_sql(k: int, iters: int, dims: int) -> str:
+def _kmeans_cte(k: int, iters: int, dims: int) -> str:
+    """Shared unrolled-CTE body replaying kmeans_lloyd's integer
+    iterations up through the final centroids ``c{iters}`` (used by
+    both the kmeans oracle and the semdedup oracle)."""
     head = f"""
 WITH pts AS (
   SELECT vec_id, u.i AS dim,
@@ -8455,9 +8458,12 @@ c{j} AS (
   FROM c{j - 1} c LEFT JOIN s{j} s ON s.cid = c.cid AND s.dim = c.dim)"""
         for j in range(1, iters + 1)
     ]
+    return head + "".join(steps)
+
+
+def _kmeans_sql(k: int, iters: int, dims: int) -> str:
     return (
-        head
-        + "".join(steps)
+        _kmeans_cte(k, iters, dims)
         + f""",
 z AS (SELECT cid, CAST(count(*) AS BIGINT) AS size FROM a{iters} GROUP BY cid)
 SELECT c.cid, c.dim, c.cv AS cval, COALESCE(z.size, 0) AS size
@@ -8466,6 +8472,49 @@ FROM c{iters} c LEFT JOIN z USING (cid)"""
 
 
 _KMEANS_SQL = _kmeans_sql(4, 3, 64)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/dedup.py:semdedup — public
+    method, Abbas et al. 2023): fixed-point k-means clusters the
+    embeddings (k=4, 3 Lloyd iterations, the oracle-replayable integer
+    engine behind `kmeans`), the final assignment is one linear pass
+    against the broadcast centroid matrix, and near-duplicates are
+    pruned WITHIN each cluster only (cosine ≥ 0.35, drop iff a
+    smaller-id same-cluster vector matches). One cid-keyed exchange
+    total; the oracle unrolls the identical integer iterations and
+    applies the same NOT-EXISTS prune per cluster."""
+    from commons_codec_ray.stages.dedup import semdedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(emb, k=4, iterations=3, threshold=0.35)
+
+
+def _semdedup_sql(k: int, iters: int, dims: int) -> str:
+    return (
+        _kmeans_cte(k, iters, dims)
+        + f""",
+df AS (
+  SELECT p.vec_id, c.cid, sum((p.qv - c.cv) * (p.qv - c.cv)) AS d
+  FROM pts p JOIN c{iters} c USING (dim) GROUP BY p.vec_id, c.cid),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM df) WHERE rn = 1)
+SELECT CAST(a.cid AS BIGINT) AS cid, v.vec_id
+FROM af a JOIN embeddings v USING (vec_id)
+WHERE NOT EXISTS (
+  SELECT 1 FROM af b JOIN embeddings u ON u.vec_id = b.vec_id
+  WHERE b.cid = a.cid AND u.vec_id < v.vec_id
+    AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                               CAST(v.embedding AS DOUBLE[])) >= 0.35)"""
+    )
+
+
+_SEMDEDUP_SQL = _semdedup_sql(4, 3, 64)
 
 
 def q_kmeans_pp(sf_dir: str):
@@ -9278,6 +9327,7 @@ QUERIES = {
     "cdc_alerts": q_cdc_alerts,
     "bm25": q_bm25,
     "kmeans": q_kmeans,
+    "semdedup": q_semdedup,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9458,6 +9508,7 @@ ORACLE_SQL = {
     "cdc_alerts": _CDC_ALERTS_SQL,
     "bm25": _BM25_SQL,
     "kmeans": _KMEANS_SQL,
+    "semdedup": _SEMDEDUP_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

@@ -1311,3 +1311,100 @@ class SimHasher:
             count=batch.num_rows,
         )
         return batch.append_column("simhash", pa.array(vals.astype(np.int64)))
+
+
+def semdedup(
+    ds,
+    k: int = 4,
+    iterations: int = 3,
+    threshold: float = 0.35,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+):
+    """SemDeDup-style semantic deduplication (public method: Abbas et
+    al. 2023, arXiv:2303.09540 — cluster the embedding space, then
+    prune near-duplicates WITHIN each cluster only): the sixth dedup
+    family next to exact / MinHash / SimHash / n-gram Jaccard /
+    global embedding-cosine (``q_embed_dedup``).
+
+    Clustering turns the O(n²) all-pairs cosine problem into k
+    independent O((n/k)²) problems. Engine shape:
+
+    - centroids come from the exact fixed-point :func:`kmeans_lloyd`
+      (no shuffle; kilobyte k×(dims+1) partials per batch);
+    - the final assignment is ONE linear ``map_batches`` pass against
+      the broadcast centroid matrix (``ray.put`` once, read per task);
+    - the per-cluster prune is ONE cid-keyed exchange with a
+      vectorized normalized-matmul cosine per group.
+
+    At 100 TB scale k grows with the corpus so n/k stays worker-sized
+    (the published configuration uses 50k clusters on LAION); the
+    within-cluster all-pairs therefore stays bounded, and the single
+    exchange is the only all-to-all. Keep rule (deterministic,
+    order- and block-layout-invariant, matching ``q_embed_dedup``'s
+    convention): a vector is dropped iff a smaller-id vector in the
+    SAME cluster has cosine ≥ ``threshold`` — i.e. the SQL
+    ``NOT EXISTS`` semantics, replayable by an oracle that unrolls the
+    same integer k-means iterations.
+    """
+    import ray
+
+    from commons_codec_ray.stages.kmeans import _quantize, kmeans_lloyd
+
+    cent = kmeans_lloyd(ds, k=k, iterations=iterations, id_column=id_column, column=column)
+    cid = cent["cid"].to_numpy(zero_copy_only=False)
+    dim = cent["dim"].to_numpy(zero_copy_only=False)
+    k_eff = int(cid.max()) + 1
+    dims = int(dim.max()) + 1
+    cents = np.zeros((k_eff, dims), np.int64)
+    cents[cid, dim] = cent["cval"].to_numpy(zero_copy_only=False)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        emb = t[column]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = _quantize(np.stack(emb.to_numpy(zero_copy_only=False)))
+        # exact int64 squared distances; first argmin → lowest cid on ties,
+        # mirroring the oracle's ORDER BY d, cid
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                "cid": pa.array(d2.argmin(axis=1).astype(np.int64)),
+                id_column: t[id_column].cast(pa.int64()),
+                column: emb,
+            }
+        )
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        emb = group[column]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.stack(emb.to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids, kind="stable")
+        m, ids_s = m[order], ids[order]
+        # rows sorted by id → "some smaller-id neighbor ≥ threshold" is
+        # exactly the strict lower triangle of the hit matrix
+        drop = np.tril(m @ m.T >= threshold, k=-1).any(axis=1)
+        keep = ids_s[~drop]
+        return pa.table(
+            {
+                "cid": pa.array(
+                    np.full(len(keep), int(group["cid"][0].as_py()), np.int64)
+                ),
+                id_column: pa.array(keep, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(prune, batch_format="pyarrow")
+    )
