@@ -8408,6 +8408,79 @@ p{i} AS (
 _PAGERANK_SQL = _pagerank_sql(4)
 
 
+def q_kcore(sf_dir: str):
+    """k-core decomposition (stages/graph.py:kcore — simultaneous
+    Matula–Beck peeling): a deterministic event-derived graph mixing a
+    low-degree circular band family (node-dependent forward offsets,
+    gets peeled) with near-complete 8-node blocks on a 320-node
+    subrange (survives), k=4. Each peel round is two node-keyed
+    exchanges (deg(u)/deg(v) from the same pre-round snapshot) + a
+    vectorized filter, early-stopped at fixpoint; the oracle unrolls 8
+    identical rounds (≥ the actual peel depth at every sf; post-
+    fixpoint rounds are no-ops on both sides)."""
+    from commons_codec_ray.stages.graph import kcore
+    from commons_codec_ray.util import pool_size
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a1 = eid % 1400
+        b1 = (a1 + 1 + (eid % (1 + a1 % 4))) % 1400
+        a2 = eid % 320
+        b2 = (a2 // 8) * 8 + (eid // 64) % 8
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a1, a2])),
+                "dst": pa.array(np.concatenate([b1, b2])),
+            }
+        )
+
+    return kcore(
+        events.map_batches(edges, batch_format="pyarrow"), k=4, max_rounds=12
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    head = """
+WITH raw AS (
+  SELECT event_id % 1400 AS a,
+         (event_id % 1400 + 1 + (event_id % (1 + (event_id % 1400) % 4))) % 1400 AS b
+  FROM events
+  UNION ALL
+  SELECT event_id % 320 AS a,
+         ((event_id % 320) // 8) * 8 + (event_id // 64) % 8 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    # MATERIALIZED is load-bearing: s{j} references s{j-1} three times
+    # (directly + twice through d{j}); inlined CTEs would re-expand the
+    # parquet scan 3^rounds times and exhaust file descriptors
+    steps = [
+        f""",
+d{j} AS MATERIALIZED (SELECT u, count(*) AS d FROM s{j - 1} GROUP BY u),
+s{j} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{j - 1} s
+  JOIN d{j} x ON x.u = s.u JOIN d{j} y ON y.u = s.v
+  WHERE x.d >= {k} AND y.d >= {k})"""
+        for j in range(1, rounds + 1)
+    ]
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT CAST(u AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+FROM s{rounds} GROUP BY u"""
+    )
+
+
+_KCORE_SQL = _kcore_sql(4, 8)
+
+
 def q_kmeans(sf_dir: str):
     """Distributed k-means, full Lloyd iterations (stages/kmeans.py):
     fixed-point int64 coordinates (translation offset keeps everything
@@ -9328,6 +9401,7 @@ QUERIES = {
     "bm25": q_bm25,
     "kmeans": q_kmeans,
     "semdedup": q_semdedup,
+    "kcore": q_kcore,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9509,6 +9583,7 @@ ORACLE_SQL = {
     "bm25": _BM25_SQL,
     "kmeans": _KMEANS_SQL,
     "semdedup": _SEMDEDUP_SQL,
+    "kcore": _KCORE_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

@@ -988,3 +988,107 @@ def components_sharded(
     finally:
         for w in shards:
             ray.kill(w, no_restart=True)
+
+
+def kcore(edges_ds, k: int = 3, max_rounds: int = 12, src: str = "src", dst: str = "dst"):
+    """k-core decomposition by simultaneous peeling (the classic
+    Matula–Beck coreness peel, distributed as in Montresor et al.'s
+    message-passing formulation): repeatedly delete EVERY node whose
+    current degree is < k, until fixpoint; returns the (unique,
+    maximal) k-core as ``(node, deg)`` with each survivor's in-core
+    degree.
+
+    Semantics: undirected simple graph — multi-edges collapse,
+    self-loops drop. Each peel round is TWO node-keyed exchanges over
+    the symmetric edge table (attach deg(u), then deg(v) — both
+    degrees must come from the SAME pre-round snapshot for the peel to
+    be simultaneous, which is what makes the result order- and
+    layout-invariant) plus a vectorized filter; rounds stop early when
+    the edge count reaches fixpoint. Peel depth is data-dependent
+    (worst case O(n) on a path with k=2); at 100 TB scale the
+    escalation path is the actor-sharded message engine (`_CCShard` /
+    `_PagerankShard` pattern) where the adjacency is routed once and
+    only degree deltas move per round.
+
+    An unrolled-CTE SQL oracle replays the same rounds exactly
+    (degree = COUNT(*) per node over the symmetric table, join-filter
+    both endpoints, repeat); any rounds past fixpoint are no-ops on
+    both sides, so a fixed unroll ≥ the actual peel depth matches the
+    early-stopped engine bit-for-bit.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        # pack for the dedupe exchange; node ids must fit 32 bits
+        return pa.table({"_uv": pa.array((u << np.int64(32)) | v, pa.int64())})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        uv = np.unique(t["_uv"].to_numpy(zero_copy_only=False))
+        u = uv >> np.int64(32)
+        v = uv & np.int64(0xFFFFFFFF)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v]), pa.int64()),
+                "v": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    sym = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("_uv")
+        .map_groups(uniq, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def attach(col: str, out: str):
+        def body(g: pa.Table) -> pa.Table:
+            return g.append_column(
+                out, pa.array(np.full(g.num_rows, g.num_rows, np.int64))
+            )
+
+        return body
+
+    n_prev = sym.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        peeled = (
+            sym.groupby("u")
+            .map_groups(attach("u", "du"), batch_format="pyarrow")
+            .groupby("v")
+            .map_groups(attach("v", "dv"), batch_format="pyarrow")
+        )
+
+        def keep_core(t: pa.Table, _k=k) -> pa.Table:
+            du = t["du"].to_numpy(zero_copy_only=False)
+            dv = t["dv"].to_numpy(zero_copy_only=False)
+            m = (du >= _k) & (dv >= _k)
+            return t.select(["u", "v"]).filter(pa.array(m))
+
+        sym = peeled.map_batches(keep_core, batch_format="pyarrow").materialize()
+        n = sym.count()
+        if n == n_prev:
+            break
+        n_prev = n
+
+    if n_prev == 0:  # empty core: keep the (node, deg) schema stable
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+            )
+        )
+
+    def final_deg(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([g["u"][0].as_py()], pa.int64()),
+                "deg": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return sym.groupby("u").map_groups(final_deg, batch_format="pyarrow")

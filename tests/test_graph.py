@@ -196,3 +196,58 @@ class TestComponentsSharded:
         assert dict(zip(a["node"], a["cluster_id"])) == dict(
             zip(b["node"], b["cluster_id"])
         )
+
+
+class TestKCore:
+    """kcore: simultaneous peel — known graphs + layout invariance."""
+
+    @staticmethod
+    def _run(src, dst, k, blocks=5, max_rounds=12):
+        from commons_codec_ray.stages.graph import kcore
+
+        t = pa.table(
+            {
+                "src": pa.array(np.asarray(src, np.int64)),
+                "dst": pa.array(np.asarray(dst, np.int64)),
+            }
+        )
+        got = kcore(rd.from_arrow(t).repartition(blocks), k=k, max_rounds=max_rounds).to_pandas()
+        if got.empty:  # zero-row to_pandas drops columns in Ray Data
+            return {}
+        return dict(zip(got["node"].astype(int), got["deg"].astype(int)))
+
+    def test_clique_with_pendant_chain(self, ray_session):
+        # K5 on 0..4 plus chain 4-10-11-12: k=3 keeps exactly the clique,
+        # and the peel must cascade down the chain (not just one round)
+        src = [u for u in range(5) for v in range(u + 1, 5)] + [4, 10, 11]
+        dst = [v for u in range(5) for v in range(u + 1, 5)] + [10, 11, 12]
+        core = self._run(src, dst, k=3)
+        assert core == {i: 4 for i in range(5)}
+
+    def test_two_core_of_cycle_survives(self, ray_session):
+        # cycle 0..5 with one pendant: 2-core = the cycle, pendant gone
+        src = [0, 1, 2, 3, 4, 5, 3]
+        dst = [1, 2, 3, 4, 5, 0, 99]
+        core = self._run(src, dst, k=2)
+        assert core == {i: 2 for i in range(6)}
+
+    def test_multi_edges_and_self_loops_collapse(self, ray_session):
+        # duplicated edges + self loops must not inflate degrees
+        src = [0, 0, 0, 1, 1, 2, 7]
+        dst = [1, 1, 2, 2, 0, 0, 7]
+        core = self._run(src, dst, k=2)
+        assert core == {0: 2, 1: 2, 2: 2}
+
+    def test_block_layout_invariance(self, ray_session):
+        rng = np.random.RandomState(4)
+        src = rng.randint(0, 60, 400)
+        dst = rng.randint(0, 60, 400)
+        a = self._run(src, dst, k=4, blocks=2)
+        b = self._run(src, dst, k=4, blocks=11)
+        assert a == b
+
+    def test_empty_core(self, ray_session):
+        # a tree has empty 2-core
+        src = [0, 0, 1, 1]
+        dst = [1, 2, 3, 4]
+        assert self._run(src, dst, k=2) == {}
