@@ -1024,10 +1024,91 @@ def exact_jaccard_pairs(
     )
 
 
+#: Per-core exchange round-trip bandwidth (MB/s) measured on the
+#: calibration box that produced the 175k docs/core crossover below
+#: (32-HT sandbox, quiet, 2026-08-18: median 173 MB/s/core over 9
+#: rounds, spread 30-400). The probe-calibrated pick scales the
+#: crossover by (observed / reference).
+_REFERENCE_BW_MBPS_PER_CPU = 170.0
+
+_BW_PROBE_CACHE: dict[str, float] = {}
+
+
+def probe_exchange_bandwidth(
+    size_mb: int = 32,
+    nblocks: int = 4,
+    lanes: int | None = None,
+    rounds: int = 5,
+    refresh: bool = False,
+) -> float:
+    """Measure the cluster's effective exchange round-trip bandwidth
+    per core (MB/s): a few SPREAD-scheduled lanes each WRITE ``nblocks``
+    blocks into the object store (``ray.put`` inside the task — a real
+    serialize+copy) and a second wave of SPREAD tasks fetches and fully
+    READS them (refs passed inside a list so the fetch happens in-body,
+    not during argument prefetch — on one node a bare-ref argument
+    would be a zero-copy mmap and measure nothing). Timing is in-body,
+    so task-scheduling jitter is excluded; the median over ``rounds``
+    is cached per session.
+
+    On a single node this measures plasma+memory copy bandwidth; on a
+    multi-node cluster SPREAD lands producers and consumers on
+    different nodes, so the NIC is in the loop — which is exactly the
+    quantity the wide/narrow transport choice depends on. Noise is
+    ±2× on a busy box (documented in PERF.md); downstream consumers
+    clamp accordingly.
+    """
+    import time
+
+    import ray
+
+    if not refresh and "bw" in _BW_PROBE_CACHE:
+        return _BW_PROBE_CACHE["bw"]
+
+    ncpu = int(ray.cluster_resources().get("CPU", 1))
+    if lanes is None:
+        lanes = max(2, ncpu // 8)
+    n = size_mb * 1024 * 1024
+
+    @ray.remote(num_cpus=0.5, scheduling_strategy="SPREAD")
+    def _produce():
+        a = np.empty(n, dtype=np.uint8)
+        t0 = time.perf_counter()
+        refs = []
+        for k in range(nblocks):
+            a[::4096] = k
+            refs.append(ray.put(a))
+        return refs, time.perf_counter() - t0
+
+    @ray.remote(num_cpus=0.5, scheduling_strategy="SPREAD")
+    def _consume(refs):
+        t0 = time.perf_counter()
+        tot = 0
+        for r in refs:
+            tot += int(ray.get(r).sum())
+        return time.perf_counter() - t0, tot
+
+    vals = []
+    for _ in range(rounds):
+        outs = ray.get([_produce.remote() for _ in range(lanes)])
+        reads = ray.get([_consume.remote(refs) for refs, _ in outs])
+        vals.append(
+            sum(
+                size_mb * nblocks * 2 / (w + r)
+                for (_, w), (r, _) in zip(outs, reads)
+            )
+        )
+    vals.sort()
+    per_core = vals[len(vals) // 2] / max(1, ncpu)
+    _BW_PROBE_CACHE["bw"] = per_core
+    return per_core
+
+
 def pick_pair_transport(
     n_docs: int,
     num_cpus: int | None = None,
     crossover_docs_per_cpu: int | None = None,
+    bandwidth_mbps_per_cpu: float | None = None,
 ) -> str:
     """Pick the LSH pair-generation transport from the corpus size per
     unit of parallelism (TODO #12: bandwidth:compute auto-pick).
@@ -1074,6 +1155,16 @@ def pick_pair_transport(
         crossover_docs_per_cpu = int(
             os.environ.get("GRAFT_NARROW_CROSSOVER", "175000")
         )
+        if bandwidth_mbps_per_cpu is not None:
+            # narrow's byte-lean exchanges pay off once per-core
+            # bandwidth is the wall, so the crossover scales with the
+            # measured per-core bandwidth relative to the calibration
+            # box. Clamp to [1/8, 8]: the probe is ±2x on a busy box,
+            # and beyond ~an order of magnitude the docs/core model
+            # itself stops being the binding constraint.
+            scale = bandwidth_mbps_per_cpu / _REFERENCE_BW_MBPS_PER_CPU
+            scale = min(8.0, max(0.125, scale))
+            crossover_docs_per_cpu = int(crossover_docs_per_cpu * scale)
     if num_cpus is None:
         try:
             import ray
@@ -1124,12 +1215,24 @@ def near_dedup(
     rides every band replica), ``"narrow"`` = byte-lean
     :func:`jaccard_pairs_narrow`, ``"auto"`` = decide from corpus size
     per core via :func:`pick_pair_transport` (costs one ``ds.count()``
-    — metadata-cheap on parquet-backed inputs).
+    — metadata-cheap on parquet-backed inputs), ``"probe"`` = "auto"
+    with the crossover calibrated by a one-per-session measurement of
+    the deployment's exchange bandwidth
+    (:func:`probe_exchange_bandwidth`) — on bandwidth-poor clusters
+    narrow kicks in proportionally earlier.
     """
     if keep_by is not None:
         assert keep_by[1] in ("min", "max"), keep_by
     if transport == "auto":
         transport = pick_pair_transport(ds.count())
+    elif transport == "probe":
+        # measure the deployment's exchange bandwidth once per session
+        # and shift the docs/core crossover accordingly — on a
+        # bandwidth-poor cluster (slow NIC per core) narrow kicks in
+        # earlier than the calibration box's 175k docs/core
+        transport = pick_pair_transport(
+            ds.count(), bandwidth_mbps_per_cpu=probe_exchange_bandwidth()
+        )
     assert transport in ("wide", "narrow"), transport
     pair_fn = jaccard_pairs_narrow if transport == "narrow" else jaccard_pairs
     pairs_ds = pair_fn(ds, threshold=threshold, hasher=hasher, id_column=id_column)
