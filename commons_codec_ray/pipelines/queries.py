@@ -8445,6 +8445,39 @@ def q_kcore(sf_dir: str):
     )
 
 
+def q_kcore_sharded(sf_dir: str):
+    """k-core, actor-sharded (stages/graph.py:kcore_sharded): same
+    deterministic event-derived graph and unrolled oracle as q_kcore,
+    but the deduped symmetric adjacency is hash-routed to shard actors
+    ONCE and each peel round moves only death notices (one message per
+    edge incident to a just-peeled node — ≤ 2|E| bytes over the whole
+    run vs the Dataset variant's two full-edge exchanges per round).
+    The shape that survives a 100 TB edge list."""
+    from commons_codec_ray.stages.graph import kcore_sharded
+    from commons_codec_ray.util import pool_size
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a1 = eid % 1400
+        b1 = (a1 + 1 + (eid % (1 + a1 % 4))) % 1400
+        a2 = eid % 320
+        b2 = (a2 // 8) * 8 + (eid // 64) % 8
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a1, a2])),
+                "dst": pa.array(np.concatenate([b1, b2])),
+            }
+        )
+
+    return kcore_sharded(events.map_batches(edges, batch_format="pyarrow"), k=4)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     head = """
 WITH raw AS (
@@ -9402,6 +9435,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "semdedup": q_semdedup,
     "kcore": q_kcore,
+    "kcore_sharded": q_kcore_sharded,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9584,6 +9618,7 @@ ORACLE_SQL = {
     "kmeans": _KMEANS_SQL,
     "semdedup": _SEMDEDUP_SQL,
     "kcore": _KCORE_SQL,
+    "kcore_sharded": _KCORE_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

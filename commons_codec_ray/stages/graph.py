@@ -1092,3 +1092,184 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 12, src: str = "src", dst: str
         )
 
     return sym.groupby("u").map_groups(final_deg, batch_format="pyarrow")
+
+
+@ray.remote(num_cpus=0.5)
+class _KCoreShard:
+    """One shard of static k-core state: the deduped symmetric
+    adjacency (CSR) of every node whose hash bucket this shard owns,
+    plus each owned node's current alive-degree.
+
+    The adjacency is routed here ONCE (same setup path as
+    :class:`_CCShard`); afterwards the only cross-shard traffic is
+    death notices — when node u is peeled, one (peer) message per
+    incident edge tells the peer's owner to decrement. Every edge
+    crosses shards at most once over the WHOLE run (when its first
+    endpoint dies), so total message volume is ≤ 2|E| regardless of
+    peel depth — vs the Dataset variant's two full-edge-table
+    exchanges per round. Simultaneous-peel semantics are preserved
+    because decrements emitted in round r are applied before round
+    r+1's death check, exactly the Dataset variant's "degree from the
+    pre-round snapshot" rule.
+    """
+
+    def __init__(self, num_shards: int, nb: int, k: int):
+        self.A = num_shards
+        self.nb = nb
+        self.k = k
+        self._parts: list[pa.Table] = []
+
+    def add_static(self, tbl: pa.Table) -> None:
+        if tbl.num_rows:
+            self._parts.append(tbl)
+
+    def build(self) -> int:
+        if self._parts:
+            t = pa.concat_tables(self._parts)
+            k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = t["peer"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            k = p = np.empty(0, np.int64)
+        self._parts = []
+        if len(k):
+            order = np.lexsort((p, k))
+            k, p = k[order], p[order]
+            keep = np.r_[True, (k[1:] != k[:-1]) | (p[1:] != p[:-1])]
+            k, p = k[keep], p[keep]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            self.v = k[starts]
+            self.counts = np.diff(np.r_[starts, len(k)])
+            self.starts = np.r_[starts, len(k)]
+            self.peer = p
+            self.p_owner = (
+                hash_bucket(p, self.nb).to_numpy(zero_copy_only=False) % self.A
+            )
+        else:
+            self.v = np.empty(0, np.int64)
+            self.counts = np.empty(0, np.int64)
+            self.starts = np.zeros(1, np.int64)
+            self.peer = np.empty(0, np.int64)
+            self.p_owner = np.empty(0, np.int64)
+        self.deg = self.counts.copy()
+        self.alive = np.ones(len(self.v), bool)
+        return int(len(self.v))
+
+    def peel(self):
+        """Mark every alive node with deg < k dead; emit one (peer)
+        death notice per incident edge, routed to the peer's owner.
+        Returns A message tables + the local death count."""
+        dead = self.alive & (self.deg < self.k)
+        self.alive[dead] = False
+        e_sel = np.repeat(dead, self.counts)
+        peers = self.peer[e_sel]
+        owners = self.p_owner[e_sel]
+        order = np.argsort(owners, kind="stable")
+        peers = peers[order]
+        bounds = np.searchsorted(owners[order], np.arange(self.A + 1))
+        outs = [
+            pa.table({"key": pa.array(peers[bounds[o]:bounds[o + 1]])})
+            for o in range(self.A)
+        ]
+        return (*outs, int(dead.sum()))
+
+    def decrement(self, *inboxes: pa.Table) -> None:
+        """Apply death notices: each occurrence of an owned node means
+        one of its neighbors died this round."""
+        if not len(self.v):
+            return
+        keys = [t["key"].to_numpy(zero_copy_only=False) for t in inboxes if t.num_rows]
+        if not keys:
+            return
+        keys = np.concatenate(keys)
+        pos = np.searchsorted(self.v, keys)
+        np.subtract.at(self.deg, pos, 1)
+
+    def result(self) -> pa.Table:
+        sel = self.alive
+        return pa.table(
+            {
+                "node": pa.array(self.v[sel], pa.int64()),
+                "deg": pa.array(self.deg[sel], pa.int64()),
+            }
+        )
+
+
+def kcore_sharded(
+    edges_ds,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int | None = None,
+    num_shards: int | None = None,
+    max_rounds: int = 64,
+):
+    """k-core decomposition, actor-sharded — the 100 TB shape of
+    :func:`kcore`: the deduped symmetric adjacency is hash-routed to
+    shard actors ONCE; each peel round moves only death notices (one
+    message per edge incident to a just-peeled node, so ≤ 2|E| message
+    bytes over the entire run), while the Dataset variant re-exchanges
+    the full edge table twice per round. Identical (node, deg) output
+    at any shard count; rounds = peel depth, same early stop.
+    """
+    from commons_codec_ray.util import pool_size
+
+    nb = num_buckets or adaptive_buckets()
+
+    def explode_setup(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        kk = np.concatenate([a, b])
+        p = np.concatenate([b, a])
+        return pa.table(
+            {"_b": hash_bucket(kk, nb), "key": pa.array(kk), "peer": pa.array(p)}
+        )
+
+    setup_refs = (
+        edges_ds.map_batches(explode_setup, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    A = num_shards or pool_size(max(1, len(setup_refs)))
+    shards = [
+        _KCoreShard.options(scheduling_strategy="SPREAD").remote(A, nb, k)
+        for _ in range(A)
+    ]
+    try:
+        acks = []
+        for blk in setup_refs:
+            parts = _pagerank_route.options(num_returns=A).remote(blk, A)
+            if A == 1:
+                parts = [parts]
+            acks.extend(
+                shards[o].add_static.remote(parts[o]) for o in range(A)
+            )
+        ray.get(acks)
+        ray.get([w.build.remote() for w in shards])
+
+        for _ in range(max_rounds):
+            # peel returns A message tables + the local death count
+            pouts = [w.peel.options(num_returns=A + 1).remote() for w in shards]
+            n_dead = sum(ray.get([p[A] for p in pouts]))
+            if n_dead == 0:
+                break
+            ray.get(
+                [
+                    shards[o].decrement.remote(*[pouts[i][o] for i in range(A)])
+                    for o in range(A)
+                ]
+            )
+        outs = [w.result.remote() for w in shards]
+        ray.wait(outs, num_returns=len(outs), fetch_local=False)
+        ds = rd.from_arrow_refs(outs)
+        if ds.count() == 0:  # keep the (node, deg) schema stable
+            return rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+                )
+            )
+        return ds
+    finally:
+        for w in shards:
+            ray.kill(w, no_restart=True)

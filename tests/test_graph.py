@@ -251,3 +251,61 @@ class TestKCore:
         src = [0, 0, 1, 1]
         dst = [1, 2, 3, 4]
         assert self._run(src, dst, k=2) == {}
+
+
+class TestKCoreSharded:
+    @staticmethod
+    def _edges(seed, n_nodes=80, n_edges=500):
+        rng = np.random.RandomState(seed)
+        t = pa.table(
+            {
+                "src": pa.array(rng.randint(0, n_nodes, n_edges).astype(np.int64)),
+                "dst": pa.array(rng.randint(0, n_nodes, n_edges).astype(np.int64)),
+            }
+        )
+        return rd.from_arrow(t).repartition(6)
+
+    @staticmethod
+    def _as_dict(ds):
+        df = ds.to_pandas()
+        if df.empty:
+            return {}
+        return dict(zip(df["node"].astype(int), df["deg"].astype(int)))
+
+    def test_matches_dataset_variant(self, ray_session):
+        from commons_codec_ray.stages.graph import kcore, kcore_sharded
+
+        for seed, k in ((1, 3), (2, 6), (3, 12)):
+            want = self._as_dict(kcore(self._edges(seed), k=k, max_rounds=64))
+            got = self._as_dict(kcore_sharded(self._edges(seed), k=k))
+            assert got == want, (seed, k)
+
+    def test_shard_count_invariance(self, ray_session):
+        from commons_codec_ray.stages.graph import kcore_sharded
+
+        a = self._as_dict(kcore_sharded(self._edges(7), k=5, num_shards=1))
+        b = self._as_dict(kcore_sharded(self._edges(7), k=5, num_shards=4))
+        assert a == b and a
+
+    def test_deep_peel_chain(self, ray_session):
+        from commons_codec_ray.stages.graph import kcore_sharded
+
+        # K4 with a 30-node pendant chain: the chain must cascade away
+        # over many rounds, core = the K4
+        src = [u for u in range(4) for v in range(u + 1, 4)] + [3] + list(range(100, 129))
+        dst = [v for u in range(4) for v in range(u + 1, 4)] + [100] + list(range(101, 130))
+        t = pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+        got = self._as_dict(kcore_sharded(rd.from_arrow(t).repartition(3), k=2, num_shards=3))
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_empty_core_schema(self, ray_session):
+        from commons_codec_ray.stages.graph import kcore_sharded
+
+        t = pa.table(
+            {"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())}
+        )
+        ds = kcore_sharded(rd.from_arrow(t), k=2, num_shards=2)
+        assert ds.count() == 0
+        assert [f.name for f in ds.schema().base_schema] == ["node", "deg"]
