@@ -8514,6 +8514,54 @@ FROM s{rounds} GROUP BY u"""
 _KCORE_SQL = _kcore_sql(4, 8)
 
 
+def q_embed_covariance(sf_dir: str):
+    """Distributed covariance / PCA statistics
+    (stages/stats.py:embedding_second_moments): ONE linear pass over
+    the embeddings; each batch emits a (64×64 XᵀX + sums + count)
+    int64 partial — kilobytes — driver-reduced, no shuffle (the
+    kmeans partial-reduction shape). Fixed-point quantization makes
+    every cell integer-exact, so the upper-triangle second moments
+    match the SQL join-aggregate bit-for-bit. Output: (i, j, sxy,
+    s_i, s_j, n) — everything a consumer needs to form the exact
+    covariance (cov = (sxy − s_i·s_j/n)/n); the d³ eigensolve is
+    driver-side (stats.pca_components, pytest-gated)."""
+    from commons_codec_ray.stages.stats import embedding_second_moments
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    S, sums, n = embedding_second_moments(emb)
+    d = len(sums)
+    iu, ju = np.triu_indices(d)
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "sxy": pa.array(S[iu, ju], pa.int64()),
+            "s_i": pa.array(sums[iu], pa.int64()),
+            "s_j": pa.array(sums[ju], pa.int64()),
+            "n": pa.array(np.full(len(iu), n, np.int64)),
+        }
+    )
+
+
+_EMBED_COVARIANCE_SQL = """
+WITH pts AS (
+  SELECT vec_id, u.i AS dim,
+         CAST(floor((CAST(embedding[u.i + 1] AS DOUBLE) + 2.0) * 1000000.0) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(64)) AS i) u),
+m AS (SELECT dim, sum(qv) AS s FROM pts GROUP BY dim),
+xx AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.qv * b.qv) AS sxy, count(*) AS n
+  FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim)
+SELECT CAST(x.i AS BIGINT) AS i, CAST(x.j AS BIGINT) AS j,
+       CAST(x.sxy AS BIGINT) AS sxy, CAST(mi.s AS BIGINT) AS s_i,
+       CAST(mj.s AS BIGINT) AS s_j, CAST(x.n AS BIGINT) AS n
+FROM xx x JOIN m mi ON mi.dim = x.i JOIN m mj ON mj.dim = x.j
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed k-means, full Lloyd iterations (stages/kmeans.py):
     fixed-point int64 coordinates (translation offset keeps everything
@@ -9436,6 +9484,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "kcore": q_kcore,
     "kcore_sharded": q_kcore_sharded,
+    "embed_covariance": q_embed_covariance,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9619,6 +9668,7 @@ ORACLE_SQL = {
     "semdedup": _SEMDEDUP_SQL,
     "kcore": _KCORE_SQL,
     "kcore_sharded": _KCORE_SQL,
+    "embed_covariance": _EMBED_COVARIANCE_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

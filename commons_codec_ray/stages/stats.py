@@ -174,3 +174,81 @@ def retention_cohorts(ds, user: str = "user_id", ts: str = "ts"):
             "n_users": pa.array(final["n_users"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def embedding_second_moments(ds, id_column: str = "vec_id", column: str = "embedding"):
+    """Exact distributed second moments of the quantized embedding
+    matrix — the distributed half of PCA / whitening / covariance
+    estimation. ONE linear ``map_batches`` pass; each batch emits a
+    (d×d XᵀX int64 matrix + per-dim sums + count) partial as bytes —
+    kilobytes for d=64 — reduced on the driver. No shuffle, the same
+    partial-reduction shape as :func:`~...kmeans.kmeans_lloyd`.
+
+    Quantization is the shared fixed-point scheme
+    (``kmeans._quantize``: ``floor((v+2)·10⁶)``), so every partial is
+    integer-exact and the reduction is order-invariant — a SQL oracle
+    summing ``qv_i·qv_j`` per dim pair matches bit-for-bit.
+
+    Overflow bound: |q| ≤ 4·10⁶ ⇒ |q_i·q_j| ≤ 1.6·10¹³, so int64 holds
+    exact sums up to ~5.7·10⁵ rows per *total* reduction per cell pair.
+    At larger corpora shift the quantization offset to center the data
+    (cross-moments shrink by ~the mean²) or reduce partials
+    hierarchically into int128 via paired int64 limbs — the pass
+    structure is unchanged.
+
+    Returns ``(S, sums, n)``: S the d×d int64 Σ qᵢqⱼ matrix, sums the
+    per-dim Σ q vector, n the row count.
+    """
+    from commons_codec_ray.stages.kmeans import _quantize
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t[column]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        q = _quantize(np.stack(emb.to_numpy(zero_copy_only=False)))
+        s = q.T @ q
+        return pa.table(
+            {
+                "xtx": pa.array([s.tobytes()], pa.binary()),
+                "sums": pa.array([q.sum(axis=0).tobytes()], pa.binary()),
+                "n": pa.array([q.shape[0]], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    d = int(np.sqrt(len(np.frombuffer(parts[0]["xtx"], dtype=np.int64))))
+    S = np.zeros((d, d), np.int64)
+    sums = np.zeros(d, np.int64)
+    n = 0
+    for row in parts:
+        S += np.frombuffer(row["xtx"], dtype=np.int64).reshape(d, d)
+        sums += np.frombuffer(row["sums"], dtype=np.int64)
+        n += int(row["n"])
+    return S, sums, n
+
+
+def pca_components(ds, n_components: int = 4, id_column: str = "vec_id", column: str = "embedding"):
+    """Principal components from the exact distributed second moments:
+    the d×d covariance is assembled driver-side from
+    :func:`embedding_second_moments` (cov = (S − s·sᵀ/n)/n in float64 —
+    the ONLY float step, on a d×d matrix in one process, hence
+    deterministic) and eigendecomposed with ``np.linalg.eigh``.
+    Returns ``(components, eigenvalues)``: components is
+    (n_components × d) rows sorted by descending eigenvalue, each with
+    a deterministic sign convention (largest-|coefficient| entry made
+    positive; ties → lowest dim index).
+
+    The distributed work is one linear pass; the eigensolve is O(d³)
+    on the driver — the textbook scale shape for tall-skinny PCA
+    (d ≤ a few thousand, rows unbounded).
+    """
+    S, sums, n = embedding_second_moments(ds, id_column=id_column, column=column)
+    cov = (S.astype(np.float64) - np.outer(sums, sums) / n) / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return comps, w[order]

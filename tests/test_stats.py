@@ -119,3 +119,60 @@ def test_retention_cohorts_vs_pandas(ray_session):
     assert got["cohort_day"].tolist() == want["cohort"].tolist()
     assert got["day_offset"].tolist() == want["off"].tolist()
     assert got["n_users"].tolist() == want["size"].tolist()
+
+
+class TestEmbeddingMoments:
+    @staticmethod
+    def _ds(m, blocks=6):
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in m], pa.list_(pa.float32())
+                ),
+            }
+        )
+        return rd.from_arrow(t).repartition(blocks)
+
+    def test_second_moments_match_single_pass(self, ray_session):
+        from commons_codec_ray.stages.kmeans import _quantize
+        from commons_codec_ray.stages.stats import embedding_second_moments
+
+        rng = np.random.RandomState(2)
+        m = rng.uniform(-0.8, 0.8, (300, 12)).astype(np.float32)
+        S, sums, n = embedding_second_moments(self._ds(m))
+        q = _quantize(m)
+        assert n == 300
+        assert (sums == q.sum(axis=0)).all()
+        assert (S == q.T @ q).all()
+        # block-layout invariance (integer partials are order-free)
+        S2, sums2, n2 = embedding_second_moments(self._ds(m, blocks=2))
+        assert (S2 == S).all() and (sums2 == sums).all() and n2 == n
+
+    def test_pca_recovers_planted_direction(self, ray_session):
+        from commons_codec_ray.stages.stats import pca_components
+
+        rng = np.random.RandomState(8)
+        d = 10
+        axis = np.zeros(d)
+        axis[3] = 0.8
+        axis[7] = 0.6
+        coef = rng.normal(0, 0.5, 1000)[:, None]
+        noise = rng.normal(0, 0.01, (1000, d))
+        m = (coef * axis[None, :] + noise).astype(np.float32)
+        comps, eigvals = pca_components(self._ds(m), n_components=2)
+        # top component aligns with the planted axis, dominant variance
+        assert abs(float(comps[0] @ axis)) > 0.99
+        assert eigvals[0] > 50 * eigvals[1]
+
+    def test_pca_sign_determinism(self, ray_session):
+        from commons_codec_ray.stages.stats import pca_components
+
+        rng = np.random.RandomState(9)
+        m = rng.normal(0, 0.3, (400, 6)).astype(np.float32)
+        a, _ = pca_components(self._ds(m, blocks=3), n_components=3)
+        b, _ = pca_components(self._ds(m, blocks=9), n_components=3)
+        assert np.allclose(a, b)
+        # the largest-|coefficient| entry of every component is positive
+        for row in a:
+            assert row[int(np.argmax(np.abs(row)))] > 0
