@@ -8514,6 +8514,79 @@ FROM s{rounds} GROUP BY u"""
 _KCORE_SQL = _kcore_sql(4, 8)
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information + marginal entropies between event_type and
+    weekday — the categorical feature-dependence score (feature
+    selection, leakage detection, drift monitoring). Scale shape:
+    vectorized per-batch (type, dow) count partials — |X|·7 cells,
+    kilobytes — driver-reduced; the float log terms are computed ONCE
+    on the tiny cell table in sorted cell order from exact integer
+    counts (layout-independent), rounded through duckdb_round(4) to
+    match the oracle byte-for-byte (the kl_per_user discipline)."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "x": t["event_type"].to_numpy(zero_copy_only=False),
+                "y": (days + 4) % 7,
+            }
+        )
+        g = df.groupby(["x", "y"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    cells = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = (
+        cells.groupby(["x", "y"], as_index=False)["c"]
+        .sum()
+        .sort_values(["x", "y"], kind="mergesort")
+    )
+    c = g["c"].to_numpy(np.float64)
+    n = c.sum()
+    cx = g.groupby("x")["c"].sum()
+    cy = g.groupby("y")["c"].sum()
+    cxv = g["x"].map(cx).to_numpy(np.float64)
+    cyv = g["y"].map(cy).to_numpy(np.float64)
+    mi = float(np.sum((c / n) * np.log2(c * n / (cxv * cyv))))
+    px = cx.to_numpy(np.float64) / n
+    py = cy.to_numpy(np.float64) / n
+    return pa.table(
+        {
+            "mi_bits": pa.array(duckdb_round(np.array([mi]), 4), pa.float64()),
+            "h_x_bits": pa.array(
+                duckdb_round(np.array([-np.sum(px * np.log2(px))]), 4), pa.float64()
+            ),
+            "h_y_bits": pa.array(
+                duckdb_round(np.array([-np.sum(py * np.log2(py))]), 4), pa.float64()
+            ),
+            "n": pa.array([int(n)], pa.int64()),
+        }
+    )
+
+
+_MUTUAL_INFO_SQL = """
+WITH c AS MATERIALIZED (
+  SELECT event_type AS x, CAST(dayofweek(ts) AS BIGINT) AS y,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2),
+t AS (SELECT sum(c) AS n FROM c),
+mx AS MATERIALIZED (SELECT x, sum(c) AS cx FROM c GROUP BY x),
+my AS MATERIALIZED (SELECT y, sum(c) AS cy FROM c GROUP BY y)
+SELECT
+  round((SELECT sum((c.c / t.n) * log2(c.c * t.n / (mx.cx * my.cy)))
+         FROM c CROSS JOIN t JOIN mx USING (x) JOIN my USING (y)), 4) AS mi_bits,
+  round((SELECT -sum((mx.cx / t.n) * log2(mx.cx / t.n))
+         FROM mx CROSS JOIN t), 4) AS h_x_bits,
+  round((SELECT -sum((my.cy / t.n) * log2(my.cy / t.n))
+         FROM my CROSS JOIN t), 4) AS h_y_bits,
+  (SELECT CAST(n AS BIGINT) FROM t) AS n
+"""
+
+
 def q_embed_covariance(sf_dir: str):
     """Distributed covariance / PCA statistics
     (stages/stats.py:embedding_second_moments): ONE linear pass over
@@ -9485,6 +9558,7 @@ QUERIES = {
     "kcore": q_kcore,
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
+    "mutual_info": q_mutual_info,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9669,6 +9743,7 @@ ORACLE_SQL = {
     "kcore": _KCORE_SQL,
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,
+    "mutual_info": _MUTUAL_INFO_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,
