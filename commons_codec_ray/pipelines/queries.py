@@ -134,6 +134,55 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_cdc_log_compaction(sf_dir: str):
+    """Kafka-style changelog compaction: the LAST operation per key
+    (by LSN) with delete TOMBSTONES RETAINED — the compacted-topic
+    materialization a new consumer bootstraps from (state + deletions),
+    vs `cdc_replay` which resolves LWW and DROPS tombstones. Engine
+    shape: identical to the replay lane (decode → ONE shuffle_key-
+    keyed exchange), per-group vectorized last-by-lsn keeping the
+    whole row; duplicate deliveries collapse because they are
+    byte-identical rows at the same lsn."""
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        out = df.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+        out = out[["conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "lsn"]]
+        return out.assign(op=out["op"].astype(np.int64))
+
+    return ds.groupby("shuffle_key").map_groups(compact, batch_format="pandas")
+
+
+_CDC_LOG_COMPACTION_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         CASE WHEN event_id % 10 = 7 THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_id % 10 = 7 THEN NULL ELSE props END AS text,
+         CASE WHEN event_id % 10 = 7 OR value < 50 THEN NULL ELSE 'search' END AS tool,
+         CASE WHEN event_id % 10 = 7 THEN NULL ELSE ts END AS ts,
+         event_id AS lsn
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ops)
+SELECT conv_id, turn_idx, CAST(op AS BIGINT) AS op, role, text, tool, ts, lsn
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_cdc_replay_universal(sf_dir: str):
     """Same replay through the UNIVERSAL (pk/data/aux) layout end-to-end
     (reference transform/aws_dms.py:249-347): decode to 3-bucket records,
@@ -9390,6 +9439,7 @@ FROM base JOIN ttop USING (doc_id) LEFT JOIN btop USING (doc_id)
 
 QUERIES = {
     "cdc_replay": q_cdc_replay,
+    "cdc_log_compaction": q_cdc_log_compaction,
     "cdc_replay_shuffled": q_cdc_replay_shuffled,
     "cdc_replay_universal": q_cdc_replay_universal,
     "cdc_decode_debezium": q_decode_debezium,
@@ -9575,6 +9625,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_replay": _CDC_REPLAY_SQL,
+    "cdc_log_compaction": _CDC_LOG_COMPACTION_SQL,
     "cdc_replay_shuffled": _CDC_REPLAY_SQL,
     "cdc_replay_universal": _CDC_REPLAY_SQL,
     "cdc_decode_debezium": _DECODE_SQL,
