@@ -8864,6 +8864,105 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, the standard public hybrid-search combiner): fuse the BM25
+    lexical top-20 (integer-rational scoring, stages/ranking.bm25_topk)
+    with the cosine vector top-20 for a fixed query vector into
+    RRF = Σ 10⁹ // (60 + rank) — all-integer, so ranks and fused
+    scores replay bit-exactly in SQL. Scale shape: the lexical arm is
+    the existing two-linear-pass BM25 (no shuffle); the vector arm
+    broadcasts ONE query vector (`ray.put`) into a per-batch local
+    top-k partial — driver merges 20-row partials, never the corpus;
+    the fuse itself touches ≤ 40 rows. doc_id and vec_id share a key
+    space in the driver tables, giving the classic hybrid-search
+    setup."""
+    import ray
+
+    from commons_codec_ray.stages.ranking import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lex = bm25_topk(docs, query_terms=["table", "row", "key", "scan"], k=20).to_pandas()
+    lex = lex.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qrow = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).take(1)
+    q = np.asarray(qrow[0]["embedding"], np.float64)
+    qref = ray.put(q / np.linalg.norm(q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = duckdb_round(m @ qv, 4)
+        order = np.lexsort((ids, -cos))[:20]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    parts = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["cos", "vec_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    vec_rank = {int(d): i + 1 for i, d in enumerate(parts["vec_id"])}
+
+    rows = []
+    for d in sorted(set(lex_rank) | set(vec_rank)):
+        rl, rv = lex_rank.get(d, 0), vec_rank.get(d, 0)
+        rrf = (10**9 // (60 + rl) if rl else 0) + (10**9 // (60 + rv) if rv else 0)
+        rows.append((d, rrf, rl, rv))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rrf": pa.array([r[1] for r in rows], pa.int64()),
+            "r_lex": pa.array([r[2] for r in rows], pa.int64()),
+            "r_vec": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+_RRF_FUSION_SQL = f"""
+WITH lex AS ({_BM25_SQL}),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lex),
+vec AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 4) AS cos
+  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+vrank AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM vec)
+  WHERE r <= 20),
+ids AS (SELECT doc_id FROM lexr UNION SELECT doc_id FROM vrank),
+f AS (
+  SELECT i.doc_id,
+         COALESCE(l.r, 0) AS r_lex,
+         COALESCE(v.r, 0) AS r_vec,
+         COALESCE(1000000000 // (60 + l.r), 0)
+           + COALESCE(1000000000 // (60 + v.r), 0) AS rrf
+  FROM ids i LEFT JOIN lexr l USING (doc_id) LEFT JOIN vrank v USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rrf AS BIGINT) AS rrf,
+       CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def q_embed_quantize(sf_dir: str):
     """Symmetric int8 embedding quantization (stages/similarity.py
     ``quantize_int8``): per-vector max-|v| scaling, fixed double-op
@@ -9609,6 +9708,7 @@ QUERIES = {
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
     "mutual_info": q_mutual_info,
+    "rrf_fusion": q_rrf_fusion,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9795,6 +9895,7 @@ ORACLE_SQL = {
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,
+    "rrf_fusion": _RRF_FUSION_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,
