@@ -141,3 +141,21 @@ def test_new_dialect_replay_equals_debezium(tmp_path, dialect):
         lakes[d] = canonical(pa.Table.from_pandas(pipe.read_lake().to_pandas()))
     assert lakes[dialect].num_rows == lakes["debezium"].num_rows
     assert lakes[dialect].equals(lakes["debezium"].cast(lakes[dialect].schema))
+
+
+def test_log_compaction_upserts_equal_replayed_lake(ray_session):
+    """Cross-query invariant: the compacted changelog restricted to
+    op=1 must carry exactly the replayed lake's rows (compaction is
+    the topic-side view of the same LWW state; tombstones are the
+    only difference)."""
+    from commons_codec_ray.pipelines.queries import q_cdc_log_compaction, q_cdc_replay
+
+    sf = "/root/testdata/sf0.001"
+    comp = q_cdc_log_compaction(sf).to_pandas()
+    lake = q_cdc_replay(sf).to_pandas()
+    up = comp[comp["op"] == 1][["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    key = ["conv_id", "turn_idx"]
+    up = up.sort_values(key, kind="mergesort").reset_index(drop=True)
+    lk = lake[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    lk = lk.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert up.equals(lk)
