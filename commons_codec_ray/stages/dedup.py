@@ -1031,7 +1031,7 @@ def exact_jaccard_pairs(
 #: crossover by (observed / reference).
 _REFERENCE_BW_MBPS_PER_CPU = 170.0
 
-_BW_PROBE_CACHE: dict[str, float] = {}
+_BW_PROBE_CACHE: dict[tuple, float] = {}
 
 
 def probe_exchange_bandwidth(
@@ -1062,12 +1062,12 @@ def probe_exchange_bandwidth(
 
     import ray
 
-    if not refresh and "bw" in _BW_PROBE_CACHE:
-        return _BW_PROBE_CACHE["bw"]
-
     ncpu = int(ray.cluster_resources().get("CPU", 1))
     if lanes is None:
         lanes = max(2, ncpu // 8)
+    cache_key = (size_mb, nblocks, lanes, rounds)
+    if not refresh and cache_key in _BW_PROBE_CACHE:
+        return _BW_PROBE_CACHE[cache_key]
     n = size_mb * 1024 * 1024
 
     @ray.remote(num_cpus=0.5, scheduling_strategy="SPREAD")
@@ -1100,7 +1100,7 @@ def probe_exchange_bandwidth(
         )
     vals.sort()
     per_core = vals[len(vals) // 2] / max(1, ncpu)
-    _BW_PROBE_CACHE["bw"] = per_core
+    _BW_PROBE_CACHE[cache_key] = per_core
     return per_core
 
 

@@ -990,7 +990,7 @@ def components_sharded(
             ray.kill(w, no_restart=True)
 
 
-def kcore(edges_ds, k: int = 3, max_rounds: int = 12, src: str = "src", dst: str = "dst"):
+def kcore(edges_ds, k: int = 3, max_rounds: int = 64, src: str = "src", dst: str = "dst"):
     """k-core decomposition by simultaneous peeling (the classic
     Matula–Beck coreness peel, distributed as in Montresor et al.'s
     message-passing formulation): repeatedly delete EVERY node whose
@@ -1024,13 +1024,23 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 12, src: str = "src", dst: str
         a, b = a[keep], b[keep]
         u = np.minimum(a, b)
         v = np.maximum(a, b)
-        # pack for the dedupe exchange; node ids must fit 32 bits
-        return pa.table({"_uv": pa.array((u << np.int64(32)) | v, pa.int64())})
+        # pack for the dedupe exchange in UNSIGNED space: node ids must
+        # lie in [0, 2^32) (an id at 2^31 would wrap the int64 sign bit
+        # under a signed shift); kcore_sharded has no such bound
+        if len(u) and (int(u.min()) < 0 or int(v.max()) >= 1 << 32):
+            raise ValueError(
+                "kcore packs (u, v) into one int64: node ids must be in "
+                "[0, 2**32); use kcore_sharded for full-int64 ids"
+            )
+        packed = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+        return pa.table({"_uv": pa.array(packed.view(np.int64), pa.int64())})
 
     def uniq(t: pa.Table) -> pa.Table:
-        uv = np.unique(t["_uv"].to_numpy(zero_copy_only=False))
-        u = uv >> np.int64(32)
-        v = uv & np.int64(0xFFFFFFFF)
+        uv = np.unique(
+            t["_uv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(np.uint64)
+        u = (uv >> np.uint64(32)).astype(np.int64)
+        v = (uv & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return pa.table(
             {
                 "u": pa.array(np.concatenate([u, v]), pa.int64()),
@@ -1054,6 +1064,7 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 12, src: str = "src", dst: str
         return body
 
     n_prev = sym.count()
+    converged = n_prev == 0
     for _ in range(max_rounds):
         if n_prev == 0:
             break
@@ -1073,8 +1084,17 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 12, src: str = "src", dst: str
         sym = peeled.map_batches(keep_core, batch_format="pyarrow").materialize()
         n = sym.count()
         if n == n_prev:
+            converged = True
             break
         n_prev = n
+    if not converged and n_prev != 0:
+        # returning the intermediate edge set would be a silently wrong
+        # "core" (it still contains sub-k-degree nodes)
+        raise RuntimeError(
+            f"kcore did not reach fixpoint within max_rounds={max_rounds}; "
+            "raise max_rounds (peel depth is data-dependent, worst case "
+            "O(n) on a path) or use kcore_sharded"
+        )
 
     if n_prev == 0:  # empty core: keep the (node, deg) schema stable
         return rd.from_arrow(

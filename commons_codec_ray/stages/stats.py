@@ -212,6 +212,7 @@ def embedding_second_moments(ds, id_column: str = "vec_id", column: str = "embed
                 "xtx": pa.array([s.tobytes()], pa.binary()),
                 "sums": pa.array([q.sum(axis=0).tobytes()], pa.binary()),
                 "n": pa.array([q.shape[0]], pa.int64()),
+                "maxq": pa.array([int(np.abs(q).max()) if q.size else 0], pa.int64()),
             }
         )
 
@@ -220,10 +221,21 @@ def embedding_second_moments(ds, id_column: str = "vec_id", column: str = "embed
     S = np.zeros((d, d), np.int64)
     sums = np.zeros(d, np.int64)
     n = 0
+    maxq = 0
     for row in parts:
         S += np.frombuffer(row["xtx"], dtype=np.int64).reshape(d, d)
         sums += np.frombuffer(row["sums"], dtype=np.int64)
         n += int(row["n"])
+        maxq = max(maxq, int(row["maxq"]))
+    # conservative wrap guard (exact Python ints): n rows of worst-case
+    # |q_i·q_j| = maxq² must fit int64, else the += above may have
+    # wrapped silently — the docstring's ~5.7e5-row bound, enforced
+    if n * maxq * maxq >= 1 << 63:
+        raise OverflowError(
+            f"embedding_second_moments: n={n} rows with max|q|={maxq} may "
+            "overflow int64 accumulation; center the data (shift the "
+            "quantization offset) or reduce hierarchically in wider limbs"
+        )
     return S, sums, n
 
 

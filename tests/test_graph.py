@@ -309,3 +309,52 @@ class TestKCoreSharded:
         ds = kcore_sharded(rd.from_arrow(t), k=2, num_shards=2)
         assert ds.count() == 0
         assert [f.name for f in ds.schema().base_schema] == ["node", "deg"]
+
+
+def test_kcore_raises_on_round_exhaustion(ray_session):
+    # path graph, k=2: only the two endpoints peel per round, so
+    # fixpoint needs ~n/2 rounds — an insufficient cap must RAISE, not
+    # return a wrong intermediate "core"
+    import pytest
+
+    from commons_codec_ray.stages.graph import kcore
+
+    src = list(range(29))
+    dst = list(range(1, 30))
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(rd.from_arrow(t).repartition(3), k=2, max_rounds=3)
+    # the default cap converges (empty 2-core of a path)
+    assert kcore(rd.from_arrow(t).repartition(3), k=2).count() == 0
+
+
+def test_kcore_rejects_ids_beyond_32_bits(ray_session):
+    import pytest
+
+    from commons_codec_ray.stages.graph import kcore, kcore_sharded
+
+    big = 1 << 32
+    t = pa.table(
+        {
+            "src": pa.array([big, big, big + 1], pa.int64()),
+            "dst": pa.array([big + 1, big + 2, big + 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="32"):
+        kcore(rd.from_arrow(t), k=2).count()
+    # the sharded variant handles full-int64 ids: the triangle is a 2-core
+    got = kcore_sharded(rd.from_arrow(t), k=2, num_shards=2).to_pandas()
+    assert sorted(got["node"].astype(int)) == [big, big + 1, big + 2]
+
+
+def test_kcore_ids_in_upper_32bit_range_work(ray_session):
+    # ids in [2^31, 2^32) used to wrap the signed shift — now valid
+    from commons_codec_ray.stages.graph import kcore
+
+    base = (1 << 31) + 5
+    src = [base, base, base + 1]
+    dst = [base + 1, base + 2, base + 2]
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    got = kcore(rd.from_arrow(t), k=2).to_pandas()
+    assert sorted(got["node"].astype(int)) == [base, base + 1, base + 2]
+    assert (got["deg"] == 2).all()

@@ -333,6 +333,9 @@ def test_probe_exchange_bandwidth_runs_and_caches(ray_session):
     dedup._BW_PROBE_CACHE.clear()
     bw = dedup.probe_exchange_bandwidth(size_mb=4, nblocks=2, lanes=2, rounds=1)
     assert bw > 0
-    # second call is served from the session cache (same object)
-    assert dedup.probe_exchange_bandwidth() == bw
+    # same parameters are served from the session cache (same object);
+    # the cache key includes the probe parameters, so a differently-
+    # parameterized call would re-measure rather than reuse
+    assert dedup.probe_exchange_bandwidth(size_mb=4, nblocks=2, lanes=2, rounds=1) == bw
+    assert (4, 2, 2, 1) in dedup._BW_PROBE_CACHE
     dedup._BW_PROBE_CACHE.clear()
