@@ -1792,6 +1792,22 @@ def q_near_dedup(sf_dir: str):
 _NEAR_DEDUP_SQL = "SELECT doc_id FROM documents"
 
 
+def q_near_dedup_incremental(sf_dir: str):
+    """Streaming near-dedup (stages/dedup.py:near_dedup_incremental):
+    the planted corpus arrives in 4 deterministic waves (epoch =
+    splitmix(doc_id) mod 4, so originals and their re-crawl copies land
+    in arbitrary different waves) and each wave is deduped against a
+    PERSISTENT actor-sharded LSH index of everything seen so far — a
+    pair is discovered exactly once, when its later member arrives, so
+    wave N costs only wave N (never old-vs-old re-pairing). Final
+    survivors are observationally identical to batch near_dedup, hence
+    the same closed-form oracle."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(_planted_corpus, batch_format="pyarrow")
+    survivors = dedup_stage.near_dedup_incremental(corpus, threshold=0.7, epochs=4)
+    return survivors.select_columns(["doc_id"])
+
+
 def q_near_dedup_best(sf_dir: str):
     """Near-dedup with the keep-BEST survivor policy (keep_by): same
     planted clusters as q_near_dedup, but the survivor is the max-doc_id
@@ -9709,6 +9725,7 @@ QUERIES = {
     "embed_covariance": q_embed_covariance,
     "mutual_info": q_mutual_info,
     "rrf_fusion": q_rrf_fusion,
+    "near_dedup_incremental": q_near_dedup_incremental,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9896,6 +9913,7 @@ ORACLE_SQL = {
     "embed_covariance": _EMBED_COVARIANCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,
     "rrf_fusion": _RRF_FUSION_SQL,
+    "near_dedup_incremental": _NEAR_DEDUP_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

@@ -1511,3 +1511,230 @@ def semdedup(
         .groupby("cid")
         .map_groups(prune, batch_format="pyarrow")
     )
+
+
+class _LSHIndexShard:
+    """One shard of a PERSISTENT banded-LSH index for streaming /
+    incremental near-dedup: buckets of (band, band_key) → member doc
+    ids, plus each member's minhash signature (stored once per shard).
+
+    On insert of a batch of (doc, band, key, sig) rows the shard emits
+    every VERIFIED near-dup pair between the new docs and everything
+    already indexed in the same buckets (plus new×new within the
+    batch) — verification is the exact batch rule (est =
+    component-agreement fraction ≥ threshold AND ≥ 1 fully-equal
+    band), so the verified pair set over a whole run equals the batch
+    :func:`jaccard_pairs` set and survivors match batch
+    :func:`near_dedup` observationally. State grows with the indexed
+    corpus (sig + bucket entry per doc per band, ÷ num_shards): the
+    price of never re-pairing old-vs-old — each arriving epoch costs
+    only its own candidates, the continuous-ingest shape a nightly
+    crawl dedup needs.
+    """
+
+    def __init__(self, threshold: float, num_perm: int, bands: int):
+        self.threshold = threshold
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.buckets: dict[tuple[int, int], list[int]] = {}
+        self.sig_by_doc: dict[int, np.ndarray] = {}
+
+    def insert_batch(self, tbl: pa.Table) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        if tbl.num_rows:
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            band = tbl["band"].to_numpy(zero_copy_only=False)
+            key = tbl["key"].to_numpy(zero_copy_only=False)
+            sigs = _var_sig_matrix(tbl["sig"].cast(pa.binary()), self.num_perm)
+            for d, s in zip(ids, sigs):
+                self.sig_by_doc.setdefault(int(d), s.copy())
+            order = np.lexsort((ids, key, band))
+            bk = np.stack([band[order], key[order]], axis=1)
+            starts = np.flatnonzero(
+                np.r_[True, (np.diff(bk, axis=0) != 0).any(axis=1)]
+            )
+            bounds = np.r_[starts, len(order)]
+            for si in range(len(starts)):
+                rows = order[bounds[si]:bounds[si + 1]]
+                bkey = (int(band[rows[0]]), int(key[rows[0]]))
+                old = self.buckets.get(bkey)
+                new_ids = [int(i) for i in dict.fromkeys(ids[rows].tolist())]
+                cand: list[tuple[int, int]] = []
+                if old:
+                    cand += [(o, nnew) for nnew in new_ids for o in old if o != nnew]
+                cand += [
+                    (new_ids[i], new_ids[j])
+                    for i in range(len(new_ids))
+                    for j in range(i + 1, len(new_ids))
+                ]
+                if cand:
+                    a = np.fromiter((min(p) for p in cand), np.int64, len(cand))
+                    b = np.fromiter((max(p) for p in cand), np.int64, len(cand))
+                    sa = np.stack([self.sig_by_doc[int(x)] for x in a])
+                    sb = np.stack([self.sig_by_doc[int(x)] for x in b])
+                    eqs = sa == sb
+                    est = eqs.mean(axis=1)
+                    band_eq = eqs.reshape(len(a), self.bands, self.rows_per_band).all(
+                        axis=2
+                    )
+                    keep = (est >= self.threshold) & band_eq.any(axis=1)
+                    out_a.append(a[keep])
+                    out_b.append(b[keep])
+                if old is None:
+                    self.buckets[bkey] = new_ids
+                else:
+                    seen = set(old)
+                    old.extend(i for i in new_ids if i not in seen)
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    def stats(self) -> dict:
+        return {
+            "docs": len(self.sig_by_doc),
+            "buckets": len(self.buckets),
+        }
+
+
+def near_dedup_incremental(
+    ds,
+    threshold: float = 0.7,
+    hasher: MinHasher | None = None,
+    id_column: str = "doc_id",
+    epochs: int = 4,
+    num_shards: int | None = None,
+    max_driver_pairs: int = 2_000_000,
+):
+    """Streaming / incremental near-duplicate removal: the corpus
+    arrives in ``epochs`` waves (epoch = splitmix(doc_id) mod epochs —
+    deterministic, so copies and originals land in arbitrary DIFFERENT
+    waves), and each wave is deduped against a PERSISTENT actor-sharded
+    LSH index holding everything indexed so far. A near-dup pair is
+    discovered exactly once — when its later member arrives — so the
+    total pair-discovery work over the run is the same as one batch
+    :func:`jaccard_pairs`, but no epoch ever re-pairs old-vs-old: the
+    marginal cost of wave N is proportional to wave N, the shape a
+    continuously-ingesting crawl pipeline needs (cf. the CDC lane's
+    "only the delta moves" discipline).
+
+    Final survivors = keep-min-id per near-dup cluster over ALL
+    discovered pairs — observationally IDENTICAL to batch
+    :func:`near_dedup` (same verified pair set, same clustering), which
+    is what makes the batch SQL oracle reusable. Pairs accumulate on
+    the driver under ``max_driver_pairs`` (pairs ≈ true near-dups ≪
+    corpus); beyond the guard, fall back to :func:`near_dedup` whose
+    distributed clustering path handles unbounded pair sets.
+    """
+    import ray
+
+    from commons_codec_ray.stages.kmeans import _splitmix
+    from commons_codec_ray.util import pool_size
+
+    hasher = hasher or MinHasher()
+    n_bands = hasher.bands
+    band_cols = [f"band_{b}" for b in range(n_bands)]
+    sigs = (
+        ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+        .select_columns([id_column, "_sig"] + band_cols)
+        .materialize()
+    )
+    A = num_shards or pool_size(8)
+    shard_cls = ray.remote(num_cpus=0.5)(_LSHIndexShard)
+    shards = [
+        shard_cls.options(scheduling_strategy="SPREAD").remote(
+            threshold, hasher.num_perm, n_bands
+        )
+        for _ in range(A)
+    ]
+
+    def _route_split(tbl: pa.Table, num: int):
+        s = tbl["_shard"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        t = tbl.take(pa.array(order))
+        bounds = np.searchsorted(s[order], np.arange(num + 1))
+        parts = [t.slice(bounds[o], bounds[o + 1] - bounds[o]) for o in range(num)]
+        return parts if num > 1 else parts[0]
+
+    route_fn = ray.remote(_route_split)
+
+    def explode(t: pa.Table, _epoch: int) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        ep = _splitmix(ids.astype(np.uint64)) % np.uint64(epochs)
+        sel = ep == _epoch
+        if not sel.any():
+            return pa.table(
+                {
+                    "_shard": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary()),
+                }
+            )
+        sub = t.filter(pa.array(sel))
+        sids = sub[id_column].to_numpy(zero_copy_only=False)
+        n = len(sids)
+        keys = np.concatenate(
+            [sub[c].to_numpy(zero_copy_only=False) for c in band_cols]
+        )
+        bandv = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        sig_col = sub["_sig"].cast(pa.binary())
+        sig_rep = pa.concat_arrays(
+            [sig_col.combine_chunks() if isinstance(sig_col, pa.ChunkedArray) else sig_col]
+            * n_bands
+        )
+        return pa.table(
+            {
+                "_shard": pa.array(
+                    (keys.astype(np.uint64) % np.uint64(A)).astype(np.int64)
+                ),
+                "doc_id": pa.array(np.tile(sids, n_bands), pa.int64()),
+                "band": pa.array(bandv),
+                "key": pa.array(keys, pa.int64()),
+                "sig": sig_rep,
+            }
+        )
+
+    try:
+        pair_parts: list[pa.Table] = []
+        for e in range(epochs):
+            routed = sigs.map_batches(
+                lambda t, _e=e: explode(t, _e), batch_format="pyarrow"
+            ).materialize()
+            refs = routed.to_arrow_refs()
+            pend = []
+            for blk in refs:
+                parts = route_fn.options(num_returns=A).remote(blk, A)
+                if A == 1:
+                    parts = [parts]
+                pend.extend(shards[o].insert_batch.remote(parts[o]) for o in range(A))
+            pair_parts.extend(ray.get(pend))
+        pairs = pa.concat_tables(pair_parts).to_pandas().drop_duplicates()
+        if len(pairs) > max_driver_pairs:
+            # beyond the driver guard the persistent-index variant offers
+            # no clustering advantage — run the batch distributed path
+            return near_dedup(
+                ds,
+                threshold=threshold,
+                hasher=hasher,
+                id_column=id_column,
+                max_driver_pairs=max_driver_pairs,
+            )
+        clusters = dedup_clusters(pairs)
+        losers = set(
+            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+        )
+        if not losers:
+            return ds
+        loser_arr = pa.array(sorted(losers), type=pa.int64())
+        return ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t[id_column], value_set=loser_arr))
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        for w in shards:
+            ray.kill(w, no_restart=True)

@@ -339,3 +339,55 @@ def test_probe_exchange_bandwidth_runs_and_caches(ray_session):
     assert dedup.probe_exchange_bandwidth(size_mb=4, nblocks=2, lanes=2, rounds=1) == bw
     assert (4, 2, 2, 1) in dedup._BW_PROBE_CACHE
     dedup._BW_PROBE_CACHE.clear()
+
+
+class TestIncrementalNearDedup:
+    @staticmethod
+    def _corpus(n=120, blocks=5):
+        # disjoint-vocab originals + perturbed copies (the planted shape)
+        rows_id, rows_text = [], []
+        for i in range(n):
+            toks = [f"w{i}_{j}" for j in range(30)]
+            rows_id.append(i)
+            rows_text.append(" ".join(toks))
+            if i % 3 == 0:  # copy with a case perturbation
+                rows_id.append(10_000 + i)
+                rows_text.append(" ".join(t.upper() for t in toks))
+        t = pa.table(
+            {
+                "doc_id": pa.array(rows_id, pa.int64()),
+                "text": pa.array(rows_text, pa.string()),
+            }
+        )
+        import ray.data as rd
+
+        return rd.from_arrow(t).repartition(blocks)
+
+    def test_matches_batch_near_dedup(self, ray_session):
+        from commons_codec_ray.stages.dedup import near_dedup, near_dedup_incremental
+
+        batch = sorted(near_dedup(self._corpus(), threshold=0.7).to_pandas()["doc_id"])
+        for epochs in (1, 3, 5):
+            inc = sorted(
+                near_dedup_incremental(
+                    self._corpus(), threshold=0.7, epochs=epochs
+                ).to_pandas()["doc_id"]
+            )
+            assert inc == batch, epochs
+        # sanity: the copies were actually removed
+        assert all(d < 10_000 for d in batch) and len(batch) == 120
+
+    def test_shard_count_invariance(self, ray_session):
+        from commons_codec_ray.stages.dedup import near_dedup_incremental
+
+        a = sorted(
+            near_dedup_incremental(
+                self._corpus(), epochs=3, num_shards=1
+            ).to_pandas()["doc_id"]
+        )
+        b = sorted(
+            near_dedup_incremental(
+                self._corpus(), epochs=3, num_shards=4
+            ).to_pandas()["doc_id"]
+        )
+        assert a == b
