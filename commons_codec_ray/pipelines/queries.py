@@ -8579,6 +8579,57 @@ FROM s{rounds} GROUP BY u"""
 _KCORE_SQL = _kcore_sql(4, 8)
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (stages/text.py:bpe_train —
+    Sennrich et al. 2016): learn the top-4 merge rules over the
+    documents corpus. Each merge is one linear pass emitting kilobyte
+    (l, r, count) pair partials, driver-reduced with a deterministic
+    argmax; merges apply as plain left-to-right ``replace`` on the
+    spaced symbol form, the exact semantics DuckDB's ``replace``
+    shares, so the unrolled oracle replays training bit-for-bit."""
+    from commons_codec_ray.stages.text import bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_train(docs, merges=4)
+
+
+def _bpe_train_sql(merges: int) -> str:
+    parts = [
+        """
+WITH sp0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(flatten(list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> list_concat(string_split_regex(w, ''), ['|']))), ' ') || ' ' AS s
+  FROM documents)"""
+    ]
+    for t in range(1, merges + 1):
+        parts.append(
+            f""",
+pc{t} AS MATERIALIZED (
+  SELECT p[1] AS l, p[2] AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(l2, l2[2:])) AS p
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l2 FROM sp{t - 1}))
+  WHERE p[2] IS NOT NULL AND p[1] <> '|' AND p[2] <> '|'
+  GROUP BY 1, 2),
+top{t} AS MATERIALIZED (SELECT l, r, cnt FROM pc{t} ORDER BY cnt DESC, l, r LIMIT 1),
+sp{t} AS MATERIALIZED (
+  SELECT replace(s, ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' ') AS s
+  FROM sp{t - 1} CROSS JOIN top{t} t)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS rank, l, r, cnt AS pair_count FROM top{t}"
+        for t in range(1, merges + 1)
+    )
+    return (
+        "".join(parts)
+        + f"\nSELECT CAST(rank AS BIGINT) AS rank, l, r, pair_count FROM ({sel})"
+    )
+
+
+_BPE_TRAIN_SQL = _bpe_train_sql(4)
+
+
 def q_mutual_info(sf_dir: str):
     """Mutual information + marginal entropies between event_type and
     weekday — the categorical feature-dependence score (feature
@@ -9726,6 +9777,7 @@ QUERIES = {
     "mutual_info": q_mutual_info,
     "rrf_fusion": q_rrf_fusion,
     "near_dedup_incremental": q_near_dedup_incremental,
+    "bpe_train": q_bpe_train,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9914,6 +9966,7 @@ ORACLE_SQL = {
     "mutual_info": _MUTUAL_INFO_SQL,
     "rrf_fusion": _RRF_FUSION_SQL,
     "near_dedup_incremental": _NEAR_DEDUP_SQL,
+    "bpe_train": _BPE_TRAIN_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

@@ -248,3 +248,96 @@ def normalize_text(batch: pa.Table, column: str = "text", out: str = "norm") -> 
     s = pc.replace_substring_regex(s, pattern=_NORM_STRIP_RE, replacement=" ")
     s = pc.replace_substring_regex(s, pattern=_NORM_SQUEEZE_RE, replacement=" ")
     return batch.append_column(out, pc.utf8_trim(s, characters=" "))
+
+
+def bpe_train(ds, merges: int = 4, column: str = "text"):
+    """Distributed BPE merge-table training (Sennrich et al. 2016, the
+    public byte-pair-encoding tokenizer-training algorithm): learn the
+    top ``merges`` merge rules over the corpus.
+
+    Representation: each document becomes a SPACED symbol string
+    (' c1 c2 … | d1 d2 … | ' — characters separated by spaces, a '|'
+    boundary symbol between words that never participates in a pair),
+    and a merge (l, r) is applied as the plain non-overlapping
+    left-to-right replacement ``' l r ' → ' lr '`` — exactly the
+    semantics of both Python ``str.replace`` and DuckDB ``replace``,
+    which is what lets an unrolled-CTE SQL oracle replay training
+    bit-for-bit (including the under-merge of immediately repeated
+    pairs that left-to-right consumption implies).
+
+    Scale shape: each merge iteration is ONE linear ``map_batches``
+    pass; a batch emits its local (l, r, count) pair table — bounded
+    by the observed symbol-pair vocabulary, kilobytes — and the driver
+    reduces partials and argmaxes with a deterministic tie-break
+    (count desc, then lexicographic l, r). Nothing is ever shuffled;
+    M merges = M linear passes, the canonical count-then-merge shape
+    tokenizer training has at any corpus size. Returns a pyarrow
+    Table ``(rank, l, r, pair_count)``.
+    """
+    import pandas as pd
+
+    def spaced_strings(col) -> list[str]:
+        out = []
+        for text in col.to_pylist():
+            syms: list[str] = []
+            for w in (text or "").split(" "):
+                if w:
+                    syms.extend(w)
+                    syms.append("|")
+            out.append(" " + " ".join(syms) + " ")
+        return out
+
+    applied: list[tuple[str, str]] = []
+    result = []
+    for rank in range(1, merges + 1):
+        cur = tuple(applied)
+
+        def partial(t: pa.Table, _m=cur) -> pa.Table:
+            from collections import Counter
+
+            c: Counter = Counter()
+            for s in spaced_strings(t[column]):
+                for l, r in _m:
+                    s = s.replace(f" {l} {r} ", f" {l}{r} ")
+                toks = s.split()
+                c.update(
+                    (a, b)
+                    for a, b in zip(toks, toks[1:])
+                    if a != "|" and b != "|"
+                )
+            if not c:
+                return pa.table(
+                    {
+                        "l": pa.array([], pa.string()),
+                        "r": pa.array([], pa.string()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            ks = list(c.keys())
+            return pa.table(
+                {
+                    "l": pa.array([k[0] for k in ks], pa.string()),
+                    "r": pa.array([k[1] for k in ks], pa.string()),
+                    "cnt": pa.array([c[k] for k in ks], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        agg = parts.groupby(["l", "r"], as_index=False)["cnt"].sum()
+        agg = agg.sort_values(
+            ["cnt", "l", "r"], ascending=[False, True, True], kind="mergesort"
+        )
+        top = agg.iloc[0]
+        applied.append((str(top["l"]), str(top["r"])))
+        result.append((rank, str(top["l"]), str(top["r"]), int(top["cnt"])))
+
+    return pa.table(
+        {
+            "rank": pa.array([x[0] for x in result], pa.int64()),
+            "l": pa.array([x[1] for x in result], pa.string()),
+            "r": pa.array([x[2] for x in result], pa.string()),
+            "pair_count": pa.array([x[3] for x in result], pa.int64()),
+        }
+    )

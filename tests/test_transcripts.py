@@ -182,3 +182,54 @@ def test_envelope_extra_int_field():
     assert "rating" not in payloads[1]["data"]  # deletes carry no image
     with _pytest.raises(ValueError):
         EventsToEnvelopes(dialect="binlog", extra_int_field="rating")
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _ds(texts, blocks=4):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return rd.from_arrow(t).repartition(blocks)
+
+    def test_merges_chain_and_tiebreak(self, ray_session):
+        from commons_codec_ray.stages.text import bpe_train
+
+        # every word 'abc': pairs (a,b) and (b,c) tie at n -> lexicographic
+        # tie-break picks (a,b); merge 2 must then use the LEARNED symbol
+        # 'ab' in pair (ab, c) — proving merges feed later iterations
+        out = bpe_train(self._ds(["abc abc abc", "abc abc"]), merges=2).to_pandas()
+        assert list(out.itertuples(index=False, name=None)) == [
+            (1, "a", "b", 5),
+            (2, "ab", "c", 5),
+        ]
+
+    def test_block_layout_invariance(self, ray_session):
+        import numpy as np
+
+        from commons_codec_ray.stages.text import bpe_train
+
+        rng = np.random.RandomState(3)
+        words = ["".join(rng.choice(list("abcdefg"), 5)) for _ in range(40)]
+        texts = [" ".join(rng.choice(words, 12)) for _ in range(60)]
+        a = bpe_train(self._ds(texts, blocks=2), merges=4).to_pandas()
+        b = bpe_train(self._ds(texts, blocks=9), merges=4).to_pandas()
+        assert a.equals(b)
+        assert len(a) == 4 and (a["pair_count"] > 0).all()
+
+    def test_repeated_pair_left_to_right_consumption(self, ray_session):
+        from commons_codec_ray.stages.text import bpe_train
+
+        # 'aaa': pairs (a,a) x2 per word; replace ' a a ' consumes left-to-
+        # right so 'a a a' -> 'aa a' (one merge site), matching DuckDB
+        out = bpe_train(self._ds(["aaa aaa"]), merges=2).to_pandas()
+        assert (out.iloc[0][["l", "r"]] == ["a", "a"]).all()
+        assert out.iloc[0]["pair_count"] == 4
+        # second merge pairs the merged 'aa' with the leftover 'a'
+        assert (out.iloc[1][["l", "r"]] == ["aa", "a"]).all()
