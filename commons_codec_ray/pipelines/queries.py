@@ -8593,11 +8593,14 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(docs, merges=4)
 
 
-def _bpe_train_sql(merges: int) -> str:
+def _bpe_cte(merges: int) -> str:
+    """Shared unrolled-CTE chain replaying BPE training through
+    ``sp{merges}`` (doc_id carried so the segment oracle can reuse it)."""
     parts = [
         """
 WITH sp0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(flatten(list_transform(
+  SELECT doc_id,
+         ' ' || array_to_string(flatten(list_transform(
            list_filter(string_split(text, ' '), w -> w <> ''),
            w -> list_concat(string_split_regex(w, ''), ['|']))), ' ') || ' ' AS s
   FROM documents)"""
@@ -8614,20 +8617,47 @@ pc{t} AS MATERIALIZED (
   GROUP BY 1, 2),
 top{t} AS MATERIALIZED (SELECT l, r, cnt FROM pc{t} ORDER BY cnt DESC, l, r LIMIT 1),
 sp{t} AS MATERIALIZED (
-  SELECT replace(s, ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' ') AS s
+  SELECT doc_id, replace(s, ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' ') AS s
   FROM sp{t - 1} CROSS JOIN top{t} t)"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_sql(merges: int) -> str:
     sel = " UNION ALL ".join(
         f"SELECT {t} AS rank, l, r, cnt AS pair_count FROM top{t}"
         for t in range(1, merges + 1)
     )
     return (
-        "".join(parts)
+        _bpe_cte(merges)
         + f"\nSELECT CAST(rank AS BIGINT) AS rank, l, r, pair_count FROM ({sel})"
     )
 
 
 _BPE_TRAIN_SQL = _bpe_train_sql(4)
+
+
+def q_bpe_segment(sf_dir: str):
+    """Apply the learned BPE merge table (q_bpe_train's 4 rules) back
+    to the corpus and count each document's resulting subword tokens —
+    the train→apply composition a tokenizer pipeline runs. One extra
+    linear pass after training: per batch, replay the merge replaces on
+    the spaced form and count non-boundary symbols. Oracle: the shared
+    unrolled CTE's final sp4 column, symbols counted per doc."""
+    from commons_codec_ray.stages.text import bpe_segment
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_segment(docs, merges=4)
+
+
+_BPE_SEGMENT_SQL = (
+    _bpe_cte(4)
+    + """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(s, ' '), x -> x <> '' AND x <> '|'))
+            AS BIGINT) AS n_tokens
+FROM sp4"""
+)
 
 
 def q_mutual_info(sf_dir: str):
@@ -9778,6 +9808,7 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "near_dedup_incremental": q_near_dedup_incremental,
     "bpe_train": q_bpe_train,
+    "bpe_segment": q_bpe_segment,
     "kmeans_pp": q_kmeans_pp,
     "skyline": q_skyline,
     "bigrams": q_bigrams,
@@ -9967,6 +9998,7 @@ ORACLE_SQL = {
     "rrf_fusion": _RRF_FUSION_SQL,
     "near_dedup_incremental": _NEAR_DEDUP_SQL,
     "bpe_train": _BPE_TRAIN_SQL,
+    "bpe_segment": _BPE_SEGMENT_SQL,
     "kmeans_pp": _KMEANS_PP_SQL,
     "skyline": _SKYLINE_SQL,
     "bigrams": _BIGRAMS_SQL,

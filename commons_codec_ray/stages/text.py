@@ -341,3 +341,29 @@ def bpe_train(ds, merges: int = 4, column: str = "text"):
             "pair_count": pa.array([x[3] for x in result], pa.int64()),
         }
     )
+
+
+def bpe_segment(ds, merges: int = 4, column: str = "text", id_column: str = "doc_id"):
+    """Train the BPE merge table (:func:`bpe_train`) then apply it back
+    to the corpus in ONE more linear pass, returning each document's
+    subword token count ``(doc_id, n_tokens)`` — the train→apply
+    composition a tokenizer pipeline runs before sequence packing."""
+    rules = bpe_train(ds, merges=merges, column=column)
+    pairs = tuple(zip(rules["l"].to_pylist(), rules["r"].to_pylist()))
+
+    def count_tokens(t: pa.Table, _m=pairs) -> pa.Table:
+        ids = t[id_column]
+        out = np.empty(t.num_rows, np.int64)
+        for i, text in enumerate(t[column].to_pylist()):
+            syms: list[str] = []
+            for w in (text or "").split(" "):
+                if w:
+                    syms.extend(w)
+                    syms.append("|")
+            s = " " + " ".join(syms) + " "
+            for l, r in _m:
+                s = s.replace(f" {l} {r} ", f" {l}{r} ")
+            out[i] = sum(1 for x in s.split() if x != "|")
+        return pa.table({id_column: ids, "n_tokens": pa.array(out, pa.int64())})
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow")
