@@ -8600,12 +8600,16 @@ def _bpe_cte(merges: int) -> str:
         """
 WITH sp0 AS MATERIALIZED (
   SELECT doc_id,
-         ' ' || array_to_string(flatten(list_transform(
-           list_filter(string_split(text, ' '), w -> w <> ''),
-           w -> list_concat(string_split_regex(w, ''), ['|']))), ' ') || ' ' AS s
+         ' ' || coalesce(array_to_string(flatten(list_transform(
+           list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''),
+           w -> list_concat(string_split_regex(w, ''), ['|']))), ' '), '') || ' ' AS s
   FROM documents)"""
     ]
     for t in range(1, merges + 1):
+        # the sp{t} join is LEFT ... ON TRUE with a coalesce fallback: when
+        # the corpus supports fewer than `merges` merges top{t} is EMPTY,
+        # and a CROSS JOIN would wipe sp{t} (and every later sp) to zero
+        # rows while the engine, which just stops merging, still counts
         parts.append(
             f""",
 pc{t} AS MATERIALIZED (
@@ -8617,8 +8621,11 @@ pc{t} AS MATERIALIZED (
   GROUP BY 1, 2),
 top{t} AS MATERIALIZED (SELECT l, r, cnt FROM pc{t} ORDER BY cnt DESC, l, r LIMIT 1),
 sp{t} AS MATERIALIZED (
-  SELECT doc_id, replace(s, ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' ') AS s
-  FROM sp{t - 1} CROSS JOIN top{t} t)"""
+  SELECT doc_id,
+         CASE WHEN t.l IS NULL THEN s
+              ELSE replace(s, ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' ')
+         END AS s
+  FROM sp{t - 1} LEFT JOIN top{t} t ON TRUE)"""
         )
     return "".join(parts)
 

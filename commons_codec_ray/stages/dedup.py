@@ -375,9 +375,7 @@ def jaccard_pairs(
         ib = np.concatenate(ib_parts)
         if len(ia) == 0:
             return empty
-        eqs = sigs[ia] == sigs[ib]  # (npairs, num_perm)
-        est = eqs.mean(axis=1)
-        band_eq = eqs.reshape(len(ia), n_bands, rows_per_band).all(axis=2)
+        est, band_eq = _sig_pair_stats(sigs[ia], sigs[ib], n_bands, rows_per_band)
         cur_b = (keys[ia] >> 32).astype(np.int64)  # band index packed in the key
         # minimal-matching-band rule: emit only where the sig bands are
         # equal at THIS band and at no earlier band
@@ -476,6 +474,19 @@ def _run_pairs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         ia_parts.append(s + ti)
         ib_parts.append(s + tj)
     return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def _sig_pair_stats(sa: np.ndarray, sb: np.ndarray, n_bands: int, rows_per_band: int):
+    """THE near-dup verification statistics, shared by every transport
+    (wide, narrow, streaming index): per aligned pair row, the minhash
+    component-agreement fraction (the Jaccard estimate) and the
+    per-band full-equality matrix. A pair is verified iff
+    est >= threshold AND band_eq.any(axis=1) — keeping this in ONE
+    place is what guarantees the incremental index's pair set equals
+    the batch transports' (the observational-equality contract its
+    oracle relies on)."""
+    eqs = sa == sb  # (npairs, num_perm)
+    return eqs.mean(axis=1), eqs.reshape(len(sa), n_bands, rows_per_band).all(axis=2)
 
 
 def _var_binary_from_matrix(mat: np.ndarray, width: int) -> pa.Array:
@@ -676,9 +687,7 @@ def jaccard_pairs_narrow(
             return empty
         sig_a = _var_sig_matrix(pair_t["sig"], num_perm)
         sig_b = smat[np.searchsorted(sid, pb)]
-        eqs = sig_a == sig_b  # (npairs, num_perm)
-        est = eqs.mean(axis=1)
-        band_eq = eqs.reshape(len(pa_), n_bands, rows_per_band).all(axis=2)
+        est, band_eq = _sig_pair_stats(sig_a, sig_b, n_bands, rows_per_band)
         keep = (est >= threshold) & band_eq.any(axis=1)
         return pa.table(
             {"id_a": pa.array(pa_[keep]), "id_b": pa.array(pb[keep]),
@@ -1574,10 +1583,8 @@ class _LSHIndexShard:
                     b = np.fromiter((max(p) for p in cand), np.int64, len(cand))
                     sa = np.stack([self.sig_by_doc[int(x)] for x in a])
                     sb = np.stack([self.sig_by_doc[int(x)] for x in b])
-                    eqs = sa == sb
-                    est = eqs.mean(axis=1)
-                    band_eq = eqs.reshape(len(a), self.bands, self.rows_per_band).all(
-                        axis=2
+                    est, band_eq = _sig_pair_stats(
+                        sa, sb, self.bands, self.rows_per_band
                     )
                     keep = (est >= self.threshold) & band_eq.any(axis=1)
                     out_a.append(a[keep])
@@ -1698,7 +1705,9 @@ def near_dedup_incremental(
         )
 
     try:
-        pair_parts: list[pa.Table] = []
+        nrows_fn = ray.remote(lambda t: t.num_rows)
+        pair_refs: list = []
+        running = 0
         for e in range(epochs):
             routed = sigs.map_batches(
                 lambda t, _e=e: explode(t, _e), batch_format="pyarrow"
@@ -1710,18 +1719,22 @@ def near_dedup_incremental(
                 if A == 1:
                     parts = [parts]
                 pend.extend(shards[o].insert_batch.remote(parts[o]) for o in range(A))
-            pair_parts.extend(ray.get(pend))
-        pairs = pa.concat_tables(pair_parts).to_pandas().drop_duplicates()
-        if len(pairs) > max_driver_pairs:
-            # beyond the driver guard the persistent-index variant offers
-            # no clustering advantage — run the batch distributed path
-            return near_dedup(
-                ds,
-                threshold=threshold,
-                hasher=hasher,
-                id_column=id_column,
-                max_driver_pairs=max_driver_pairs,
-            )
+            # count pair rows in plasma WITHOUT fetching the tables — the
+            # guard must trip BEFORE the driver materializes them
+            running += sum(ray.get([nrows_fn.remote(r) for r in pend]))
+            if running > max_driver_pairs:
+                # beyond the driver guard the persistent-index variant
+                # offers no clustering advantage — run the batch
+                # distributed path (shards torn down by `finally`)
+                return near_dedup(
+                    ds,
+                    threshold=threshold,
+                    hasher=hasher,
+                    id_column=id_column,
+                    max_driver_pairs=max_driver_pairs,
+                )
+            pair_refs.extend(pend)
+        pairs = pa.concat_tables(ray.get(pair_refs)).to_pandas().drop_duplicates()
         clusters = dedup_clusters(pairs)
         losers = set(
             clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]

@@ -250,6 +250,35 @@ def normalize_text(batch: pa.Table, column: str = "text", out: str = "norm") -> 
     return batch.append_column(out, pc.utf8_trim(s, characters=" "))
 
 
+def _bpe_spaced(text: str | None) -> str:
+    """text → the spaced symbol form ' c1 c2 … | d1 d2 … | ' the SQL
+    oracle mirrors (word split on the single space character, empties
+    filtered — EXACTLY DuckDB ``string_split(text, ' ')`` + filter)."""
+    syms: list[str] = []
+    for w in (text or "").split(" "):
+        if w:
+            syms.extend(w)
+            syms.append("|")
+    return " " + " ".join(syms) + " "
+
+
+def _bpe_apply(s: str, pairs) -> str:
+    """Apply merge rules as plain left-to-right non-overlapping
+    replaces — the shared Python/DuckDB ``replace`` semantics."""
+    for l, r in pairs:
+        s = s.replace(f" {l} {r} ", f" {l}{r} ")
+    return s
+
+
+def _bpe_symbols(s: str) -> list[str]:
+    """Symbol sequence of a spaced string: split on the single space
+    character and drop empties — EXACTLY DuckDB ``string_split(s, ' ')``
+    + ``list_filter(x <> '')``. NOT ``str.split()``: any-whitespace
+    splitting would silently swallow tab/newline/unicode-space symbols
+    the oracle keeps."""
+    return [x for x in s.split(" ") if x]
+
+
 def bpe_train(ds, merges: int = 4, column: str = "text"):
     """Distributed BPE merge-table training (Sennrich et al. 2016, the
     public byte-pair-encoding tokenizer-training algorithm): learn the
@@ -274,19 +303,6 @@ def bpe_train(ds, merges: int = 4, column: str = "text"):
     tokenizer training has at any corpus size. Returns a pyarrow
     Table ``(rank, l, r, pair_count)``.
     """
-    import pandas as pd
-
-    def spaced_strings(col) -> list[str]:
-        out = []
-        for text in col.to_pylist():
-            syms: list[str] = []
-            for w in (text or "").split(" "):
-                if w:
-                    syms.extend(w)
-                    syms.append("|")
-            out.append(" " + " ".join(syms) + " ")
-        return out
-
     applied: list[tuple[str, str]] = []
     result = []
     for rank in range(1, merges + 1):
@@ -296,10 +312,8 @@ def bpe_train(ds, merges: int = 4, column: str = "text"):
             from collections import Counter
 
             c: Counter = Counter()
-            for s in spaced_strings(t[column]):
-                for l, r in _m:
-                    s = s.replace(f" {l} {r} ", f" {l}{r} ")
-                toks = s.split()
+            for text in t[column].to_pylist():
+                toks = _bpe_symbols(_bpe_apply(_bpe_spaced(text), _m))
                 c.update(
                     (a, b)
                     for a, b in zip(toks, toks[1:])
@@ -355,15 +369,8 @@ def bpe_segment(ds, merges: int = 4, column: str = "text", id_column: str = "doc
         ids = t[id_column]
         out = np.empty(t.num_rows, np.int64)
         for i, text in enumerate(t[column].to_pylist()):
-            syms: list[str] = []
-            for w in (text or "").split(" "):
-                if w:
-                    syms.extend(w)
-                    syms.append("|")
-            s = " " + " ".join(syms) + " "
-            for l, r in _m:
-                s = s.replace(f" {l} {r} ", f" {l}{r} ")
-            out[i] = sum(1 for x in s.split() if x != "|")
+            syms = _bpe_symbols(_bpe_apply(_bpe_spaced(text), _m))
+            out[i] = sum(1 for x in syms if x != "|")
         return pa.table({id_column: ids, "n_tokens": pa.array(out, pa.int64())})
 
     return ds.map_batches(count_tokens, batch_format="pyarrow")

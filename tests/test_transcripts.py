@@ -233,3 +233,57 @@ class TestBpeTrain:
         assert out.iloc[0]["pair_count"] == 4
         # second merge pairs the merged 'aa' with the leftover 'a'
         assert (out.iloc[1][["l", "r"]] == ["aa", "a"]).all()
+
+    def test_tab_symbols_survive_and_match_oracle_semantics(self, ray_session):
+        # regression (session-3 review): symbols from words containing \t
+        # must be counted like DuckDB string_split(s, ' ') would — an
+        # any-whitespace split would swallow the tab symbol entirely
+        import duckdb
+
+        from commons_codec_ray.stages.text import bpe_train
+
+        texts = ["ab\tab ab\tab ab\tab", "ab\tab"]
+        got = bpe_train(self._ds(texts, blocks=2), merges=2).to_pandas()
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+        )
+        from commons_codec_ray.pipelines.queries import _bpe_train_sql
+
+        want = con.execute(_bpe_train_sql(2)).df()
+        assert list(got.itertuples(index=False, name=None)) == list(
+            want.itertuples(index=False, name=None)
+        )
+
+    def test_segment_fewer_learnable_merges_and_null_text(self, ray_session):
+        # regression (session-3 review): corpora supporting < `merges`
+        # merges must still segment every doc, and NULL text counts 0
+        import duckdb
+
+        import ray.data as rd
+
+        from commons_codec_ray.pipelines.queries import _BPE_SEGMENT_SQL
+        from commons_codec_ray.stages.text import bpe_segment
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["ab ab", "ab", None], pa.string()),
+            }
+        )
+        got = (
+            bpe_segment(rd.from_arrow(t).repartition(2), merges=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.execute(_BPE_SEGMENT_SQL).df().sort_values("doc_id").reset_index(drop=True)
+        assert got["n_tokens"].tolist() == want["n_tokens"].tolist() == [2, 1, 0]
