@@ -287,3 +287,62 @@ class TestBpeTrain:
         con.register("documents", t)
         want = con.execute(_BPE_SEGMENT_SQL).df().sort_values("doc_id").reset_index(drop=True)
         assert got["n_tokens"].tolist() == want["n_tokens"].tolist() == [2, 1, 0]
+
+    def test_bpe_fuzz_vs_duckdb_oracle(self, ray_session):
+        # seeded fuzz: adversarial corpora (tabs, unicode spaces, empty
+        # and NULL docs, repeated chars, multi-space runs) — engine
+        # train AND segment must match the SQL oracle exactly
+        import duckdb
+
+        import ray.data as rd
+
+        from commons_codec_ray.pipelines.queries import (
+            _BPE_SEGMENT_SQL,
+            _bpe_train_sql,
+        )
+        from commons_codec_ray.stages.text import bpe_segment, bpe_train
+
+        rng = np.random.RandomState(42)
+        alphabet = list("abcde") + ["\t", "é", "　"]
+        for case in range(6):
+            texts = []
+            for _ in range(rng.randint(3, 12)):
+                if rng.rand() < 0.15:
+                    texts.append(None)
+                    continue
+                words = [
+                    "".join(rng.choice(alphabet, rng.randint(1, 6)))
+                    for _ in range(rng.randint(0, 8))
+                ]
+                sep = "  " if rng.rand() < 0.2 else " "
+                texts.append(sep.join(words))
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+            con = duckdb.connect()
+            con.register("documents", t)
+            ds = rd.from_arrow(t).repartition(3)
+
+            got_t = bpe_train(ds, merges=3).to_pandas()
+            want_t = con.execute(_bpe_train_sql(3)).df()
+            assert got_t.values.tolist() == want_t.values.tolist(), (case, texts)
+
+            got_s = (
+                bpe_segment(ds, merges=4)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            want_s = (
+                con.execute(_BPE_SEGMENT_SQL)
+                .df()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert got_s["n_tokens"].tolist() == want_s["n_tokens"].tolist(), (
+                case,
+                texts,
+            )
