@@ -194,6 +194,9 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "rolling_agg",
         "pagerank",
         "components_sharded",
+        "semdedup",
+        "kcore_sharded",
+        "bpe_train",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []
