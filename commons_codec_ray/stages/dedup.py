@@ -1548,6 +1548,12 @@ class _LSHIndexShard:
         self.rows_per_band = num_perm // bands
         self.buckets: dict[tuple[int, int], list[int]] = {}
         self.sig_by_doc: dict[int, np.ndarray] = {}
+        # pairs this shard already emitted — a pair matching at several
+        # bands that hash to the SAME shard would otherwise be emitted
+        # once per bucket, inflating the driver-guard row count (cross-
+        # shard duplicates remain and are deduped driver-side, so the
+        # guard stays conservative within a small factor)
+        self._emitted: set[tuple[int, int]] = set()
 
     def insert_batch(self, tbl: pa.Table) -> pa.Table:
         out_a: list[np.ndarray] = []
@@ -1587,8 +1593,22 @@ class _LSHIndexShard:
                         sa, sb, self.bands, self.rows_per_band
                     )
                     keep = (est >= self.threshold) & band_eq.any(axis=1)
-                    out_a.append(a[keep])
-                    out_b.append(b[keep])
+                    if keep.any():
+                        ka, kb = a[keep], b[keep]
+                        fresh = np.fromiter(
+                            (
+                                (int(x), int(y)) not in self._emitted
+                                for x, y in zip(ka, kb)
+                            ),
+                            bool,
+                            len(ka),
+                        )
+                        ka, kb = ka[fresh], kb[fresh]
+                        self._emitted.update(
+                            (int(x), int(y)) for x, y in zip(ka, kb)
+                        )
+                        out_a.append(ka)
+                        out_b.append(kb)
                 if old is None:
                     self.buckets[bkey] = new_ids
                 else:
@@ -1656,15 +1676,7 @@ def near_dedup_incremental(
         for _ in range(A)
     ]
 
-    def _route_split(tbl: pa.Table, num: int):
-        s = tbl["_shard"].to_numpy(zero_copy_only=False)
-        order = np.argsort(s, kind="stable")
-        t = tbl.take(pa.array(order))
-        bounds = np.searchsorted(s[order], np.arange(num + 1))
-        parts = [t.slice(bounds[o], bounds[o + 1] - bounds[o]) for o in range(num)]
-        return parts if num > 1 else parts[0]
-
-    route_fn = ray.remote(_route_split)
+    from commons_codec_ray.stages.graph import _pagerank_route as route_fn
 
     def explode(t: pa.Table, _epoch: int) -> pa.Table:
         ids = t[id_column].to_numpy(zero_copy_only=False)
@@ -1673,7 +1685,7 @@ def near_dedup_incremental(
         if not sel.any():
             return pa.table(
                 {
-                    "_shard": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
                     "band": pa.array([], pa.int64()),
                     "key": pa.array([], pa.int64()),
@@ -1694,7 +1706,7 @@ def near_dedup_incremental(
         )
         return pa.table(
             {
-                "_shard": pa.array(
+                "_b": pa.array(
                     (keys.astype(np.uint64) % np.uint64(A)).astype(np.int64)
                 ),
                 "doc_id": pa.array(np.tile(sids, n_bands), pa.int64()),
@@ -1724,8 +1736,12 @@ def near_dedup_incremental(
             running += sum(ray.get([nrows_fn.remote(r) for r in pend]))
             if running > max_driver_pairs:
                 # beyond the driver guard the persistent-index variant
-                # offers no clustering advantage — run the batch
-                # distributed path (shards torn down by `finally`)
+                # offers no clustering advantage — tear the index DOWN
+                # FIRST (it holds every signature indexed so far) and
+                # run the batch distributed path with the memory back
+                for w in shards:
+                    ray.kill(w, no_restart=True)
+                shards = []
                 return near_dedup(
                     ds,
                     threshold=threshold,

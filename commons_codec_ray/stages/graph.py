@@ -1033,7 +1033,16 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 64, src: str = "src", dst: str
                 "[0, 2**32); use kcore_sharded for full-int64 ids"
             )
         packed = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
-        return pa.table({"_uv": pa.array(packed.view(np.int64), pa.int64())})
+        packed = packed.view(np.int64)
+        # COARSE buckets for the dedupe exchange (same _uv → same bucket,
+        # so per-bucket np.unique is globally exact): one vectorized UDF
+        # call per bucket, not one per distinct edge
+        return pa.table(
+            {
+                "_db": hash_bucket(packed, adaptive_buckets()),
+                "_uv": pa.array(packed, pa.int64()),
+            }
+        )
 
     def uniq(t: pa.Table) -> pa.Table:
         uv = np.unique(
@@ -1050,7 +1059,7 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 64, src: str = "src", dst: str
 
     sym = (
         edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby("_uv")
+        .groupby("_db")
         .map_groups(uniq, batch_format="pyarrow")
         .materialize()
     )
@@ -1268,17 +1277,27 @@ def kcore_sharded(
         ray.get(acks)
         ray.get([w.build.remote() for w in shards])
 
+        converged = False
         for _ in range(max_rounds):
             # peel returns A message tables + the local death count
             pouts = [w.peel.options(num_returns=A + 1).remote() for w in shards]
             n_dead = sum(ray.get([p[A] for p in pouts]))
             if n_dead == 0:
+                converged = True
                 break
             ray.get(
                 [
                     shards[o].decrement.remote(*[pouts[i][o] for i in range(A)])
                     for o in range(A)
                 ]
+            )
+        if not converged:
+            # same contract as kcore: an intermediate state still contains
+            # sub-k-degree nodes — raising beats a silently wrong "core"
+            raise RuntimeError(
+                f"kcore_sharded did not reach fixpoint within "
+                f"max_rounds={max_rounds}; raise max_rounds (peel depth is "
+                "data-dependent, worst case O(n) on a path)"
             )
         outs = [w.result.remote() for w in shards]
         ray.wait(outs, num_returns=len(outs), fetch_local=False)

@@ -358,3 +358,17 @@ def test_kcore_ids_in_upper_32bit_range_work(ray_session):
     got = kcore(rd.from_arrow(t), k=2).to_pandas()
     assert sorted(got["node"].astype(int)) == [base, base + 1, base + 2]
     assert (got["deg"] == 2).all()
+
+
+def test_kcore_sharded_raises_on_round_exhaustion(ray_session):
+    # same contract as the Dataset variant: an insufficient round cap
+    # must RAISE rather than return an intermediate non-core
+    import pytest
+
+    from commons_codec_ray.stages.graph import kcore_sharded
+
+    src = list(range(99))
+    dst = list(range(1, 100))
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore_sharded(rd.from_arrow(t).repartition(3), k=2, max_rounds=5, num_shards=3)

@@ -391,3 +391,17 @@ class TestIncrementalNearDedup:
             ).to_pandas()["doc_id"]
         )
         assert a == b
+
+    def test_guard_falls_back_to_batch(self, ray_session):
+        # max_driver_pairs=0 trips the guard on the first wave: the index
+        # is torn down and the batch path must still produce the right
+        # survivors (teardown-before-fallback, review finding)
+        from commons_codec_ray.stages.dedup import near_dedup, near_dedup_incremental
+
+        want = sorted(near_dedup(self._corpus(), threshold=0.7).to_pandas()["doc_id"])
+        got = sorted(
+            near_dedup_incremental(
+                self._corpus(), threshold=0.7, epochs=3, max_driver_pairs=0
+            ).to_pandas()["doc_id"]
+        )
+        assert got == want
