@@ -1432,6 +1432,8 @@ def semdedup(
     threshold: float = 0.35,
     id_column: str = "vec_id",
     column: str = "embedding",
+    init: str = "low_ids",
+    seed: int = 7,
 ):
     """SemDeDup-style semantic deduplication (public method: Abbas et
     al. 2023, arXiv:2303.09540 — cluster the embedding space, then
@@ -1458,12 +1460,26 @@ def semdedup(
     SAME cluster has cosine ≥ ``threshold`` — i.e. the SQL
     ``NOT EXISTS`` semantics, replayable by an oracle that unrolls the
     same integer k-means iterations.
+
+    ``init="kmeans_par"`` swaps the deterministic low-id seeding for
+    the k-means|| sweep (better cluster quality on adversarial
+    layouts; gate with :func:`~...kmeans.inertia` instead of a
+    bit-exact SQL replay) — the production path when k is scaled with
+    the corpus (the published SemDeDup config uses 50k clusters).
     """
     import ray
 
     from commons_codec_ray.stages.kmeans import _quantize, kmeans_lloyd
 
-    cent = kmeans_lloyd(ds, k=k, iterations=iterations, id_column=id_column, column=column)
+    cent = kmeans_lloyd(
+        ds,
+        k=k,
+        iterations=iterations,
+        id_column=id_column,
+        column=column,
+        init=init,
+        seed=seed,
+    )
     cid = cent["cid"].to_numpy(zero_copy_only=False)
     dim = cent["dim"].to_numpy(zero_copy_only=False)
     k_eff = int(cid.max()) + 1

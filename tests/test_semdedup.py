@@ -84,3 +84,18 @@ def test_semdedup_collapses_planted_duplicates(ray_session):
     assert all(40 + i not in kept for i in range(10))
     assert all(i in kept for i in range(10))
     assert len(kept) == 40
+
+
+def test_semdedup_kmeans_par_init_valid_dedup(ray_session):
+    """init='kmeans_par' (the scaled-k production path) is not
+    SQL-replayable, but the prune INVARIANT must hold: no two surviving
+    same-cluster vectors are within the threshold, and every planted
+    exact duplicate still collapses."""
+    rng = np.random.RandomState(21)
+    base = rng.uniform(-0.5, 0.5, (60, 8)).astype(np.float32)
+    m = np.concatenate([base, base[:15]])  # ids 60..74 duplicate 0..14
+    ids = np.arange(75, dtype=np.int64)
+    got = semdedup(_ds(m, ids, 5), k=4, iterations=2, threshold=0.999, init="kmeans_par").to_pandas()
+    kept = set(got["vec_id"].astype(int))
+    assert all(60 + i not in kept for i in range(15))
+    assert all(i in kept for i in range(15))
