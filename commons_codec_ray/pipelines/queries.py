@@ -8543,6 +8543,95 @@ def q_kcore_sharded(sf_dir: str):
     return kcore_sharded(events.map_batches(edges, batch_format="pyarrow"), k=4)
 
 
+def q_densest_subgraph(sf_dir: str):
+    """Densest-subgraph 2-approx (stages/graph.py:densest_subgraph —
+    Bahmani et al., VLDB 2012, ε=0): iterated average-degree peel with
+    the exact integer removal test deg·V ≤ 2E, best prefix by exact
+    rational density compare. Same event-derived two-family graph as
+    q_kcore (the 8-block subrange is the planted dense region the peel
+    must isolate); the oracle unrolls 8 identical rounds and picks the
+    winner with a cross-product NOT-EXISTS argmax."""
+    from commons_codec_ray.stages.graph import densest_subgraph
+    from commons_codec_ray.util import pool_size
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a1 = eid % 1400
+        b1 = (a1 + 1 + (eid % (1 + a1 % 4))) % 1400
+        a2 = eid % 320
+        b2 = (a2 // 8) * 8 + (eid // 64) % 8
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a1, a2])),
+                "dst": pa.array(np.concatenate([b1, b2])),
+            }
+        )
+
+    return densest_subgraph(
+        events.map_batches(edges, batch_format="pyarrow"), max_rounds=12
+    )
+
+
+def _densest_sql(rounds: int) -> str:
+    head = """
+WITH raw AS (
+  SELECT event_id % 1400 AS a,
+         (event_id % 1400 + 1 + (event_id % (1 + (event_id % 1400) % 4))) % 1400 AS b
+  FROM events
+  UNION ALL
+  SELECT event_id % 320 AS a,
+         ((event_id % 320) // 8) * 8 + (event_id // 64) % 8 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    parts = [head]
+    for t in range(rounds + 1):
+        parts.append(
+            f""",
+st{t} AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS v,
+         CAST(count(*) // 2 AS BIGINT) AS e FROM s{t})"""
+        )
+        if t < rounds:
+            parts.append(
+                f""",
+d{t} AS MATERIALIZED (SELECT u, count(*) AS d FROM s{t} GROUP BY u),
+s{t + 1} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{t} s
+  JOIN d{t} x ON x.u = s.u JOIN d{t} y ON y.u = s.v CROSS JOIN st{t}
+  WHERE x.d * st{t}.v > 2 * st{t}.e AND y.d * st{t}.v > 2 * st{t}.e)"""
+            )
+    stats = " UNION ALL ".join(
+        f"SELECT {t} AS r, v, e FROM st{t}" for t in range(rounds + 1)
+    )
+    nodes = " UNION ALL ".join(
+        f"SELECT {t} AS r, u FROM (SELECT DISTINCT u FROM s{t})"
+        for t in range(rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + f""",
+stats AS MATERIALIZED (SELECT * FROM ({stats}) WHERE v > 0),
+best AS MATERIALIZED (
+  SELECT r, v, e FROM stats a WHERE NOT EXISTS (
+    SELECT 1 FROM stats b
+    WHERE b.e * a.v > a.e * b.v OR (b.e * a.v = a.e * b.v AND b.r < a.r))),
+nodes AS MATERIALIZED ({nodes})
+SELECT CAST(n.u AS BIGINT) AS node, CAST(b.r AS BIGINT) AS r,
+       b.v AS v_count, b.e AS e_count
+FROM best b JOIN nodes n ON n.r = b.r"""
+    )
+
+
+_DENSEST_SQL = _densest_sql(8)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     head = """
 WITH raw AS (
@@ -9809,6 +9898,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "semdedup": q_semdedup,
     "kcore": q_kcore,
+    "densest_subgraph": q_densest_subgraph,
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
     "mutual_info": q_mutual_info,
@@ -9999,6 +10089,7 @@ ORACLE_SQL = {
     "kmeans": _KMEANS_SQL,
     "semdedup": _SEMDEDUP_SQL,
     "kcore": _KCORE_SQL,
+    "densest_subgraph": _DENSEST_SQL,
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,

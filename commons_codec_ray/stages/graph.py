@@ -990,6 +990,57 @@ def components_sharded(
             ray.kill(w, no_restart=True)
 
 
+def _sym_edges(edges_ds, src: str, dst: str, op_name: str = "graph op"):
+    """Canonical symmetric simple-graph edge table (u, v) + (v, u):
+    self-loops dropped, multi-edges collapsed via a packed-int64 dedupe
+    exchange with COARSE hash buckets (same packed edge → same bucket,
+    so per-bucket ``np.unique`` is globally exact — one vectorized UDF
+    call per bucket, not one per distinct edge). Node ids must lie in
+    [0, 2^32): the pack is done in unsigned space (an id at 2^31 would
+    wrap the int64 sign bit under a signed shift)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        if len(u) and (int(u.min()) < 0 or int(v.max()) >= 1 << 32):
+            raise ValueError(
+                f"{op_name} packs (u, v) into one int64: node ids must be "
+                "in [0, 2**32); use the sharded variants for full-int64 ids"
+            )
+        packed = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+        packed = packed.view(np.int64)
+        return pa.table(
+            {
+                "_db": hash_bucket(packed, adaptive_buckets()),
+                "_uv": pa.array(packed, pa.int64()),
+            }
+        )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        uv = np.unique(
+            t["_uv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(np.uint64)
+        u = (uv >> np.uint64(32)).astype(np.int64)
+        v = (uv & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v]), pa.int64()),
+                "v": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(uniq, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def kcore(edges_ds, k: int = 3, max_rounds: int = 64, src: str = "src", dst: str = "dst"):
     """k-core decomposition by simultaneous peeling (the classic
     Matula–Beck coreness peel, distributed as in Montresor et al.'s
@@ -1017,52 +1068,7 @@ def kcore(edges_ds, k: int = 3, max_rounds: int = 64, src: str = "src", dst: str
     early-stopped engine bit-for-bit.
     """
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a != b
-        a, b = a[keep], b[keep]
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        # pack for the dedupe exchange in UNSIGNED space: node ids must
-        # lie in [0, 2^32) (an id at 2^31 would wrap the int64 sign bit
-        # under a signed shift); kcore_sharded has no such bound
-        if len(u) and (int(u.min()) < 0 or int(v.max()) >= 1 << 32):
-            raise ValueError(
-                "kcore packs (u, v) into one int64: node ids must be in "
-                "[0, 2**32); use kcore_sharded for full-int64 ids"
-            )
-        packed = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
-        packed = packed.view(np.int64)
-        # COARSE buckets for the dedupe exchange (same _uv → same bucket,
-        # so per-bucket np.unique is globally exact): one vectorized UDF
-        # call per bucket, not one per distinct edge
-        return pa.table(
-            {
-                "_db": hash_bucket(packed, adaptive_buckets()),
-                "_uv": pa.array(packed, pa.int64()),
-            }
-        )
-
-    def uniq(t: pa.Table) -> pa.Table:
-        uv = np.unique(
-            t["_uv"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ).view(np.uint64)
-        u = (uv >> np.uint64(32)).astype(np.int64)
-        v = (uv & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        return pa.table(
-            {
-                "u": pa.array(np.concatenate([u, v]), pa.int64()),
-                "v": pa.array(np.concatenate([v, u]), pa.int64()),
-            }
-        )
-
-    sym = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby("_db")
-        .map_groups(uniq, batch_format="pyarrow")
-        .materialize()
-    )
+    sym = _sym_edges(edges_ds, src, dst, op_name="kcore")
 
     def attach(col: str, out: str):
         def body(g: pa.Table) -> pa.Table:
@@ -1312,3 +1318,114 @@ def kcore_sharded(
     finally:
         for w in shards:
             ray.kill(w, no_restart=True)
+
+
+def densest_subgraph(
+    edges_ds, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+):
+    """Densest-subgraph 2-approximation by iterated average-degree
+    peeling — Bahmani, Kumar & Vassilvitskii's published MapReduce
+    algorithm (VLDB 2012), ε = 0 variant: each round removes EVERY
+    node whose degree is ≤ the current average (the exact integer test
+    ``deg·V ≤ 2·E`` — no floats anywhere), records the pre-removal
+    (V, E), and the answer is the round whose prefix subgraph maximizes
+    density E/V (exact cross-product rational compare; ties → earliest
+    round). At least every minimum-degree node is removed each round,
+    so the peel always terminates; on real graphs rounds ≈ log V.
+
+    Engine shape per round: two node-keyed exchanges over the current
+    symmetric edge table (attach deg(u) then deg(v) — same snapshot
+    discipline as :func:`kcore`) plus a kilobyte (V, E) stat partial;
+    per-round survivor tables stay materialized in the object store so
+    the winning round's node set is read back without re-peeling
+    (total retained ≤ the sum of shrinking rounds < 2·|E| rows).
+    Returns ``(node, r, v_count, e_count)`` — the winning round's
+    nodes with its round index and exact size stats.
+    """
+    sym = _sym_edges(edges_ds, src, dst, op_name="densest_subgraph")
+
+    def attach_first(g: pa.Table) -> pa.Table:
+        flag = np.zeros(g.num_rows, bool)
+        flag[0] = True
+        return g.append_column(
+            "du", pa.array(np.full(g.num_rows, g.num_rows, np.int64))
+        ).append_column("first_u", pa.array(flag))
+
+    def attach_v(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "dv", pa.array(np.full(g.num_rows, g.num_rows, np.int64))
+        )
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.array(
+                    [int(t["first_u"].to_numpy(zero_copy_only=False).sum())]
+                ),
+                "e2": pa.array([t.num_rows]),
+            }
+        )
+
+    stats: list[tuple[int, int, int]] = []
+    rounds: list = []  # per-round deg-attached datasets (winner read back)
+    for r in range(max_rounds + 1):
+        if sym.count() == 0:
+            break
+        t1 = sym.groupby("u").map_groups(attach_first, batch_format="pyarrow")
+        t1 = t1.materialize()
+        parts = t1.map_batches(stat_partial, batch_format="pyarrow").take_all()
+        V = sum(int(p["v"]) for p in parts)
+        E2 = sum(int(p["e2"]) for p in parts)
+        stats.append((r, V, E2 // 2))
+        rounds.append(t1)
+
+        def keep_dense(t: pa.Table, _V=V, _E2=E2) -> pa.Table:
+            du = t["du"].to_numpy(zero_copy_only=False)
+            dv = t["dv"].to_numpy(zero_copy_only=False)
+            m = (du * _V > _E2) & (dv * _V > _E2)
+            return t.select(["u", "v"]).filter(pa.array(m))
+
+        sym = (
+            t1.groupby("v")
+            .map_groups(attach_v, batch_format="pyarrow")
+            .map_batches(keep_dense, batch_format="pyarrow")
+            .materialize()
+        )
+    else:
+        raise RuntimeError(
+            f"densest_subgraph did not terminate within max_rounds="
+            f"{max_rounds} (every round removes at least the min-degree "
+            "nodes, so this indicates max_rounds set below log-depth)"
+        )
+
+    if not stats:  # empty graph
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "v_count": pa.array([], pa.int64()),
+                    "e_count": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # exact rational argmax of E/V: a beats b iff E_a·V_b > E_b·V_a
+    best_r, best_v, best_e = stats[0]
+    for r, V, E in stats[1:]:
+        if E * best_v > best_e * V:
+            best_r, best_v, best_e = r, V, E
+
+    def winner_nodes(g: pa.Table, _r=best_r, _v=best_v, _e=best_e) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([g["u"][0].as_py()], pa.int64()),
+                "r": pa.array([_r], pa.int64()),
+                "v_count": pa.array([_v], pa.int64()),
+                "e_count": pa.array([_e], pa.int64()),
+            }
+        )
+
+    return rounds[best_r].groupby("u").map_groups(
+        winner_nodes, batch_format="pyarrow"
+    )

@@ -372,3 +372,79 @@ def test_kcore_sharded_raises_on_round_exhaustion(ray_session):
     t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     with pytest.raises(RuntimeError, match="fixpoint"):
         kcore_sharded(rd.from_arrow(t).repartition(3), k=2, max_rounds=5, num_shards=3)
+
+
+class TestDensestSubgraph:
+    @staticmethod
+    def _run(src, dst, **kw):
+        from commons_codec_ray.stages.graph import densest_subgraph
+
+        t = pa.table(
+            {
+                "src": pa.array(np.asarray(src, np.int64)),
+                "dst": pa.array(np.asarray(dst, np.int64)),
+            }
+        )
+        df = densest_subgraph(rd.from_arrow(t).repartition(4), **kw).to_pandas()
+        if df.empty:
+            return set(), None
+        return set(df["node"].astype(int)), (
+            int(df["r"].iloc[0]),
+            int(df["v_count"].iloc[0]),
+            int(df["e_count"].iloc[0]),
+        )
+
+    @staticmethod
+    def _reference(src, dst):
+        a = np.asarray(src, np.int64)
+        b = np.asarray(dst, np.int64)
+        keep = a != b
+        u = np.minimum(a[keep], b[keep])
+        v = np.maximum(a[keep], b[keep])
+        uv = np.unique(u << 32 | v)
+        u, v = uv >> 32, uv & 0xFFFFFFFF
+        su, sv = np.concatenate([u, v]), np.concatenate([v, u])
+        stats, sets = [], []
+        r = 0
+        while len(su):
+            nodes, inv = np.unique(su, return_inverse=True)
+            deg = np.bincount(inv)
+            V, E2 = len(nodes), len(su)
+            stats.append((r, V, E2 // 2))
+            sets.append(set(nodes.tolist()))
+            rm = deg * V <= E2
+            kp = ~(rm[inv] | rm[np.searchsorted(nodes, sv)])
+            su, sv = su[kp], sv[kp]
+            r += 1
+        best_i = 0
+        for i in range(1, len(stats)):
+            _, V, E = stats[i]
+            _, bv, be = stats[best_i]
+            if E * bv > be * V:
+                best_i = i
+        return sets[best_i], stats[best_i]
+
+    def test_isolates_planted_clique(self, ray_session):
+        # K8 on 100..107 + a long sparse path: the clique (density 3.5)
+        # must be the winning prefix
+        src = [100 + i for i in range(8) for j in range(i + 1, 8)]
+        dst = [100 + j for i in range(8) for j in range(i + 1, 8)]
+        src += list(range(40))
+        dst += list(range(1, 41))
+        nodes, (r, v, e) = self._run(src, dst)
+        assert nodes == {100 + i for i in range(8)}
+        assert (v, e) == (8, 28)
+
+    def test_matches_reference_replay(self, ray_session):
+        rng = np.random.RandomState(6)
+        for seed in (1, 2):
+            rng = np.random.RandomState(seed)
+            src = rng.randint(0, 70, 400)
+            dst = rng.randint(0, 70, 400)
+            got_nodes, got_stats = self._run(src, dst)
+            want_nodes, want_stats = self._reference(src, dst)
+            assert got_nodes == want_nodes and got_stats == want_stats, seed
+
+    def test_empty_graph(self, ray_session):
+        nodes, stats = self._run([5], [5])  # only a self-loop -> empty
+        assert nodes == set() and stats is None
