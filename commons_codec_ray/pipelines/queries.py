@@ -8437,6 +8437,52 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
 """
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient
+    (stages/graph.py:clustering_coeff — the node-resolved
+    Suri–Vassilvitskii oriented-wedge join, wedge rows carrying their
+    center so a closed wedge credits all three corners): same
+    event-derived graph as q_triangles; exact integer
+    cc_ppm = 2e6·tri // (deg·(deg−1)) so the grouped SQL triangle join
+    replays bit-for-bit."""
+    from commons_codec_ray.stages.graph import clustering_coeff
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return clustering_coeff(events.map_batches(edges, batch_format="pyarrow"))
+
+
+_CLUSTERING_COEFF_SQL = """
+WITH raw AS (
+  SELECT event_id % 1200 AS a,
+         ((event_id % 1200) // 8) * 8 + (event_id * 3) % 8 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+tri AS (
+  SELECT ab.u AS x, ab.v AS y, bc.v AS z
+  FROM e ab JOIN e bc ON ab.v = bc.u
+            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+tn AS (
+  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY n),
+deg AS (
+  SELECT u AS n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)
+  GROUP BY u)
+SELECT deg.n AS node, deg.d AS deg, coalesce(tc.t, 0) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN 2000000 * coalesce(tc.t, 0) // (deg.d * (deg.d - 1))
+            ELSE 0 END AS cc_ppm
+FROM deg LEFT JOIN tc ON tc.n = deg.n
+"""
+
+
 def _pagerank_sql(iters: int) -> str:
     """Unrolled-CTE oracle mirroring stages/graph.py's integer updates."""
     head = """
@@ -9899,6 +9945,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "kcore": q_kcore,
     "densest_subgraph": q_densest_subgraph,
+    "clustering_coeff": q_clustering_coeff,
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
     "mutual_info": q_mutual_info,
@@ -10090,6 +10137,7 @@ ORACLE_SQL = {
     "semdedup": _SEMDEDUP_SQL,
     "kcore": _KCORE_SQL,
     "densest_subgraph": _DENSEST_SQL,
+    "clustering_coeff": _CLUSTERING_COEFF_SQL,
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,

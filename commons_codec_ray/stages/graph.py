@@ -1429,3 +1429,188 @@ def densest_subgraph(
     return rounds[best_r].groupby("u").map_groups(
         winner_nodes, batch_format="pyarrow"
     )
+
+
+def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
+                     num_buckets: int | None = None):
+    """Per-node triangle counts and LOCAL clustering coefficient —
+    the node-resolved variant of :func:`triangle_count` (same
+    Suri–Vassilvitskii oriented-wedge shape, but every wedge row
+    carries its CENTER so a closed wedge credits all three corners):
+
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), emitted as the exact
+    integer ``cc_ppm = 2_000_000·tri // (deg·(deg−1))`` (0 when
+    deg < 2) so the SQL oracle matches bit-for-bit.
+
+    Scale shape: one pair-keyed dedupe exchange, one oriented wedge
+    generation (out-degrees capped at O(√m) by the (deg, id) order),
+    one pair-keyed meet; degrees and the final per-node reduction ride
+    the driver under the same nodes ≪ edges assumption as
+    triangle_count's broadcast mode (the `_orient_by_exchange`
+    machinery is the escalation path). Returns
+    ``(node, deg, triangles, cc_ppm)`` for every node with an edge.
+    """
+    import ray
+
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    nb = num_buckets or adaptive_buckets()
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        assert len(u) == 0 or (u.min() >= 0 and v.max() < (1 << 31)), (
+            "clustering_coeff: node ids must fit 31 bits for pair packing"
+        )
+        pack = (u << 32) | v
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(
+            lambda df: df.drop_duplicates(["u", "v"])[["u", "v"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"n": pa.array(uniq, pa.int64()), "c": pa.array(cnt, pa.int64())}
+        )
+
+    degp = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = degp.groupby("n")["c"].sum()
+    deg_nodes = deg.index.to_numpy(np.int64)
+    deg_vals = deg.to_numpy(np.int64)
+    dref = ray.put((deg_nodes, deg_vals))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes_s, degs = ray.get(dref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = degs[np.searchsorted(nodes_s, u)]
+        dv = degs[np.searchsorted(nodes_s, v)]
+        u_first = (du < dv) | (du == dv)
+        x = np.where(u_first, u, v)
+        y = np.where(u_first, v, u)
+        return pa.table(
+            {
+                "_sb": hash_bucket(x, nb),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["x", "y"], kind="mergesort")
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        m = len(g)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = x[1:] != x[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        run_end = np.repeat(starts + counts, counts)
+        reps = run_end - np.arange(m) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"a": [], "b": [], "center": []}
+            ).astype("int64")
+        lefts = np.repeat(np.arange(m), reps)
+        block_base = np.repeat(np.cumsum(reps) - reps, reps)
+        rights = lefts + 1 + (np.arange(total) - block_base)
+        ya, yb = y[lefts], y[rights]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ya, yb),
+                "b": np.maximum(ya, yb),
+                "center": x[lefts],
+            }
+        )
+
+    def wedge_rows(df: pd.DataFrame) -> pa.Table:
+        pack = (df["a"].to_numpy(np.int64) << 32) | df["b"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "p": pa.array(pack, pa.int64()),
+                "center": pa.array(df["center"].to_numpy(np.int64), pa.int64()),
+                "is_edge": pa.array(np.zeros(len(df), dtype=bool)),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        pack = (
+            t["u"].to_numpy(zero_copy_only=False) << 32
+        ) | t["v"].to_numpy(zero_copy_only=False)
+        n = len(pack)
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "p": pa.array(pack, pa.int64()),
+                "center": pa.array(np.full(n, -1, np.int64)),
+                "is_edge": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def meet(df: pd.DataFrame) -> pd.DataFrame:
+        closed = set(df.loc[df["is_edge"], "p"].to_numpy(np.int64).tolist())
+        w = df[~df["is_edge"]]
+        hit = w[w["p"].isin(closed)]
+        if not len(hit):
+            return pd.DataFrame({"node": [], "t": []}).astype("int64")
+        p = hit["p"].to_numpy(np.int64)
+        nodes = np.concatenate(
+            [hit["center"].to_numpy(np.int64), p >> 32, p & 0x7FFFFFFF]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": uniq, "t": cnt.astype(np.int64)})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    tri_parts = (
+        oriented.groupby("_sb")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(wedge_rows, batch_format="pandas")
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+        .groupby("_pb")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    tri = (
+        tri_parts.groupby("node")["t"].sum()
+        if len(tri_parts)
+        else pd.Series(dtype=np.int64)
+    )
+    tri_map = tri.to_dict()
+    t_arr = np.array([int(tri_map.get(int(n), 0)) for n in deg_nodes], np.int64)
+    d = deg_vals
+    cc = np.where(d >= 2, (2_000_000 * t_arr) // np.maximum(d * (d - 1), 1), 0)
+    return pa.table(
+        {
+            "node": pa.array(deg_nodes, pa.int64()),
+            "deg": pa.array(d, pa.int64()),
+            "triangles": pa.array(t_arr, pa.int64()),
+            "cc_ppm": pa.array(cc.astype(np.int64), pa.int64()),
+        }
+    )

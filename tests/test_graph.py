@@ -448,3 +448,34 @@ class TestDensestSubgraph:
     def test_empty_graph(self, ray_session):
         nodes, stats = self._run([5], [5])  # only a self-loop -> empty
         assert nodes == set() and stats is None
+
+
+def test_clustering_coeff_vs_bruteforce(ray_session):
+    from commons_codec_ray.stages.graph import clustering_coeff
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 35, 700).astype("int64")
+    b = rng.randint(0, 35, 700).astype("int64")
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a), "dst": pa.array(b)})
+    ).repartition(5)
+    got = clustering_coeff(ds).to_pandas().set_index("node")
+
+    eset = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj: dict = {}
+    for u, v in eset:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for n, nbrs in adj.items():
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (min(x, y), max(x, y)) in eset
+        )
+        d = len(nbrs)
+        want_cc = (2_000_000 * tri) // (d * (d - 1)) if d >= 2 else 0
+        row = got.loc[n]
+        assert int(row["deg"]) == d and int(row["triangles"]) == tri, n
+        assert int(row["cc_ppm"]) == want_cc, n
+    assert set(got.index) == set(adj)
