@@ -8437,6 +8437,94 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
 """
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over the symmetric distinct edge list — positive
+    ⇒ hubs attach to hubs. Engine: the deduped symmetric table
+    (graph._sym_edges, one exchange), degrees broadcast (nodes ≪
+    edges), then EXACT int64 moment partials (n, Σx, Σy, Σxy, Σx²,
+    Σy²) per batch — r is computed in float ONCE on the driver from
+    exact integers (order-invariant), rounded 4dp to match DuckDB's
+    streaming corr. Uses the varied-degree two-family graph
+    (q_kcore's) so r is well-defined."""
+    import ray
+
+    from commons_codec_ray.stages.graph import _sym_edges
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a1 = eid % 1400
+        b1 = (a1 + 1 + (eid % (1 + a1 % 4))) % 1400
+        a2 = eid % 320
+        b2 = (a2 // 8) * 8 + (eid // 64) % 8
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a1, a2])),
+                "dst": pa.array(np.concatenate([b1, b2])),
+            }
+        )
+
+    sym = _sym_edges(
+        events.map_batches(edges, batch_format="pyarrow"), "src", "dst"
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["u"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"n": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    degp = sym.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = degp.groupby("n")["c"].sum()
+    dref = ray.put((deg.index.to_numpy(np.int64), deg.to_numpy(np.int64)))
+
+    def moments(t: pa.Table) -> pa.Table:
+        nodes_s, degs = ray.get(dref)
+        x = degs[np.searchsorted(nodes_s, t["u"].to_numpy(zero_copy_only=False))]
+        y = degs[np.searchsorted(nodes_s, t["v"].to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = sym.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy = int(parts["n"]), int(parts["sx"]), int(parts["sy"])
+    sxy, sxx, syy = int(parts["sxy"]), int(parts["sxx"]), int(parts["syy"])
+    num = n * sxy - sx * sy
+    den = float(np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)))
+    r = float(num) / den if den > 0 else float("nan")
+    return pa.table(
+        {
+            "assortativity": pa.array(duckdb_round(np.array([r]), 4), pa.float64()),
+            "n_pairs": pa.array([n], pa.int64()),
+        }
+    )
+
+
+_ASSORTATIVITY_SQL = """
+WITH raw AS (
+  SELECT event_id % 1400 AS a,
+         (event_id % 1400 + 1 + (event_id % (1 + (event_id % 1400) % 4))) % 1400 AS b
+  FROM events
+  UNION ALL
+  SELECT event_id % 320 AS a,
+         ((event_id % 320) // 8) * 8 + (event_id // 64) % 8 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u)
+SELECT round(corr(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE)), 4) AS assortativity,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM sym s JOIN deg du ON du.n = s.u JOIN deg dv ON dv.n = s.v
+"""
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (stages/graph.py:clustering_coeff — the node-resolved
@@ -9946,6 +10034,7 @@ QUERIES = {
     "kcore": q_kcore,
     "densest_subgraph": q_densest_subgraph,
     "clustering_coeff": q_clustering_coeff,
+    "assortativity": q_assortativity,
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
     "mutual_info": q_mutual_info,
@@ -10138,6 +10227,7 @@ ORACLE_SQL = {
     "kcore": _KCORE_SQL,
     "densest_subgraph": _DENSEST_SQL,
     "clustering_coeff": _CLUSTERING_COEFF_SQL,
+    "assortativity": _ASSORTATIVITY_SQL,
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,

@@ -479,3 +479,30 @@ def test_clustering_coeff_vs_bruteforce(ray_session):
         assert int(row["deg"]) == d and int(row["triangles"]) == tri, n
         assert int(row["cc_ppm"]) == want_cc, n
     assert set(got.index) == set(adj)
+
+
+def test_assortativity_signs(ray_session):
+    """Star graph is maximally disassortative (r = −1); the query-level
+    machinery is oracle-checked, here we pin the stage-level semantics
+    via the same integer-moment formula on known graphs."""
+    import duckdb
+
+    # star: center 0 with 6 leaves — all edges pair deg 6 with deg 1
+    t = pa.table(
+        {
+            "src": pa.array([0] * 6, pa.int64()),
+            "dst": pa.array(list(range(1, 7)), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("edges_in", t)
+    r = con.execute(
+        """
+WITH e AS (SELECT DISTINCT least(src, dst) u, greatest(src, dst) v FROM edges_in WHERE src <> dst),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS n, count(*) d FROM sym GROUP BY u)
+SELECT corr(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE))
+FROM sym s JOIN deg du ON du.n = s.u JOIN deg dv ON dv.n = s.v
+"""
+    ).fetchone()[0]
+    assert abs(r - (-1.0)) < 1e-9
