@@ -7132,6 +7132,97 @@ GROUP BY 1
 """
 
 
+def q_avro_ingest(sf_dir: str):
+    """Avro Object Container File source — the Kafka-CDC-ecosystem
+    format, via the pure-Python OCF codec (decode/avro_wire.py, public
+    wire spec; same in-sandbox treatment as the BSON codec): events
+    staged once as 8 null-codec .avro shards written by our own
+    encoder, listed as paths and DECODED per shard inside map_batches
+    (one task per shard, sync markers verified per block, zero
+    driver-side bytes). Aggregates per type on exact integer cents —
+    identical oracle shape to csv/jsonl/orc ingest."""
+    from pathlib import Path
+
+    from commons_codec_ray.decode.avro_wire import read_ocf, write_ocf
+
+    stage = _stage_dir("ccr_avro", sf_dir)
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        schema = {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+        }
+        rows = [
+            {"event_id": i, "event_type": e, "value": v}
+            for i, e, v in zip(
+                t["event_id"].to_pylist(),
+                t["event_type"].to_pylist(),
+                t["value"].to_pylist(),
+            )
+        ]
+        n_shards = 8
+        per = (len(rows) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            blob = write_ocf(schema, rows[s * per:(s + 1) * per])
+            (stage / f"part-{s:02d}.avro").write_bytes(blob)
+        done.touch()
+
+    files = sorted(str(p) for p in Path(stage).glob("*.avro"))
+    paths = rd.from_items([{"path": p} for p in files])
+
+    def decode_shard(t: pa.Table) -> pa.Table:
+        parts = []
+        for p in t["path"].to_pylist():
+            _, rows = read_ocf(Path(p).read_bytes())
+            df = pd.DataFrame(
+                {
+                    "event_type": [r["event_type"] for r in rows],
+                    "v100": duck_rint(
+                        np.array([r["value"] for r in rows], np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+            parts.append(
+                df.groupby("event_type", as_index=False).agg(
+                    sv100=("v100", "sum"), n=("v100", "size")
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False
+        )
+
+    parts = paths.map_batches(
+        decode_shard, batch_format="pyarrow", batch_size=1
+    ).to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_AVRO_INGEST_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_orc_ingest(sf_dir: str):
     """ORC source path — the custom-format pattern for anything Ray Data
     has no native reader for: events staged as ORC shards (untimed,
@@ -10006,6 +10097,7 @@ QUERIES = {
     "string_join": q_string_join,
     "jsonl_ingest": q_jsonl_ingest,
     "orc_ingest": q_orc_ingest,
+    "avro_ingest": q_avro_ingest,
     "gzip_ingest": q_gzip_ingest,
     "top_users_per_type": q_top_users_per_type,
     "components": q_components,
@@ -10199,6 +10291,7 @@ ORACLE_SQL = {
     "string_join": _STRING_JOIN_SQL,
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "orc_ingest": _ORC_INGEST_SQL,
+    "avro_ingest": _AVRO_INGEST_SQL,
     "gzip_ingest": _GZIP_INGEST_SQL,
     "top_users_per_type": _TOP_USERS_SQL,
     "components": _COMPONENTS_SQL,
