@@ -7132,6 +7132,133 @@ GROUP BY 1
 """
 
 
+def q_cdc_replay_avro(sf_dir: str):
+    """CDC replay from AVRO-framed envelopes — the Kafka-Connect wire
+    shape (value bytes = Avro record) through the REAL apply lane:
+    events staged once as OCF shards of flattened change records
+    (decode/avro_wire.py; delete records carry empty-string images and
+    ts_us = 0 — the codec's no-union subset — which the decoder maps
+    back to NULLs), each shard decoded in one map_batches task into
+    the engine's op-record schema (partition_ids_for +
+    shuffle_keys_for, int8 ops), then the standard
+    ``apply_changes`` LWW exchange. Final lake must equal the same
+    `_CDC_REPLAY_SQL` oracle as the JSON-envelope replay — the codec
+    swap cannot change one byte of state."""
+    from pathlib import Path
+
+    from commons_codec_ray.decode.avro_wire import read_ocf, write_ocf
+    from commons_codec_ray.hashing import partition_ids_for, shuffle_keys_for
+
+    cfg = PipelineConfig()
+    stage = _stage_dir("ccr_avro_cdc", sf_dir)
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "props", "value", "ts"],
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_del = eid % 10 == 7
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        schema = {
+            "type": "record",
+            "name": "Change",
+            "fields": [
+                {"name": "conv_id", "type": "string"},
+                {"name": "turn_idx", "type": "long"},
+                {"name": "op", "type": "long"},
+                {"name": "role", "type": "string"},
+                {"name": "text", "type": "string"},
+                {"name": "tool", "type": "string"},
+                {"name": "ts_us", "type": "long"},
+                {"name": "lsn", "type": "long"},
+            ],
+        }
+        uid = t["user_id"].to_pylist()
+        et = t["event_type"].to_pylist()
+        props = t["props"].to_pylist()
+        rows = [
+            {
+                "conv_id": f"c-{uid[i]}",
+                "turn_idx": int(eid[i] % 40),
+                "op": 0 if is_del[i] else 1,
+                "role": "" if is_del[i] else et[i],
+                "text": "" if is_del[i] else (props[i] or ""),
+                "tool": "search" if (not is_del[i] and vals[i] >= 50) else "",
+                "ts_us": 0 if is_del[i] else int(ts_us[i]),
+                "lsn": int(eid[i]),
+            }
+            for i in range(len(eid))
+        ]
+        n_shards = 8
+        per = (len(rows) + n_shards - 1) // n_shards
+        for sh in range(n_shards):
+            (stage / f"part-{sh:02d}.avro").write_bytes(
+                write_ocf(schema, rows[sh * per:(sh + 1) * per])
+            )
+        done.touch()
+
+    files = sorted(str(p) for p in Path(stage).glob("*.avro"))
+    paths = rd.from_items([{"path": p} for p in files])
+
+    def decode_shard(t: pa.Table, _np=cfg.num_partitions) -> pa.Table:
+        out = []
+        for p in t["path"].to_pylist():
+            _, rows = read_ocf(Path(p).read_bytes())
+            n = len(rows)
+            ops = np.fromiter((r["op"] for r in rows), np.int8, n)
+            is_up = ops == 1
+            conv = pa.array([r["conv_id"] for r in rows], pa.string())
+            table_arr = pa.array(
+                ["transcripts"] * n, pa.string()
+            ).dictionary_encode()
+            pid = partition_ids_for(conv, _np)
+            ts = pa.array(
+                [r["ts_us"] if u else None for r, u in zip(rows, is_up)],
+                pa.int64(),
+            ).cast(pa.timestamp("us"))
+            out.append(
+                pa.table(
+                    {
+                        "op": pa.array(ops, pa.int8()),
+                        "table_name": table_arr,
+                        "conv_id": conv,
+                        "turn_idx": pa.array(
+                            [r["turn_idx"] for r in rows], pa.int32()
+                        ),
+                        "role": pa.array(
+                            [r["role"] if u else None for r, u in zip(rows, is_up)],
+                            pa.string(),
+                        ),
+                        "text": pa.array(
+                            [r["text"] if u else None for r, u in zip(rows, is_up)],
+                            pa.string(),
+                        ),
+                        "tool": pa.array(
+                            [r["tool"] or None for r in rows], pa.string()
+                        ),
+                        "ts": ts,
+                        "aux": pa.array([None] * n, pa.string()),
+                        "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+                        "source_offset": pa.array(
+                            [r["lsn"] for r in rows], pa.int64()
+                        ),
+                        "partition_id": pid,
+                        "shuffle_key": shuffle_keys_for(table_arr, pid),
+                        "error": pa.array([None] * n, pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    ops_ds = paths.map_batches(decode_shard, batch_format="pyarrow", batch_size=1)
+    return apply_changes(ops_ds, cfg)
+
+
 def q_avro_ingest(sf_dir: str):
     """Avro Object Container File source — the Kafka-CDC-ecosystem
     format, via the pure-Python OCF codec (decode/avro_wire.py, public
@@ -10098,6 +10225,7 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "orc_ingest": q_orc_ingest,
     "avro_ingest": q_avro_ingest,
+    "cdc_replay_avro": q_cdc_replay_avro,
     "gzip_ingest": q_gzip_ingest,
     "top_users_per_type": q_top_users_per_type,
     "components": q_components,
@@ -10292,6 +10420,7 @@ ORACLE_SQL = {
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "orc_ingest": _ORC_INGEST_SQL,
     "avro_ingest": _AVRO_INGEST_SQL,
+    "cdc_replay_avro": _CDC_REPLAY_SQL,
     "gzip_ingest": _GZIP_INGEST_SQL,
     "top_users_per_type": _TOP_USERS_SQL,
     "components": _COMPONENTS_SQL,
