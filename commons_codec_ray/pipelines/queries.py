@@ -7132,6 +7132,86 @@ GROUP BY 1
 """
 
 
+def q_proto_ingest(sf_dir: str):
+    """Protobuf source — varint-framed proto3 messages via the
+    pure-Python wire codec (decode/proto_wire.py; public encoding
+    spec), completing the in-sandbox wire trio next to BSON and Avro:
+    events staged once as 8 length-prefixed .pb shards written by our
+    own encoder, decoded per shard inside map_batches (unknown fields
+    skipped, last-wins, defaults backfilled — the proto3 rules that
+    matter on an evolving CDC bus). Same exact-cents ingest oracle as
+    csv/jsonl/orc/avro."""
+    from pathlib import Path
+
+    from commons_codec_ray.decode.proto_wire import decode_frames, encode_frames
+
+    FIELDS = {
+        1: ("event_id", "int64"),
+        2: ("event_type", "string"),
+        3: ("value", "double"),
+    }
+    stage = _stage_dir("ccr_proto", sf_dir)
+    done = stage / "_DONE"
+    if not done.exists():
+        import pyarrow.parquet as _pq
+
+        stage.mkdir(parents=True, exist_ok=True)
+        t = _pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        rows = [
+            {"event_id": i, "event_type": e, "value": v}
+            for i, e, v in zip(
+                t["event_id"].to_pylist(),
+                t["event_type"].to_pylist(),
+                t["value"].to_pylist(),
+            )
+        ]
+        n_shards = 8
+        per = (len(rows) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            (stage / f"part-{s:02d}.pb").write_bytes(
+                encode_frames(FIELDS, rows[s * per:(s + 1) * per])
+            )
+        done.touch()
+
+    files = sorted(str(p) for p in Path(stage).glob("*.pb"))
+    paths = rd.from_items([{"path": p} for p in files])
+
+    def decode_shard(t: pa.Table) -> pa.Table:
+        parts = []
+        for p in t["path"].to_pylist():
+            rows = decode_frames(FIELDS, Path(p).read_bytes())
+            df = pd.DataFrame(
+                {
+                    "event_type": [r["event_type"] for r in rows],
+                    "v100": duck_rint(
+                        np.array([r["value"] for r in rows], np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+            parts.append(
+                df.groupby("event_type", as_index=False).agg(
+                    sv100=("v100", "sum"), n=("v100", "size")
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False
+        )
+
+    parts = paths.map_batches(
+        decode_shard, batch_format="pyarrow", batch_size=1
+    ).to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "sv100": pa.array(g["sv100"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_cdc_replay_avro(sf_dir: str):
     """CDC replay from AVRO-framed envelopes — the Kafka-Connect wire
     shape (value bytes = Avro record) through the REAL apply lane:
@@ -10225,6 +10305,7 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "orc_ingest": q_orc_ingest,
     "avro_ingest": q_avro_ingest,
+    "proto_ingest": q_proto_ingest,
     "cdc_replay_avro": q_cdc_replay_avro,
     "gzip_ingest": q_gzip_ingest,
     "top_users_per_type": q_top_users_per_type,
@@ -10420,6 +10501,7 @@ ORACLE_SQL = {
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "orc_ingest": _ORC_INGEST_SQL,
     "avro_ingest": _AVRO_INGEST_SQL,
+    "proto_ingest": _AVRO_INGEST_SQL,
     "cdc_replay_avro": _CDC_REPLAY_SQL,
     "gzip_ingest": _GZIP_INGEST_SQL,
     "top_users_per_type": _TOP_USERS_SQL,
