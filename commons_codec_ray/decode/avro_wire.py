@@ -128,14 +128,20 @@ def write_ocf(
     rows: list[dict],
     sync: bytes = b"\x07" * 16,
     block_rows: int = 4096,
+    codec: str = "null",
 ) -> bytes:
-    """Serialize ``rows`` as a null-codec Avro Object Container File."""
+    """Serialize ``rows`` as an Avro Object Container File.
+    ``codec="deflate"`` compresses each block with raw DEFLATE
+    (zlib, wbits=-15 — the spec's no-header form), the codec most
+    real-world OCF files ship with."""
     if len(sync) != 16:
         raise AvroFormatError("sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise AvroFormatError(f"unsupported codec {codec!r}")
     fields = _fields(schema)
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     out = bytearray(MAGIC)
     out += _zz_encode(len(meta))
@@ -150,7 +156,13 @@ def write_ocf(
         for row in chunk:
             for name, typ in fields:
                 body += _encode_value(row[name], typ)
-        out += _zz_encode(len(chunk)) + _zz_encode(len(body)) + body + sync
+        payload = bytes(body)
+        if codec == "deflate":
+            import zlib
+
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(payload) + co.flush()
+        out += _zz_encode(len(chunk)) + _zz_encode(len(payload)) + payload + sync
     return bytes(out)
 
 
@@ -175,7 +187,7 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
             pos += vl
         n_meta, pos = _zz_decode(data, pos)
     codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
+    if codec not in (b"null", b"deflate"):
         raise AvroFormatError(f"unsupported codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     fields = _fields(schema)
@@ -188,13 +200,23 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
         end = pos + size
         if end + 16 > len(data):
             raise AvroFormatError("truncated block")
+        block = data[pos:end]
+        if codec == b"deflate":
+            import zlib
+
+            try:
+                block = zlib.decompress(block, wbits=-15)
+            except zlib.error as exc:
+                raise AvroFormatError(f"bad deflate block: {exc}") from exc
+        bpos = 0
         for _ in range(count):
             row = {}
             for name, typ in fields:
-                row[name], pos = _decode_value(data, pos, typ)
+                row[name], bpos = _decode_value(block, bpos, typ)
             rows.append(row)
-        if pos != end:
+        if bpos != len(block):
             raise AvroFormatError("block size mismatch")
+        pos = end
         if data[pos:pos + 16] != sync:
             raise AvroFormatError("sync marker mismatch")
         pos += 16

@@ -7212,38 +7212,153 @@ def q_proto_ingest(sf_dir: str):
     )
 
 
+def _change_rows_from_events(sf_dir: str) -> list[dict]:
+    """Flattened change records mirroring _CDC_REPLAY_SQL's derivation
+    (shared by the Avro and protobuf envelope stagings; delete records
+    carry empty-string images and ts_us = 0 — the no-union transport
+    convention the decoders map back to NULLs)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "value", "ts"],
+    )
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_del = eid % 10 == 7
+    ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    vals = t["value"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_pylist()
+    et = t["event_type"].to_pylist()
+    props = t["props"].to_pylist()
+    return [
+        {
+            "conv_id": f"c-{uid[i]}",
+            "turn_idx": int(eid[i] % 40),
+            "op": 0 if is_del[i] else 1,
+            "role": "" if is_del[i] else et[i],
+            "text": "" if is_del[i] else (props[i] or ""),
+            "tool": "search" if (not is_del[i] and vals[i] >= 50) else "",
+            "ts_us": 0 if is_del[i] else int(ts_us[i]),
+            "lsn": int(eid[i]),
+        }
+        for i in range(len(eid))
+    ]
+
+
+def _op_table_from_change_rows(rows: list[dict], num_partitions: int) -> pa.Table:
+    """Decoded change records → the engine's op-record table (the same
+    schema DecodeEnvelopes emits: int8 ops, partition_ids_for +
+    shuffle_keys_for, NULLed delete images)."""
+    from commons_codec_ray.hashing import partition_ids_for, shuffle_keys_for
+
+    n = len(rows)
+    ops = np.fromiter((r["op"] for r in rows), np.int8, n)
+    is_up = ops == 1
+    conv = pa.array([r["conv_id"] for r in rows], pa.string())
+    table_arr = pa.array(["transcripts"] * n, pa.string()).dictionary_encode()
+    pid = partition_ids_for(conv, num_partitions)
+    ts = pa.array(
+        [r["ts_us"] if u else None for r, u in zip(rows, is_up)], pa.int64()
+    ).cast(pa.timestamp("us"))
+    return pa.table(
+        {
+            "op": pa.array(ops, pa.int8()),
+            "table_name": table_arr,
+            "conv_id": conv,
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": pa.array(
+                [r["role"] if u else None for r, u in zip(rows, is_up)], pa.string()
+            ),
+            "text": pa.array(
+                [r["text"] if u else None for r, u in zip(rows, is_up)], pa.string()
+            ),
+            "tool": pa.array([r["tool"] or None for r in rows], pa.string()),
+            "ts": ts,
+            "aux": pa.array([None] * n, pa.string()),
+            "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+            "source_offset": pa.array([r["lsn"] for r in rows], pa.int64()),
+            "partition_id": pid,
+            "shuffle_key": shuffle_keys_for(table_arr, pid),
+            "error": pa.array([None] * n, pa.string()),
+        }
+    )
+
+
+def q_cdc_replay_proto(sf_dir: str):
+    """CDC replay from PROTOBUF-framed envelopes (decode/proto_wire.py,
+    varint-framed proto3 messages — the other standard Kafka value
+    encoding next to Avro): same flattened change records, same
+    op-record construction (`_op_table_from_change_rows`), same LWW
+    apply — the final lake must be byte-equal to `_CDC_REPLAY_SQL`
+    regardless of which wire format carried the stream. Deflate-
+    compressed Avro, null Avro and protobuf now all feed the identical
+    apply lane."""
+    from pathlib import Path
+
+    from commons_codec_ray.decode.proto_wire import decode_frames, encode_frames
+
+    FIELDS = {
+        1: ("conv_id", "string"),
+        2: ("turn_idx", "int64"),
+        3: ("op", "int64"),
+        4: ("role", "string"),
+        5: ("text", "string"),
+        6: ("tool", "string"),
+        7: ("ts_us", "int64"),
+        8: ("lsn", "int64"),
+    }
+    cfg = PipelineConfig()
+    stage = _stage_dir("ccr_proto_cdc", sf_dir)
+    done = stage / "_DONE"
+    if not done.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        rows = _change_rows_from_events(sf_dir)
+        n_shards = 8
+        per = (len(rows) + n_shards - 1) // n_shards
+        for sh in range(n_shards):
+            (stage / f"part-{sh:02d}.pb").write_bytes(
+                encode_frames(FIELDS, rows[sh * per:(sh + 1) * per])
+            )
+        done.touch()
+
+    files = sorted(str(p) for p in Path(stage).glob("*.pb"))
+    paths = rd.from_items([{"path": p} for p in files])
+
+    def decode_shard(t: pa.Table, _np=cfg.num_partitions) -> pa.Table:
+        return pa.concat_tables(
+            [
+                _op_table_from_change_rows(
+                    decode_frames(FIELDS, Path(p).read_bytes()), _np
+                )
+                for p in t["path"].to_pylist()
+            ]
+        )
+
+    ops_ds = paths.map_batches(decode_shard, batch_format="pyarrow", batch_size=1)
+    return apply_changes(ops_ds, cfg)
+
+
 def q_cdc_replay_avro(sf_dir: str):
     """CDC replay from AVRO-framed envelopes — the Kafka-Connect wire
     shape (value bytes = Avro record) through the REAL apply lane:
-    events staged once as OCF shards of flattened change records
-    (decode/avro_wire.py; delete records carry empty-string images and
-    ts_us = 0 — the codec's no-union subset — which the decoder maps
-    back to NULLs), each shard decoded in one map_batches task into
-    the engine's op-record schema (partition_ids_for +
-    shuffle_keys_for, int8 ops), then the standard
-    ``apply_changes`` LWW exchange. Final lake must equal the same
-    `_CDC_REPLAY_SQL` oracle as the JSON-envelope replay — the codec
-    swap cannot change one byte of state."""
+    events staged once as DEFLATE-compressed OCF shards of flattened
+    change records (decode/avro_wire.py — the compressed form real
+    container files ship; per-block sync markers verified, blocks
+    inflated with raw zlib), each shard decoded in one map_batches
+    task into the engine's op-record schema
+    (`_op_table_from_change_rows`) and applied by the standard LWW
+    exchange. Final lake must equal the same `_CDC_REPLAY_SQL` oracle
+    as the JSON-envelope replay — the codec swap cannot change one
+    byte of state."""
     from pathlib import Path
 
     from commons_codec_ray.decode.avro_wire import read_ocf, write_ocf
-    from commons_codec_ray.hashing import partition_ids_for, shuffle_keys_for
 
     cfg = PipelineConfig()
     stage = _stage_dir("ccr_avro_cdc", sf_dir)
     done = stage / "_DONE"
     if not done.exists():
-        import pyarrow.parquet as _pq
-
         stage.mkdir(parents=True, exist_ok=True)
-        t = _pq.read_table(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "event_type", "props", "value", "ts"],
-        )
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        is_del = eid % 10 == 7
-        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        vals = t["value"].to_numpy(zero_copy_only=False)
         schema = {
             "type": "record",
             "name": "Change",
@@ -7258,27 +7373,12 @@ def q_cdc_replay_avro(sf_dir: str):
                 {"name": "lsn", "type": "long"},
             ],
         }
-        uid = t["user_id"].to_pylist()
-        et = t["event_type"].to_pylist()
-        props = t["props"].to_pylist()
-        rows = [
-            {
-                "conv_id": f"c-{uid[i]}",
-                "turn_idx": int(eid[i] % 40),
-                "op": 0 if is_del[i] else 1,
-                "role": "" if is_del[i] else et[i],
-                "text": "" if is_del[i] else (props[i] or ""),
-                "tool": "search" if (not is_del[i] and vals[i] >= 50) else "",
-                "ts_us": 0 if is_del[i] else int(ts_us[i]),
-                "lsn": int(eid[i]),
-            }
-            for i in range(len(eid))
-        ]
+        rows = _change_rows_from_events(sf_dir)
         n_shards = 8
         per = (len(rows) + n_shards - 1) // n_shards
         for sh in range(n_shards):
             (stage / f"part-{sh:02d}.avro").write_bytes(
-                write_ocf(schema, rows[sh * per:(sh + 1) * per])
+                write_ocf(schema, rows[sh * per:(sh + 1) * per], codec="deflate")
             )
         done.touch()
 
@@ -7286,54 +7386,14 @@ def q_cdc_replay_avro(sf_dir: str):
     paths = rd.from_items([{"path": p} for p in files])
 
     def decode_shard(t: pa.Table, _np=cfg.num_partitions) -> pa.Table:
-        out = []
-        for p in t["path"].to_pylist():
-            _, rows = read_ocf(Path(p).read_bytes())
-            n = len(rows)
-            ops = np.fromiter((r["op"] for r in rows), np.int8, n)
-            is_up = ops == 1
-            conv = pa.array([r["conv_id"] for r in rows], pa.string())
-            table_arr = pa.array(
-                ["transcripts"] * n, pa.string()
-            ).dictionary_encode()
-            pid = partition_ids_for(conv, _np)
-            ts = pa.array(
-                [r["ts_us"] if u else None for r, u in zip(rows, is_up)],
-                pa.int64(),
-            ).cast(pa.timestamp("us"))
-            out.append(
-                pa.table(
-                    {
-                        "op": pa.array(ops, pa.int8()),
-                        "table_name": table_arr,
-                        "conv_id": conv,
-                        "turn_idx": pa.array(
-                            [r["turn_idx"] for r in rows], pa.int32()
-                        ),
-                        "role": pa.array(
-                            [r["role"] if u else None for r, u in zip(rows, is_up)],
-                            pa.string(),
-                        ),
-                        "text": pa.array(
-                            [r["text"] if u else None for r, u in zip(rows, is_up)],
-                            pa.string(),
-                        ),
-                        "tool": pa.array(
-                            [r["tool"] or None for r in rows], pa.string()
-                        ),
-                        "ts": ts,
-                        "aux": pa.array([None] * n, pa.string()),
-                        "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
-                        "source_offset": pa.array(
-                            [r["lsn"] for r in rows], pa.int64()
-                        ),
-                        "partition_id": pid,
-                        "shuffle_key": shuffle_keys_for(table_arr, pid),
-                        "error": pa.array([None] * n, pa.string()),
-                    }
+        return pa.concat_tables(
+            [
+                _op_table_from_change_rows(
+                    read_ocf(Path(p).read_bytes())[1], _np
                 )
-            )
-        return pa.concat_tables(out)
+                for p in t["path"].to_pylist()
+            ]
+        )
 
     ops_ds = paths.map_batches(decode_shard, batch_format="pyarrow", batch_size=1)
     return apply_changes(ops_ds, cfg)
@@ -10307,6 +10367,7 @@ QUERIES = {
     "avro_ingest": q_avro_ingest,
     "proto_ingest": q_proto_ingest,
     "cdc_replay_avro": q_cdc_replay_avro,
+    "cdc_replay_proto": q_cdc_replay_proto,
     "gzip_ingest": q_gzip_ingest,
     "top_users_per_type": q_top_users_per_type,
     "components": q_components,
@@ -10503,6 +10564,7 @@ ORACLE_SQL = {
     "avro_ingest": _AVRO_INGEST_SQL,
     "proto_ingest": _AVRO_INGEST_SQL,
     "cdc_replay_avro": _CDC_REPLAY_SQL,
+    "cdc_replay_proto": _CDC_REPLAY_SQL,
     "gzip_ingest": _GZIP_INGEST_SQL,
     "top_users_per_type": _TOP_USERS_SQL,
     "components": _COMPONENTS_SQL,

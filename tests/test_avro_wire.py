@@ -91,10 +91,10 @@ def test_unsupported_schema_rejected():
     with pytest.raises(AvroFormatError, match="unsupported"):
         write_ocf(bad, [])
     with pytest.raises(AvroFormatError, match="codec"):
-        # hand-build a header claiming deflate codec
+        # hand-build a header claiming an unsupported codec
         meta = {
             "avro.schema": json.dumps(SCHEMA).encode(),
-            "avro.codec": b"deflate",
+            "avro.codec": b"snappy",
         }
         out = bytearray(MAGIC) + _zz_encode(len(meta))
         for k, v in sorted(meta.items()):
@@ -102,3 +102,23 @@ def test_unsupported_schema_rejected():
             out += _zz_encode(len(kb)) + kb + _zz_encode(len(v)) + v
         out += _zz_encode(0) + b"\x00" * 16
         read_ocf(bytes(out))
+
+
+def test_deflate_codec_roundtrip():
+    rows = [
+        {"i": k, "s": "repetitive " * 5, "d": 1.5, "b": False} for k in range(200)
+    ]
+    null_blob = write_ocf(SCHEMA, rows, block_rows=64)
+    defl_blob = write_ocf(SCHEMA, rows, block_rows=64, codec="deflate")
+    assert len(defl_blob) < len(null_blob) // 2  # it actually compressed
+    _, out = read_ocf(defl_blob)
+    assert out == rows
+
+
+def test_deflate_corruption_is_loud():
+    rows = [{"i": 1, "s": "abc", "d": 0.5, "b": True}]
+    blob = bytearray(write_ocf(SCHEMA, rows, codec="deflate"))
+    # corrupt a byte inside the (sole) compressed block, not the sync
+    blob[-20] ^= 0xFF
+    with pytest.raises(AvroFormatError):
+        read_ocf(bytes(blob))
