@@ -78,7 +78,12 @@ def _encode_value(v: Any, typ: str) -> bytes:
     if typ == "double":
         return struct.pack("<d", float(v))
     if typ == "string":
-        b = str(v).encode("utf-8")
+        if not isinstance(v, str):
+            raise AvroFormatError(
+                f"string field got {type(v).__name__} — encode presence "
+                "explicitly (has_* flag) instead of relying on coercion"
+            )
+        b = v.encode("utf-8")
         return _zz_encode(len(b)) + b
     if typ == "bytes":
         return _zz_encode(len(v)) + bytes(v)
@@ -191,6 +196,8 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
         raise AvroFormatError(f"unsupported codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     fields = _fields(schema)
+    if pos + 16 > len(data):
+        raise AvroFormatError("truncated header sync marker")
     sync = data[pos:pos + 16]
     pos += 16
     rows: list[dict] = []

@@ -146,6 +146,13 @@ def decode_message(fields: dict[int, tuple[str, str]], buf: bytes) -> dict[str, 
                 else:
                     raise ProtoFormatError(f"wire type 2 for {typ}")
             pos += n
+        elif wt == 5:  # I32: skippable for UNKNOWN fields (forward compat)
+            if pos + 4 > len(buf):
+                raise ProtoFormatError("truncated 32-bit field")
+            if spec is not None:
+                name, typ = spec
+                raise ProtoFormatError(f"wire type 5 for {typ}")
+            pos += 4
         else:
             raise ProtoFormatError(f"unsupported wire type {wt}")
     return row

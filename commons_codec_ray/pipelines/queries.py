@@ -7230,19 +7230,32 @@ def _change_rows_from_events(sf_dir: str) -> list[dict]:
     uid = t["user_id"].to_pylist()
     et = t["event_type"].to_pylist()
     props = t["props"].to_pylist()
-    return [
-        {
-            "conv_id": f"c-{uid[i]}",
-            "turn_idx": int(eid[i] % 40),
-            "op": 0 if is_del[i] else 1,
-            "role": "" if is_del[i] else et[i],
-            "text": "" if is_del[i] else (props[i] or ""),
-            "tool": "search" if (not is_del[i] and vals[i] >= 50) else "",
-            "ts_us": 0 if is_del[i] else int(ts_us[i]),
-            "lsn": int(eid[i]),
-        }
-        for i in range(len(eid))
-    ]
+    out = []
+    for i in range(len(eid)):
+        up = not is_del[i]
+        has_role = up and et[i] is not None
+        has_text = up and props[i] is not None
+        has_tool = up and vals[i] >= 50
+        out.append(
+            {
+                "conv_id": f"c-{uid[i]}",
+                "turn_idx": int(eid[i] % 40),
+                "op": 1 if up else 0,
+                # presence is EXPLICIT (has_* flags) — NULL images must
+                # survive the no-union transport exactly, not collapse
+                # to ""; the codecs reject None loudly by design
+                "role": et[i] if has_role else "",
+                "has_role": has_role,
+                "text": props[i] if has_text else "",
+                "has_text": has_text,
+                "tool": "search" if has_tool else "",
+                "has_tool": has_tool,
+                "ts_us": int(ts_us[i]) if up else 0,
+                "has_ts": bool(up),
+                "lsn": int(eid[i]),
+            }
+        )
+    return out
 
 
 def _op_table_from_change_rows(rows: list[dict], num_partitions: int) -> pa.Table:
@@ -7253,12 +7266,11 @@ def _op_table_from_change_rows(rows: list[dict], num_partitions: int) -> pa.Tabl
 
     n = len(rows)
     ops = np.fromiter((r["op"] for r in rows), np.int8, n)
-    is_up = ops == 1
     conv = pa.array([r["conv_id"] for r in rows], pa.string())
     table_arr = pa.array(["transcripts"] * n, pa.string()).dictionary_encode()
     pid = partition_ids_for(conv, num_partitions)
     ts = pa.array(
-        [r["ts_us"] if u else None for r, u in zip(rows, is_up)], pa.int64()
+        [r["ts_us"] if r["has_ts"] else None for r in rows], pa.int64()
     ).cast(pa.timestamp("us"))
     return pa.table(
         {
@@ -7267,12 +7279,14 @@ def _op_table_from_change_rows(rows: list[dict], num_partitions: int) -> pa.Tabl
             "conv_id": conv,
             "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
             "role": pa.array(
-                [r["role"] if u else None for r, u in zip(rows, is_up)], pa.string()
+                [r["role"] if r["has_role"] else None for r in rows], pa.string()
             ),
             "text": pa.array(
-                [r["text"] if u else None for r, u in zip(rows, is_up)], pa.string()
+                [r["text"] if r["has_text"] else None for r in rows], pa.string()
             ),
-            "tool": pa.array([r["tool"] or None for r in rows], pa.string()),
+            "tool": pa.array(
+                [r["tool"] if r["has_tool"] else None for r in rows], pa.string()
+            ),
             "ts": ts,
             "aux": pa.array([None] * n, pa.string()),
             "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
@@ -7306,9 +7320,13 @@ def q_cdc_replay_proto(sf_dir: str):
         6: ("tool", "string"),
         7: ("ts_us", "int64"),
         8: ("lsn", "int64"),
+        9: ("has_role", "bool"),
+        10: ("has_text", "bool"),
+        11: ("has_tool", "bool"),
+        12: ("has_ts", "bool"),
     }
     cfg = PipelineConfig()
-    stage = _stage_dir("ccr_proto_cdc", sf_dir)
+    stage = _stage_dir("ccr_proto_cdc_v2", sf_dir)
     done = stage / "_DONE"
     if not done.exists():
         stage.mkdir(parents=True, exist_ok=True)
@@ -7355,7 +7373,7 @@ def q_cdc_replay_avro(sf_dir: str):
     from commons_codec_ray.decode.avro_wire import read_ocf, write_ocf
 
     cfg = PipelineConfig()
-    stage = _stage_dir("ccr_avro_cdc", sf_dir)
+    stage = _stage_dir("ccr_avro_cdc_v2", sf_dir)
     done = stage / "_DONE"
     if not done.exists():
         stage.mkdir(parents=True, exist_ok=True)
@@ -7371,6 +7389,10 @@ def q_cdc_replay_avro(sf_dir: str):
                 {"name": "tool", "type": "string"},
                 {"name": "ts_us", "type": "long"},
                 {"name": "lsn", "type": "long"},
+                {"name": "has_role", "type": "boolean"},
+                {"name": "has_text", "type": "boolean"},
+                {"name": "has_tool", "type": "boolean"},
+                {"name": "has_ts", "type": "boolean"},
             ],
         }
         rows = _change_rows_from_events(sf_dir)
@@ -9065,8 +9087,10 @@ def q_densest_subgraph(sf_dir: str):
             }
         )
 
+    # max_rounds matches the oracle's unroll EXACTLY (8): a peel depth
+    # the oracle can't see must be an engine ERROR, not a mismatch
     return densest_subgraph(
-        events.map_batches(edges, batch_format="pyarrow"), max_rounds=12
+        events.map_batches(edges, batch_format="pyarrow"), max_rounds=8
     )
 
 

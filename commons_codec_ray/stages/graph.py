@@ -551,6 +551,78 @@ def _orient_by_exchange(edges, deg_partial, pack_sb, nb):
     )
 
 
+def _canon_pair_edges(edges_ds, src: str, dst: str, nb: int, op_name: str):
+    """Canonical distinct (u < v) edge table via PAIR-keyed bucket
+    dedupe — shared by triangle_count and clustering_coeff. Node ids
+    must fit 31 bits so a pair packs into one int64 key."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        assert len(u) == 0 or (u.min() >= 0 and v.max() < (1 << 31)), (
+            f"{op_name}: node ids must fit 31 bits for pair packing"
+        )
+        pack = (u << 32) | v
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(
+            lambda df: df.drop_duplicates(["u", "v"])[["u", "v"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+
+def _pair_deg_partial(t: pa.Table) -> pa.Table:
+    """Per-batch degree partials over a distinct (u, v) edge table."""
+    nodes = np.concatenate(
+        [
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False),
+        ]
+    )
+    uniq, cnt = np.unique(nodes, return_counts=True)
+    return pa.table(
+        {"n": pa.array(uniq, pa.int64()), "c": pa.array(cnt, pa.int64())}
+    )
+
+
+def _wedge_index_pairs(x_sorted: np.ndarray):
+    """Fully vectorized wedge generation over a source-sorted oriented
+    edge array: returns (lefts, rights) POSITION pairs within each
+    equal-x run (position p pairs as LEFT with every later position in
+    its run) — the O(sum out_deg²) core shared by triangle_count and
+    clustering_coeff."""
+    m = len(x_sorted)
+    new = np.empty(m, dtype=bool)
+    new[0] = True
+    new[1:] = x_sorted[1:] != x_sorted[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, m))
+    run_end = np.repeat(starts + counts, counts)
+    reps = run_end - np.arange(m) - 1
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lefts = np.repeat(np.arange(m), reps)
+    block_base = np.repeat(np.cumsum(reps) - reps, reps)
+    rights = lefts + 1 + (np.arange(total) - block_base)
+    return lefts, rights
+
+
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                    num_buckets: int | None = None,
                    degree_mode: str = "broadcast"):
@@ -586,48 +658,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
 
     nb = num_buckets or adaptive_buckets()
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a != b
-        a, b = a[keep], b[keep]
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        assert len(u) == 0 or (u.min() >= 0 and v.max() < (1 << 31)), (
-            "triangle_count: node ids must fit 31 bits for pair packing"
-        )
-        pack = (u << 32) | v
-        return pa.table(
-            {
-                "_pb": hash_bucket(pack, nb),
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(v, pa.int64()),
-            }
-        )
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(
-            lambda df: df.drop_duplicates(["u", "v"])[["u", "v"]],
-            batch_format="pandas",
-        )
-        .materialize()
-    )
+    edges = _canon_pair_edges(edges_ds, src, dst, nb, "triangle_count")
     n_edges = edges.count()
-
-    # degrees over distinct edges: per-batch bincount partials, driver sum
-    def deg_partial(t: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                t["u"].to_numpy(zero_copy_only=False),
-                t["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        uniq, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"n": pa.array(uniq, pa.int64()), "c": pa.array(cnt, pa.int64())}
-        )
+    deg_partial = _pair_deg_partial
 
     def pack_sb(x: np.ndarray, y: np.ndarray) -> pa.Table:
         return pa.table(
@@ -665,23 +698,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
         g = df.sort_values(["x", "y"], kind="mergesort")
         x = g["x"].to_numpy()
         y = g["y"].to_numpy()
-        m = len(g)
-        new = np.empty(m, dtype=bool)
-        new[0] = True
-        new[1:] = x[1:] != x[:-1]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, m))
-        run_end = np.repeat(starts + counts, counts)  # exclusive end, per position
-        # fully vectorized pair generation (no per-source Python loop):
-        # position p pairs as LEFT with the reps[p] positions after it
-        # in its run; rights = left + 1 + offset-within-block.
-        reps = run_end - np.arange(m) - 1
-        total = int(reps.sum())
-        if total == 0:
+        lefts, rights = _wedge_index_pairs(x)
+        if not len(lefts):
             return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        lefts = np.repeat(np.arange(m), reps)
-        block_base = np.repeat(np.cumsum(reps) - reps, reps)
-        rights = lefts + 1 + (np.arange(total) - block_base)
         ya, yb = y[lefts], y[rights]
         return pd.DataFrame({"a": np.minimum(ya, yb), "b": np.maximum(ya, yb)})
 
@@ -1367,7 +1386,10 @@ def densest_subgraph(
         )
 
     stats: list[tuple[int, int, int]] = []
-    rounds: list = []  # per-round deg-attached datasets (winner read back)
+    rounds: list = []  # per-round NODE tables only (V rows each — the
+    # full deg-attached edge tables would hold ~2|E| rows per round in
+    # the object store for the whole call; the winner readback needs
+    # just the node set)
     for r in range(max_rounds + 1):
         if sym.count() == 0:
             break
@@ -1377,7 +1399,12 @@ def densest_subgraph(
         V = sum(int(p["v"]) for p in parts)
         E2 = sum(int(p["e2"]) for p in parts)
         stats.append((r, V, E2 // 2))
-        rounds.append(t1)
+        rounds.append(
+            t1.map_batches(
+                lambda t: t.filter(t["first_u"]).select(["u"]),
+                batch_format="pyarrow",
+            ).materialize()
+        )
 
         def keep_dense(t: pa.Table, _V=V, _E2=E2) -> pa.Table:
             du = t["du"].to_numpy(zero_copy_only=False)
@@ -1416,19 +1443,18 @@ def densest_subgraph(
         if E * best_v > best_e * V:
             best_r, best_v, best_e = r, V, E
 
-    def winner_nodes(g: pa.Table, _r=best_r, _v=best_v, _e=best_e) -> pa.Table:
+    def winner_nodes(t: pa.Table, _r=best_r, _v=best_v, _e=best_e) -> pa.Table:
+        n = t.num_rows
         return pa.table(
             {
-                "node": pa.array([g["u"][0].as_py()], pa.int64()),
-                "r": pa.array([_r], pa.int64()),
-                "v_count": pa.array([_v], pa.int64()),
-                "e_count": pa.array([_e], pa.int64()),
+                "node": t["u"].cast(pa.int64()),
+                "r": pa.array(np.full(n, _r, np.int64)),
+                "v_count": pa.array(np.full(n, _v, np.int64)),
+                "e_count": pa.array(np.full(n, _e, np.int64)),
             }
         )
 
-    return rounds[best_r].groupby("u").map_groups(
-        winner_nodes, batch_format="pyarrow"
-    )
+    return rounds[best_r].map_batches(winner_nodes, batch_format="pyarrow")
 
 
 def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
@@ -1456,48 +1482,9 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
 
     nb = num_buckets or adaptive_buckets()
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a != b
-        a, b = a[keep], b[keep]
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        assert len(u) == 0 or (u.min() >= 0 and v.max() < (1 << 31)), (
-            "clustering_coeff: node ids must fit 31 bits for pair packing"
-        )
-        pack = (u << 32) | v
-        return pa.table(
-            {
-                "_pb": hash_bucket(pack, nb),
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(v, pa.int64()),
-            }
-        )
+    edges = _canon_pair_edges(edges_ds, src, dst, nb, "clustering_coeff")
 
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(
-            lambda df: df.drop_duplicates(["u", "v"])[["u", "v"]],
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-
-    def deg_partial(t: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                t["u"].to_numpy(zero_copy_only=False),
-                t["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        uniq, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"n": pa.array(uniq, pa.int64()), "c": pa.array(cnt, pa.int64())}
-        )
-
-    degp = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    degp = edges.map_batches(_pair_deg_partial, batch_format="pyarrow").to_pandas()
     deg = degp.groupby("n")["c"].sum()
     deg_nodes = deg.index.to_numpy(np.int64)
     deg_vals = deg.to_numpy(np.int64)
@@ -1524,22 +1511,11 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
         g = df.sort_values(["x", "y"], kind="mergesort")
         x = g["x"].to_numpy()
         y = g["y"].to_numpy()
-        m = len(g)
-        new = np.empty(m, dtype=bool)
-        new[0] = True
-        new[1:] = x[1:] != x[:-1]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, m))
-        run_end = np.repeat(starts + counts, counts)
-        reps = run_end - np.arange(m) - 1
-        total = int(reps.sum())
-        if total == 0:
+        lefts, rights = _wedge_index_pairs(x)
+        if not len(lefts):
             return pd.DataFrame(
                 {"a": [], "b": [], "center": []}
             ).astype("int64")
-        lefts = np.repeat(np.arange(m), reps)
-        block_base = np.repeat(np.cumsum(reps) - reps, reps)
-        rights = lefts + 1 + (np.arange(total) - block_base)
         ya, yb = y[lefts], y[rights]
         return pd.DataFrame(
             {
@@ -1575,7 +1551,7 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
         )
 
     def meet(df: pd.DataFrame) -> pd.DataFrame:
-        closed = set(df.loc[df["is_edge"], "p"].to_numpy(np.int64).tolist())
+        closed = df.loc[df["is_edge"], "p"]
         w = df[~df["is_edge"]]
         hit = w[w["p"].isin(closed)]
         if not len(hit):

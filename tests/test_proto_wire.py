@@ -75,7 +75,17 @@ def test_unknown_fields_skipped_last_wins():
 def test_corruption_is_loud():
     with pytest.raises(ProtoFormatError, match="truncated"):
         decode_message(FIELDS, _varint_encode(1 << 3 | 0))  # tag, no value
-    with pytest.raises(ProtoFormatError, match="wire type"):
-        decode_message(FIELDS, _varint_encode(1 << 3 | 5))  # 32-bit unsupported
+    # wt 5 (I32) on a KNOWN non-float field is a schema violation...
+    with pytest.raises(ProtoFormatError, match="wire type 5"):
+        decode_message(FIELDS, _varint_encode(1 << 3 | 5) + b"\x00" * 4)
+    # ...but on an UNKNOWN field it is skipped (forward compatibility:
+    # a producer may add float/fixed32 fields)
+    blob = (
+        _varint_encode(99 << 3 | 5) + b"\x00" * 4
+        + encode_message(FIELDS, {"i": 3})
+    )
+    assert decode_message(FIELDS, blob)["i"] == 3
+    with pytest.raises(ProtoFormatError, match="wire type 3"):
+        decode_message(FIELDS, _varint_encode(1 << 3 | 3))  # start-group
     with pytest.raises(ProtoFormatError, match="truncated frame"):
         decode_frames(FIELDS, _varint_encode(10) + b"ab")
