@@ -1007,6 +1007,116 @@ class CDCPipeline:
                     removed.append(rel)
         return removed
 
+    def compact(self, table: str | None = None) -> dict[str, Any]:
+        """Offline small-file compaction — the maintenance analog of a
+        lakehouse rewrite-data-files job: fold every partition whose
+        checkpoint entry carries a delta chain (``{base, deltas}``) into
+        ONE full file, committed as a new ZERO-WIDTH epoch through the
+        standard manifest + atomic-checkpoint protocol, so readers never
+        observe a partial compaction and a crash mid-compaction leaves
+        the delta lake fully intact (staging files are orphaned and
+        later vacuumed, exactly like an uncommitted epoch).
+
+        Work is one Ray merge+write task per CHAINED partition —
+        already-compact partitions aren't read, rewritten, or mentioned
+        in the new manifest (their checkpoint entries carry over), so
+        cost is O(chained partitions), never O(lake). The merge kernel
+        is exactly the read path's (``merge_base_with_deltas`` LWW +
+        tombstone drop), so the compacted lake is byte-equal to the
+        merge-on-read view; ``next_offset`` and the registry are carried
+        unchanged, so tailing resumes as if nothing happened. Superseded
+        base+delta files become reclaimable via :meth:`vacuum`."""
+        from commons_codec_ray.sink.manifest import entry_files
+        from commons_codec_ray.stages.applier import LSN_COLUMN
+
+        table = table or self.config.table
+        t0 = time.time()
+        ckpt = self.store.read_checkpoint()
+        chains = []
+        files_before = 0
+        for key, entry in ckpt.partitions.items():
+            if key.split("#", 1)[0] != table:
+                continue
+            base, deltas = entry_files(entry)
+            files_before += (1 if base else 0) + len(deltas)
+            if deltas:
+                chains.append({"key": key, "base": base or "", "deltas": deltas})
+        if not chains:
+            return {
+                "epoch": ckpt.last_epoch,
+                "partitions_compacted": 0,
+                "skipped": True,
+            }
+        epoch = ckpt.last_epoch + 1
+        self.store.ensure_dirs(epoch)
+        root = str(self.store.root)
+        extra = _extra_columns(self.config.registry, table)
+        chain_files = sum(
+            (1 if c["base"] else 0) + len(c["deltas"]) for c in chains
+        )
+
+        def compact_one(df) -> pa.Table:
+            import os
+
+            from commons_codec_ray.stages.applier import merge_base_with_deltas
+
+            rows: dict[str, list] = {
+                "table": [], "partition_id": [], "path": [],
+                "rows": [], "max_lsn": [], "kind": [],
+            }
+            for _, row in df.iterrows():
+                base = pq.read_table(Path(root) / row["base"]) if row["base"] else None
+                deltas = [pq.read_table(Path(root) / d) for d in row["deltas"]]
+                out = merge_base_with_deltas(base, deltas, extra)
+                pid = int(str(row["key"]).split("#", 1)[1])
+                path = (
+                    Path(root) / "epochs" / f"epoch-{epoch:08d}"
+                    / f"part-{pid:04d}.parquet"
+                )
+                tmp = path.with_suffix(f".tmp-{os.getpid()}")
+                pq.write_table(out, tmp)
+                os.replace(tmp, path)  # a retried task rewrites identical bytes
+                max_lsn = pc.max(out[LSN_COLUMN]).as_py() if out.num_rows else -1
+                rows["table"].append(table)
+                rows["partition_id"].append(pid)
+                rows["path"].append(str(path.relative_to(root)))
+                rows["rows"].append(out.num_rows)
+                rows["max_lsn"].append(int(max_lsn if max_lsn is not None else -1))
+                rows["kind"].append("full")
+            return pa.table(
+                {
+                    "table": pa.array(rows["table"], pa.string()),
+                    "partition_id": pa.array(rows["partition_id"], pa.int32()),
+                    "path": pa.array(rows["path"], pa.string()),
+                    "rows": pa.array(rows["rows"], pa.int64()),
+                    "max_lsn": pa.array(rows["max_lsn"], pa.int64()),
+                    "kind": pa.array(rows["kind"], pa.string()),
+                }
+            )
+
+        lineage = (
+            rd.from_items(chains)
+            .map_batches(compact_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        metrics = {
+            "maintenance": "compaction",
+            "partitions_compacted": len(lineage),
+            "files_before": files_before,
+            "files_after": files_before - chain_files + len(chains),
+            "duration_s": round(time.time() - t0, 3),
+        }
+        # zero-width offset range: the tail position never regresses and
+        # no source offsets are (re)claimed by a maintenance epoch
+        self.store.commit_epoch(
+            epoch,
+            lineage,
+            (ckpt.next_offset, ckpt.next_offset),
+            ckpt.registry_json,
+            metrics,
+        )
+        return {"epoch": epoch, "skipped": False, **metrics}
+
     def metrics(self) -> dict[str, Any]:
         """Aggregated throughput / lag counters from the epoch manifests
         (the north star's per-partition lineage + metrics surface)."""

@@ -10245,6 +10245,190 @@ FROM base JOIN ttop USING (doc_id) LEFT JOIN btop USING (doc_id)
 """
 
 
+def q_cdc_compaction(sf_dir: str):
+    """Offline small-file compaction driver-gated end-to-end
+    (``CDCPipeline.compact`` — the maintenance analog of a lakehouse
+    rewrite-data-files job): a delta-sink replay with inline
+    auto-compaction DISABLED leaves base+delta chains per partition;
+    ``compact()`` folds every chained partition into ONE full file in
+    a ZERO-WIDTH maintenance epoch through the standard two-phase
+    manifest commit (crash-safe, atomic reader flip, resume cursor
+    untouched). One Ray merge task per chained partition — cost is
+    O(chained partitions), never O(lake). The compacted lake must be
+    byte-equal to the merge-on-read view — same oracle as cdc_replay;
+    the query itself asserts the maintenance actually folded chains so
+    a silent no-op cannot pass."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.pipelines.cdc import CDCPipeline
+    from commons_codec_ray.sink.manifest import entry_files
+
+    events = _pq.read_table(f"{sf_dir}/events.parquet")
+    env = EventsToEnvelopes(duplicates=True)(events).sort_by("lsn")
+    work = _tempfile.mkdtemp(prefix="ccr_compact_")
+    try:
+        log = f"{work}/envelopes.parquet"
+        _pq.write_table(env, log, row_group_size=512)
+        # ~5 epochs at EVERY sf (the delta sink writes the first file per
+        # partition as a full base, so chains need epochs 2+ to exist)
+        epoch = max(200, env.num_rows // 5 + 1)
+        pipe = CDCPipeline(
+            f"{work}/lake",
+            PipelineConfig(
+                num_partitions=16,
+                epoch_size=epoch,
+                sink_mode="delta",
+                compact_ratio=1e9,
+                compact_max_deltas=10**6,
+            ),
+        )
+        pipe.replay(log, epoch_size=epoch)
+        before = pipe.checkpoint()
+        res = pipe.compact()
+        after = pipe.checkpoint()
+        if res.get("skipped") or res["files_after"] >= res["files_before"]:
+            raise AssertionError(f"compaction was a no-op: {res}")
+        if after.next_offset != before.next_offset:
+            raise AssertionError("maintenance epoch moved the resume cursor")
+        if any(entry_files(e)[1] for e in after.partitions.values()):
+            raise AssertionError("delta chains survived compaction")
+        out = pa.Table.from_pandas(
+            pipe.read_lake().to_pandas(), preserve_index=False
+        )
+        return out.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+def q_link_prediction(sf_dir: str):
+    """Top-50 link prediction by common-neighbor count + exact integer
+    Jaccard (stages/graph.py:link_prediction — the neighborhood-overlap
+    predictors of Liben-Nowell & Kleinberg 2003) over a deterministic
+    event-derived BIPARTITE graph (users 0..599 ↔ hubs 600..696 — the
+    q_triangles permutation graph has no wedges at all, so a
+    co-engagement shape is used here). Symmetric-adjacency wedges
+    (center-bucketed, one exchange) meet the edge set in PAIR-keyed
+    buckets; pairs that are already edges are dropped (we predict
+    ABSENT links); per-bucket top-k then one kilobyte driver merge.
+    All-integer scores under a total order ⇒ the SQL self-join oracle
+    replays the ranking bit-for-bit."""
+    from commons_codec_ray.stages.graph import link_prediction
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 600
+        b = 600 + eid % 97
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return link_prediction(
+        events.map_batches(edges, batch_format="pyarrow"), top_k=50
+    )
+
+
+_LINK_PREDICTION_SQL = """
+WITH raw AS (
+  SELECT event_id % 600 AS a, 600 + event_id % 97 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY x),
+open_cn AS (
+  SELECT s1.y AS a, s2.y AS b, CAST(count(*) AS BIGINT) AS c
+  FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.y < s2.y
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s1.y AND e.v = s2.y)
+  GROUP BY s1.y, s2.y)
+SELECT CAST(o.a AS BIGINT) AS a, CAST(o.b AS BIGINT) AS b, o.c AS cn,
+       (1000000 * o.c) // (da.d + db.d - o.c) AS jaccard_ppm
+FROM open_cn o JOIN deg da ON da.n = o.a JOIN deg db ON db.n = o.b
+ORDER BY jaccard_ppm DESC, cn DESC, a, b
+LIMIT 50
+"""
+
+
+def q_dq_checks(sf_dir: str):
+    """Declarative data-quality expectation suite (stages/dq.py — the
+    Great-Expectations/Deequ shape re-expressed Ray-Data-first) over
+    ``orders``: NULL check, numeric range, domain membership, key
+    uniqueness, and referential integrity against a broadcast
+    ``customer`` key set (``ray.put`` once, searchsorted per batch).
+    All batch-local checks fold into count partials in ONE pruned
+    scan; uniqueness rides one hash-keyed exchange of just the key
+    column. Only kilobyte count rows ever reach the driver."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    from commons_codec_ray.stages.dq import Expectation, run_expectations
+
+    ckeys = np.sort(
+        _pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ref = _ray.put(ckeys)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+    )
+    return run_expectations(
+        orders,
+        [
+            Expectation("orderdate_not_null", "o_orderdate", "not_null"),
+            Expectation("orderkey_unique", "o_orderkey", "unique"),
+            Expectation("custkey_fk", "o_custkey", "fk", ref=ref),
+            Expectation(
+                "status_domain", "o_orderstatus", "isin", values=("O", "F")
+            ),
+            Expectation(
+                "totalprice_range", "o_totalprice", "range", lo=0.0, hi=250_000.0
+            ),
+        ],
+    )
+
+
+_DQ_CHECKS_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders),
+checks AS (
+  SELECT 'custkey_fk' AS check_name, (SELECT c FROM n) AS checked,
+         CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS violations
+  UNION ALL
+  SELECT 'orderdate_not_null', (SELECT c FROM n),
+         CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+  UNION ALL
+  SELECT 'orderkey_unique',
+         CAST((SELECT count(o_orderkey) FROM orders) AS BIGINT),
+         CAST((SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+               FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'status_domain', (SELECT c FROM n),
+         CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+  UNION ALL
+  SELECT 'totalprice_range', (SELECT c FROM n),
+         CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+               AND (o_totalprice < 0 OR o_totalprice > 250000)) AS BIGINT)
+)
+SELECT check_name, checked, violations, violations = 0 AS passed
+FROM checks ORDER BY check_name
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -10440,6 +10624,9 @@ QUERIES = {
     "ntile": q_ntile,
     "zorder": q_zorder,
     "embed_quantize": q_embed_quantize,
+    "cdc_compaction": q_cdc_compaction,
+    "link_prediction": q_link_prediction,
+    "dq_checks": q_dq_checks,
 }
 
 ORACLE_SQL = {
@@ -10637,4 +10824,7 @@ ORACLE_SQL = {
     "ntile": _NTILE_SQL,
     "zorder": _ZORDER_SQL,
     "embed_quantize": _EMBED_QUANTIZE_SQL,
+    "cdc_compaction": _CDC_REPLAY_SQL,
+    "link_prediction": _LINK_PREDICTION_SQL,
+    "dq_checks": _DQ_CHECKS_SQL,
 }

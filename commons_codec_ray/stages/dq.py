@@ -1,0 +1,195 @@
+"""Declarative data-quality expectation checks over a Dataset.
+
+Engine-added (no reference analog; the expectation-suite shape of
+Great Expectations / Deequ re-expressed Ray-Data-first): a pipeline
+declares a suite of :class:`Expectation` rows and gets back one
+result row per expectation — ``(check_name, checked, violations,
+passed)`` — without ever materializing the data.
+
+Scale shape:
+
+- **Batch-local expectations** (``not_null``, ``range``, ``isin``,
+  ``fk`` against a ``ray.put``-broadcast sorted key array) fold into
+  per-batch COUNT PARTIALS inside ONE ``map_batches`` pass — the
+  whole suite is evaluated in a single scan, and what reaches the
+  driver is ``O(batches × checks)`` kilobyte rows, never data.
+- **``unique``** is the one expectation that needs cross-batch
+  evidence, so each unique check rides ONE hash-keyed exchange of
+  just its key column (mixed-bit bucketing via
+  :func:`~commons_codec_ray.util.hash_bucket`); per bucket the
+  violation count is ``rows − distinct`` — exact, since equal keys
+  co-bucket — and again only count partials leave the workers.
+
+At 100 TB the broadcast ``fk`` side must be the SMALL side (dimension
+keys); a billion-row reference set belongs in a bucketed anti-join
+(see ``stages/joins.py``), not an expectation suite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+_RESULT_SCHEMA = pa.schema(
+    [
+        ("check_name", pa.string()),
+        ("checked", pa.int64()),
+        ("violations", pa.int64()),
+        ("passed", pa.bool_()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative check. ``kind`` ∈ {not_null, range, isin,
+    unique, fk}. ``lo``/``hi`` bound ``range`` (inclusive, either side
+    optional); ``values`` lists the ``isin`` domain; ``ref`` is a
+    ``ray.put`` ObjectRef of a SORTED numpy key array for ``fk``.
+    NULLs violate only ``not_null`` — every other kind skips them, so
+    suites compose without double-counting."""
+
+    name: str
+    column: str
+    kind: str
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = field(default=())
+    ref: object = None
+
+    def __post_init__(self):
+        if self.kind not in ("not_null", "range", "isin", "unique", "fk"):
+            raise ValueError(f"unknown expectation kind: {self.kind!r}")
+        if self.kind == "range" and self.lo is None and self.hi is None:
+            raise ValueError(f"range expectation {self.name!r} needs lo or hi")
+        if self.kind == "fk" and self.ref is None:
+            raise ValueError(f"fk expectation {self.name!r} needs a ref array")
+
+
+def _local_violations(exp: Expectation, col: pa.ChunkedArray | pa.Array) -> int:
+    if exp.kind == "not_null":
+        return int(col.null_count)
+    valid = len(col) - col.null_count
+    if valid == 0:
+        return 0
+    if exp.kind == "range":
+        x = col.to_numpy(zero_copy_only=False)
+        bad = np.zeros(len(x), dtype=bool)
+        if exp.lo is not None:
+            bad |= x < exp.lo
+        if exp.hi is not None:
+            bad |= x > exp.hi
+        # NaN comparisons are False → NULLs never violate range
+        return int(bad.sum())
+    if exp.kind == "isin":
+        hit = pc.is_in(col, value_set=pa.array(list(exp.values)))
+        ok = pc.sum(hit).as_py() or 0
+        return int(valid - ok)
+    if exp.kind == "fk":
+        refs = ray.get(exp.ref)
+        x = col.drop_null().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(refs, x)
+        idx = np.minimum(idx, len(refs) - 1) if len(refs) else idx
+        hit = refs[idx] == x if len(refs) else np.zeros(len(x), dtype=bool)
+        return int(len(x) - hit.sum())
+    raise AssertionError(exp.kind)
+
+
+def run_expectations(ds, expectations, num_buckets: int | None = None) -> pa.Table:
+    """Evaluate a suite over ``ds``; returns one row per expectation,
+    ordered by ``check_name``: ``(check_name, checked, violations,
+    passed)`` where ``checked`` is total rows scanned and ``passed``
+    is ``violations == 0``."""
+    exps = list(expectations)
+    names = [e.name for e in exps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    local = [e for e in exps if e.kind != "unique"]
+    uniques = [e for e in exps if e.kind == "unique"]
+    parts: list[pd.DataFrame] = []
+
+    if local:
+
+        def scan(t: pa.Table) -> pa.Table:
+            rows = {"check_name": [], "checked": [], "violations": []}
+            for e in local:
+                rows["check_name"].append(e.name)
+                rows["checked"].append(t.num_rows)
+                rows["violations"].append(_local_violations(e, t[e.column]))
+            return pa.table(
+                {
+                    "check_name": pa.array(rows["check_name"], pa.string()),
+                    "checked": pa.array(rows["checked"], pa.int64()),
+                    "violations": pa.array(rows["violations"], pa.int64()),
+                }
+            )
+
+        cols = sorted({e.column for e in local})
+        parts.append(
+            ds.select_columns(cols)
+            .map_batches(scan, batch_format="pyarrow")
+            .to_pandas()  # batches × checks count rows — kilobytes
+        )
+
+    nb = num_buckets or adaptive_buckets()
+    for e in uniques:
+        # NULL keys are skipped (a NULL is not a duplicate of a NULL),
+        # so ``checked`` for a unique expectation is the NON-NULL count.
+        # The hash only ROUTES — buckets count distinct ORIGINAL values,
+        # so a 64-bit collision can never surface as a false violation.
+
+        def key_rows(t: pa.Table, col=e.column) -> pa.Table:
+            c = t[col].drop_null()
+            if pa.types.is_integer(c.type):
+                h = c.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                h = pd.util.hash_array(
+                    c.to_pandas().to_numpy(dtype=object)
+                ).astype(np.int64)
+            return pa.table({"_b": hash_bucket(h, nb), "k": c})
+
+        def bucket_part(df: pd.DataFrame, name=e.name) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "check_name": [name],
+                    "checked": [len(df)],
+                    "violations": [len(df) - df["k"].nunique()],
+                }
+            )
+
+        parts.append(
+            ds.select_columns([e.column])
+            .map_batches(key_rows, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(bucket_part, batch_format="pandas")
+            .to_pandas()  # one count row per bucket
+        )
+
+    if parts:
+        folded = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("check_name", as_index=False)
+            .sum()
+            .sort_values("check_name", kind="mergesort")
+        )
+    else:
+        folded = pd.DataFrame({"check_name": [], "checked": [], "violations": []})
+    return pa.table(
+        {
+            "check_name": pa.array(folded["check_name"].astype(str), pa.string()),
+            "checked": pa.array(folded["checked"].astype(np.int64), pa.int64()),
+            "violations": pa.array(
+                folded["violations"].astype(np.int64), pa.int64()
+            ),
+            "passed": pa.array(
+                (folded["violations"].to_numpy() == 0).astype(bool)
+            ),
+        }
+    )

@@ -1590,3 +1590,142 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
             "cc_ppm": pa.array(cc.astype(np.int64), pa.int64()),
         }
     )
+
+
+def link_prediction(edges_ds, src: str = "src", dst: str = "dst",
+                    top_k: int = 50, num_buckets: int | None = None):
+    """Top-k link prediction by common-neighbor count + exact Jaccard
+    (engine-added; the classic neighborhood-overlap predictors of
+    Liben-Nowell & Kleinberg 2003) — all-integer, so bit-identical at
+    any cluster size and SQL-replayable:
+
+    1. canonicalize + dedupe edges in PAIR-keyed buckets (one exchange,
+       shared ``_canon_pair_edges``);
+    2. degrees via per-batch partials, broadcast once with ``ray.put``
+       (nodes ≪ edges — same regime note as ``triangle_count``);
+    3. wedge generation over the SYMMETRIC adjacency (center = every
+       node, pairs of its neighbors): each common neighbor c of (a, b)
+       contributes exactly one wedge centered at c, so the per-pair
+       wedge count IS CN(a, b).  Unlike triangle counting, orientation
+       must NOT be applied here — an oriented wedge set would undercount
+       CN.  Cost is O(Σ deg²) wedges, inherent to exact all-pairs CN;
+       at hub-heavy scale callers cap candidate degree upstream.
+    4. wedges meet the edge set in PAIR-keyed buckets; pairs that ARE
+       edges are dropped (we predict absent links), survivors get
+       ``cn`` and ``jaccard_ppm = (10^6·cn) // (deg(a)+deg(b)-cn)``;
+    5. per-bucket top-k, then one driver-side merge of ``buckets × k``
+       kilobyte partials — exact, since every global winner is in its
+       bucket's top-k.
+
+    Returns ``(a, b, cn, jaccard_ppm)``, ordered by
+    (jaccard_ppm DESC, cn DESC, a, b), at most ``top_k`` rows.
+    """
+    from commons_codec_ray.util import adaptive_buckets, hash_bucket
+
+    nb = num_buckets or adaptive_buckets()
+
+    edges = _canon_pair_edges(edges_ds, src, dst, nb, "link_prediction")
+
+    degp = edges.map_batches(_pair_deg_partial, batch_format="pyarrow").to_pandas()
+    deg = degp.groupby("n")["c"].sum()
+    dref = ray.put((deg.index.to_numpy(np.int64), deg.to_numpy(np.int64)))
+
+    def sym_rows(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        x = np.concatenate([u, v])  # center
+        y = np.concatenate([v, u])  # neighbor
+        return pa.table(
+            {
+                "_sb": hash_bucket(x, nb),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["x", "y"], kind="mergesort")
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        lefts, rights = _wedge_index_pairs(x)
+        if not len(lefts):
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        # y is sorted within each x-run, so y[lefts] < y[rights] always
+        return pd.DataFrame({"a": y[lefts], "b": y[rights]})
+
+    def wedge_rows(df: pd.DataFrame) -> pa.Table:
+        pack = (df["a"].to_numpy(np.int64) << 32) | df["b"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "p": pa.array(pack, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(df), dtype=bool)),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        pack = (
+            t["u"].to_numpy(zero_copy_only=False) << 32
+        ) | t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_pb": hash_bucket(pack, nb),
+                "p": pa.array(pack, pa.int64()),
+                "is_edge": pa.array(np.ones(len(pack), dtype=bool)),
+            }
+        )
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": [], "b": [], "cn": [], "jaccard_ppm": []}
+        ).astype("int64")
+        closed = df.loc[df["is_edge"], "p"]
+        w = df.loc[~df["is_edge"], "p"]
+        w = w[~w.isin(closed)]  # predict ABSENT links only
+        if not len(w):
+            return empty
+        packs, cn = np.unique(w.to_numpy(np.int64), return_counts=True)
+        a = packs >> 32
+        b = packs & 0x7FFFFFFF
+        nodes_s, degs = ray.get(dref)
+        da = degs[np.searchsorted(nodes_s, a)]
+        db = degs[np.searchsorted(nodes_s, b)]
+        cn = cn.astype(np.int64)
+        jac = (1_000_000 * cn) // (da + db - cn)
+        out = pd.DataFrame({"a": a, "b": b, "cn": cn, "jaccard_ppm": jac})
+        return out.sort_values(
+            ["jaccard_ppm", "cn", "a", "b"],
+            ascending=[False, False, True, True],
+            kind="mergesort",
+        ).head(top_k)
+
+    tops = (
+        edges.map_batches(sym_rows, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(wedge_rows, batch_format="pandas")
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+        .groupby("_pb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .to_pandas()  # buckets × top_k rows — kilobytes
+    )
+    if not len(tops):  # zero-row to_pandas drops columns — guard the sort
+        empty = pa.array([], pa.int64())
+        return pa.table(
+            {"a": empty, "b": empty, "cn": empty, "jaccard_ppm": empty}
+        )
+    best = tops.sort_values(
+        ["jaccard_ppm", "cn", "a", "b"],
+        ascending=[False, False, True, True],
+        kind="mergesort",
+    ).head(top_k)
+    return pa.table(
+        {
+            "a": pa.array(best["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(best["b"].to_numpy(np.int64), pa.int64()),
+            "cn": pa.array(best["cn"].to_numpy(np.int64), pa.int64()),
+            "jaccard_ppm": pa.array(
+                best["jaccard_ppm"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )

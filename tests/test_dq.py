@@ -1,0 +1,96 @@
+"""Declarative data-quality expectation checks (stages/dq.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from commons_codec_ray.stages.dq import Expectation, run_expectations
+
+
+def _ds():
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 3, 4, 5, 5, 5, 6, 7], pa.int64()),
+            "val": pa.array(
+                [10.0, -1.0, 25.0, None, 120.0, 50.0, 0.0, 99.0, None, 30.0]
+            ),
+            "status": pa.array(
+                ["O", "F", "P", "O", None, "F", "X", "O", "F", "O"]
+            ),
+            "name": pa.array(
+                ["a", "b", "a", None, "c", "d", "d", "e", "f", "g"]
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_suite_counts(ray_session):
+    fk_ref = ray.put(np.array([1, 2, 3, 4, 5], dtype=np.int64))
+    got = run_expectations(
+        _ds(),
+        [
+            Expectation("val_not_null", "val", "not_null"),
+            Expectation("val_range", "val", "range", lo=0.0, hi=100.0),
+            Expectation("status_domain", "status", "isin", values=("O", "F", "P")),
+            Expectation("id_unique", "id", "unique"),
+            Expectation("name_unique", "name", "unique"),
+            Expectation("id_fk", "id", "fk", ref=fk_ref),
+        ],
+        num_buckets=4,
+    ).to_pandas().set_index("check_name")
+
+    # 2 NULL vals
+    assert got.loc["val_not_null"].tolist() == [10, 2, False]
+    # -1.0 and 120.0 out of [0, 100]; NULLs skipped
+    assert got.loc["val_range"].tolist() == [10, 2, False]
+    # one 'X'; NULL skipped
+    assert got.loc["status_domain"].tolist() == [10, 1, False]
+    # ids: 3 twice (+1), 5 thrice (+2) → 3 dup rows over 10 non-null
+    assert got.loc["id_unique"].tolist() == [10, 3, False]
+    # names (9 non-null): 'a' twice, 'd' twice → 2 dup rows
+    assert got.loc["name_unique"].tolist() == [9, 2, False]
+    # ids 6, 7 (three rows: 6 once, 7 once) outside ref {1..5}
+    assert got.loc["id_fk"].tolist() == [10, 2, False]
+
+
+def test_passed_flag_and_order(ray_session):
+    got = run_expectations(
+        _ds(),
+        [
+            Expectation("z_id_not_null", "id", "not_null"),
+            Expectation("a_val_hi_only", "val", "range", hi=1000.0),
+        ],
+    ).to_pandas()
+    assert got["check_name"].tolist() == ["a_val_hi_only", "z_id_not_null"]
+    assert got["passed"].tolist() == [True, True]
+    assert got["violations"].tolist() == [0, 0]
+
+
+def test_bucket_count_invariance(ray_session):
+    suite = [
+        Expectation("id_unique", "id", "unique"),
+        Expectation("name_unique", "name", "unique"),
+    ]
+    a = run_expectations(_ds(), suite, num_buckets=2).to_pandas()
+    b = run_expectations(_ds(), suite, num_buckets=64).to_pandas()
+    assert a.equals(b)
+
+
+def test_declaration_errors(ray_session):
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        Expectation("x", "id", "regex")
+    with pytest.raises(ValueError, match="needs lo or hi"):
+        Expectation("x", "id", "range")
+    with pytest.raises(ValueError, match="needs a ref"):
+        Expectation("x", "id", "fk")
+    with pytest.raises(ValueError, match="duplicate expectation names"):
+        run_expectations(
+            _ds(),
+            [
+                Expectation("x", "id", "not_null"),
+                Expectation("x", "val", "not_null"),
+            ],
+        )

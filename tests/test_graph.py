@@ -506,3 +506,58 @@ FROM sym s JOIN deg du ON du.n = s.u JOIN deg dv ON dv.n = s.v
 """
     ).fetchone()[0]
     assert abs(r - (-1.0)) < 1e-9
+
+
+def test_link_prediction_vs_bruteforce(ray_session):
+    from commons_codec_ray.stages.graph import link_prediction
+
+    rng = np.random.RandomState(29)
+    a = rng.randint(0, 30, 400).astype("int64")
+    b = rng.randint(0, 30, 400).astype("int64")
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a), "dst": pa.array(b)})
+    ).repartition(5)
+    got = link_prediction(ds, top_k=25).to_pandas()
+
+    eset = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj: dict = {}
+    for u, v in eset:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = []
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in eset:
+                continue
+            cn = len(adj[x] & adj[y])
+            if cn == 0:
+                continue
+            jac = (1_000_000 * cn) // (len(adj[x]) + len(adj[y]) - cn)
+            want.append((jac, cn, x, y))
+    want.sort(key=lambda r: (-r[0], -r[1], r[2], r[3]))
+    want = want[:25]
+    assert len(got) == len(want)
+    for (jac, cn, x, y), (_, r) in zip(want, got.iterrows()):
+        assert (int(r["a"]), int(r["b"]), int(r["cn"]),
+                int(r["jaccard_ppm"])) == (x, y, cn, jac)
+
+
+def test_link_prediction_bucket_invariance_and_edges(ray_session):
+    from commons_codec_ray.stages.graph import link_prediction
+
+    # path 1-2-3-4 plus dup/self-loop noise: open pairs (1,3), (2,4)
+    ds = _edges([(1, 2), (2, 3), (3, 4), (2, 1), (3, 3), (2, 3)])
+    got = link_prediction(ds, top_k=10).to_pandas()
+    rows = {(int(r.a), int(r.b)): (int(r.cn), int(r.jaccard_ppm))
+            for r in got.itertuples()}
+    # CN(1,3) = {2}; deg(1)=1, deg(3)=2 → jac = 1e6 // 2
+    # CN(2,4) = {3}; deg(2)=2, deg(4)=1 → jac = 1e6 // 2
+    assert rows == {(1, 3): (1, 500_000), (2, 4): (1, 500_000)}
+    samebuckets = link_prediction(ds, top_k=10, num_buckets=256).to_pandas()
+    assert got.equals(samebuckets)
+
+    # a single edge has no open wedge pairs → empty with full schema
+    empty = link_prediction(_edges([(1, 2)]), top_k=5)
+    assert empty.num_rows == 0
+    assert empty.column_names == ["a", "b", "cn", "jaccard_ppm"]
