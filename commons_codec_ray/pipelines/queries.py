@@ -10350,6 +10350,53 @@ LIMIT 50
 """
 
 
+def q_link_prediction_ra(sf_dir: str):
+    """Same top-50 link prediction through the RESOURCE-ALLOCATION
+    index (Zhou, Lü & Zhang 2009): each common neighbor c contributes
+    the exact integer ``RA_SCALE // deg(c)`` — the hub-discounting
+    predictor — attached to the wedge at generation time and summed
+    per candidate pair (int64-exact, order-independent, so the SQL
+    sum-aggregate oracle replays the ranking bit-for-bit). Same
+    bipartite co-engagement graph and bucketed machinery as
+    q_link_prediction."""
+    from commons_codec_ray.stages.graph import link_prediction
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 600
+        b = 600 + eid % 97
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return link_prediction(
+        events.map_batches(edges, batch_format="pyarrow"),
+        top_k=50,
+        score="resource_allocation",
+    )
+
+
+_LINK_PREDICTION_RA_SQL = """
+WITH raw AS (
+  SELECT event_id % 600 AS a, 600 + event_id % 97 AS b
+  FROM events),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY x),
+open_ra AS (
+  SELECT s1.y AS a, s2.y AS b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(1000000000 // dc.d) AS BIGINT) AS r
+  FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.y < s2.y
+  JOIN deg dc ON dc.n = s1.x
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s1.y AND e.v = s2.y)
+  GROUP BY s1.y, s2.y)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, c AS cn, r AS ra
+FROM open_ra
+ORDER BY ra DESC, cn DESC, a, b
+LIMIT 50
+"""
+
+
 def q_dq_checks(sf_dir: str):
     """Declarative data-quality expectation suite (stages/dq.py — the
     Great-Expectations/Deequ shape re-expressed Ray-Data-first) over
@@ -10626,6 +10673,7 @@ QUERIES = {
     "embed_quantize": q_embed_quantize,
     "cdc_compaction": q_cdc_compaction,
     "link_prediction": q_link_prediction,
+    "link_prediction_ra": q_link_prediction_ra,
     "dq_checks": q_dq_checks,
 }
 
@@ -10826,5 +10874,6 @@ ORACLE_SQL = {
     "embed_quantize": _EMBED_QUANTIZE_SQL,
     "cdc_compaction": _CDC_REPLAY_SQL,
     "link_prediction": _LINK_PREDICTION_SQL,
+    "link_prediction_ra": _LINK_PREDICTION_RA_SQL,
     "dq_checks": _DQ_CHECKS_SQL,
 }

@@ -1592,12 +1592,17 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
     )
 
 
+RA_SCALE = 1_000_000_000  # fixed-point scale for resource-allocation scores
+
+
 def link_prediction(edges_ds, src: str = "src", dst: str = "dst",
-                    top_k: int = 50, num_buckets: int | None = None):
-    """Top-k link prediction by common-neighbor count + exact Jaccard
-    (engine-added; the classic neighborhood-overlap predictors of
-    Liben-Nowell & Kleinberg 2003) — all-integer, so bit-identical at
-    any cluster size and SQL-replayable:
+                    top_k: int = 50, num_buckets: int | None = None,
+                    score: str = "jaccard"):
+    """Top-k link prediction by common-neighbor count + an exact
+    integer overlap score (engine-added; the classic
+    neighborhood-overlap predictors of Liben-Nowell & Kleinberg 2003)
+    — all-integer, so bit-identical at any cluster size and
+    SQL-replayable:
 
     1. canonicalize + dedupe edges in PAIR-keyed buckets (one exchange,
        shared ``_canon_pair_edges``);
@@ -1612,16 +1617,31 @@ def link_prediction(edges_ds, src: str = "src", dst: str = "dst",
        at hub-heavy scale callers cap candidate degree upstream.
     4. wedges meet the edge set in PAIR-keyed buckets; pairs that ARE
        edges are dropped (we predict absent links), survivors get
-       ``cn`` and ``jaccard_ppm = (10^6·cn) // (deg(a)+deg(b)-cn)``;
+       ``cn`` and the requested score;
     5. per-bucket top-k, then one driver-side merge of ``buckets × k``
        kilobyte partials — exact, since every global winner is in its
        bucket's top-k.
 
-    Returns ``(a, b, cn, jaccard_ppm)``, ordered by
-    (jaccard_ppm DESC, cn DESC, a, b), at most ``top_k`` rows.
+    ``score="jaccard"`` (default) ranks by
+    ``jaccard_ppm = (10^6·cn) // (deg(a)+deg(b)-cn)``.
+    ``score="resource_allocation"`` ranks by the RA index of Zhou, Lü
+    & Zhang 2009 — each common neighbor c contributes ``1/deg(c)``,
+    here the exact integer ``RA_SCALE // deg(c)`` attached to the
+    wedge AT GENERATION (the center is gone after packing), summed
+    per pair — the hub-discounting predictor that beats plain CN on
+    skewed graphs.
+
+    Returns ``(a, b, cn, <score_col>)`` where ``<score_col>`` is
+    ``jaccard_ppm`` or ``ra``, ordered by (score DESC, cn DESC, a, b),
+    at most ``top_k`` rows.
     """
     from commons_codec_ray.util import adaptive_buckets, hash_bucket
 
+    if score not in ("jaccard", "resource_allocation"):
+        raise ValueError(f"unknown link-prediction score: {score!r}")
+    scol = "jaccard_ppm" if score == "jaccard" else "ra"
+    order = [scol, "cn", "a", "b"]
+    asc = [False, False, True, True]
     nb = num_buckets or adaptive_buckets()
 
     edges = _canon_pair_edges(edges_ds, src, dst, nb, "link_prediction")
@@ -1643,61 +1663,81 @@ def link_prediction(edges_ds, src: str = "src", dst: str = "dst",
             }
         )
 
+    ra_mode = score == "resource_allocation"
+
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values(["x", "y"], kind="mergesort")
         x = g["x"].to_numpy()
         y = g["y"].to_numpy()
         lefts, rights = _wedge_index_pairs(x)
         if not len(lefts):
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+            cols = {"a": [], "b": []} | ({"w": []} if ra_mode else {})
+            return pd.DataFrame(cols).astype("int64")
         # y is sorted within each x-run, so y[lefts] < y[rights] always
-        return pd.DataFrame({"a": y[lefts], "b": y[rights]})
+        out = pd.DataFrame({"a": y[lefts], "b": y[rights]})
+        if ra_mode:
+            # RA weight rides the wedge: the center is gone after packing
+            nodes_s, degs = ray.get(dref)
+            cw = RA_SCALE // degs[np.searchsorted(nodes_s, x)]
+            out["w"] = cw[lefts]
+        return out
 
     def wedge_rows(df: pd.DataFrame) -> pa.Table:
         pack = (df["a"].to_numpy(np.int64) << 32) | df["b"].to_numpy(np.int64)
-        return pa.table(
-            {
-                "_pb": hash_bucket(pack, nb),
-                "p": pa.array(pack, pa.int64()),
-                "is_edge": pa.array(np.zeros(len(df), dtype=bool)),
-            }
-        )
+        cols = {
+            "_pb": hash_bucket(pack, nb),
+            "p": pa.array(pack, pa.int64()),
+            "is_edge": pa.array(np.zeros(len(df), dtype=bool)),
+        }
+        if ra_mode:
+            cols["w"] = pa.array(df["w"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
 
     def edge_rows(t: pa.Table) -> pa.Table:
         pack = (
             t["u"].to_numpy(zero_copy_only=False) << 32
         ) | t["v"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "_pb": hash_bucket(pack, nb),
-                "p": pa.array(pack, pa.int64()),
-                "is_edge": pa.array(np.ones(len(pack), dtype=bool)),
-            }
-        )
+        cols = {
+            "_pb": hash_bucket(pack, nb),
+            "p": pa.array(pack, pa.int64()),
+            "is_edge": pa.array(np.ones(len(pack), dtype=bool)),
+        }
+        if ra_mode:
+            cols["w"] = pa.array(np.zeros(len(pack), np.int64), pa.int64())
+        return pa.table(cols)
 
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"a": [], "b": [], "cn": [], "jaccard_ppm": []}
+            {"a": [], "b": [], "cn": [], scol: []}
         ).astype("int64")
         closed = df.loc[df["is_edge"], "p"]
-        w = df.loc[~df["is_edge"], "p"]
-        w = w[~w.isin(closed)]  # predict ABSENT links only
-        if not len(w):
+        open_w = df.loc[~df["is_edge"]]
+        open_w = open_w[~open_w["p"].isin(closed)]  # ABSENT links only
+        if not len(open_w):
             return empty
-        packs, cn = np.unique(w.to_numpy(np.int64), return_counts=True)
-        a = packs >> 32
-        b = packs & 0x7FFFFFFF
-        nodes_s, degs = ray.get(dref)
-        da = degs[np.searchsorted(nodes_s, a)]
-        db = degs[np.searchsorted(nodes_s, b)]
-        cn = cn.astype(np.int64)
-        jac = (1_000_000 * cn) // (da + db - cn)
-        out = pd.DataFrame({"a": a, "b": b, "cn": cn, "jaccard_ppm": jac})
-        return out.sort_values(
-            ["jaccard_ppm", "cn", "a", "b"],
-            ascending=[False, False, True, True],
-            kind="mergesort",
-        ).head(top_k)
+        if ra_mode:
+            g = open_w.groupby("p", as_index=False).agg(
+                cn=("w", "size"), ra=("w", "sum")  # int64-exact sums
+            )
+            packs = g["p"].to_numpy(np.int64)
+            cn = g["cn"].to_numpy(np.int64)
+            sc = g["ra"].to_numpy(np.int64)
+            a = packs >> 32
+            b = packs & 0x7FFFFFFF
+        else:
+            packs, cn = np.unique(open_w["p"].to_numpy(np.int64),
+                                  return_counts=True)
+            a = packs >> 32
+            b = packs & 0x7FFFFFFF
+            nodes_s, degs = ray.get(dref)
+            da = degs[np.searchsorted(nodes_s, a)]
+            db = degs[np.searchsorted(nodes_s, b)]
+            cn = cn.astype(np.int64)
+            sc = (1_000_000 * cn) // (da + db - cn)
+        out = pd.DataFrame({"a": a, "b": b, "cn": cn, scol: sc})
+        return out.sort_values(order, ascending=asc, kind="mergesort").head(
+            top_k
+        )
 
     tops = (
         edges.map_batches(sym_rows, batch_format="pyarrow")
@@ -1711,21 +1751,13 @@ def link_prediction(edges_ds, src: str = "src", dst: str = "dst",
     )
     if not len(tops):  # zero-row to_pandas drops columns — guard the sort
         empty = pa.array([], pa.int64())
-        return pa.table(
-            {"a": empty, "b": empty, "cn": empty, "jaccard_ppm": empty}
-        )
-    best = tops.sort_values(
-        ["jaccard_ppm", "cn", "a", "b"],
-        ascending=[False, False, True, True],
-        kind="mergesort",
-    ).head(top_k)
+        return pa.table({"a": empty, "b": empty, "cn": empty, scol: empty})
+    best = tops.sort_values(order, ascending=asc, kind="mergesort").head(top_k)
     return pa.table(
         {
             "a": pa.array(best["a"].to_numpy(np.int64), pa.int64()),
             "b": pa.array(best["b"].to_numpy(np.int64), pa.int64()),
             "cn": pa.array(best["cn"].to_numpy(np.int64), pa.int64()),
-            "jaccard_ppm": pa.array(
-                best["jaccard_ppm"].to_numpy(np.int64), pa.int64()
-            ),
+            scol: pa.array(best[scol].to_numpy(np.int64), pa.int64()),
         }
     )

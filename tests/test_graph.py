@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from commons_codec_ray.stages.graph import SCALE, pagerank
@@ -561,3 +562,42 @@ def test_link_prediction_bucket_invariance_and_edges(ray_session):
     empty = link_prediction(_edges([(1, 2)]), top_k=5)
     assert empty.num_rows == 0
     assert empty.column_names == ["a", "b", "cn", "jaccard_ppm"]
+
+
+def test_link_prediction_resource_allocation_vs_bruteforce(ray_session):
+    from commons_codec_ray.stages.graph import RA_SCALE, link_prediction
+
+    rng = np.random.RandomState(31)
+    a = rng.randint(0, 30, 400).astype("int64")
+    b = rng.randint(0, 30, 400).astype("int64")
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a), "dst": pa.array(b)})
+    ).repartition(5)
+    got = link_prediction(ds, top_k=25, score="resource_allocation").to_pandas()
+    assert got.columns.tolist() == ["a", "b", "cn", "ra"]
+
+    eset = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj: dict = {}
+    for u, v in eset:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = []
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in eset:
+                continue
+            common = adj[x] & adj[y]
+            if not common:
+                continue
+            ra = sum(RA_SCALE // len(adj[c]) for c in common)
+            want.append((ra, len(common), x, y))
+    want.sort(key=lambda r: (-r[0], -r[1], r[2], r[3]))
+    want = want[:25]
+    assert len(got) == len(want)
+    for (ra, cn, x, y), (_, r) in zip(want, got.iterrows()):
+        assert (int(r["a"]), int(r["b"]), int(r["cn"]), int(r["ra"])) == (
+            x, y, cn, ra,
+        )
+    with pytest.raises(ValueError, match="unknown link-prediction score"):
+        link_prediction(ds, score="adamic_adar")
