@@ -1069,10 +1069,14 @@ class CDCPipeline:
                 deltas = [pq.read_table(Path(root) / d) for d in row["deltas"]]
                 out = merge_base_with_deltas(base, deltas, extra)
                 pid = int(str(row["key"]).split("#", 1)[1])
-                path = (
+                # same layout as the applier's epoch writes
+                # (epochs/epoch-N/<table>/part-XXXX.parquet)
+                edir = (
                     Path(root) / "epochs" / f"epoch-{epoch:08d}"
-                    / f"part-{pid:04d}.parquet"
+                    / safe_table_dir(table)
                 )
+                edir.mkdir(parents=True, exist_ok=True)
+                path = edir / f"part-{pid:04d}.parquet"
                 tmp = path.with_suffix(f".tmp-{os.getpid()}")
                 pq.write_table(out, tmp)
                 os.replace(tmp, path)  # a retried task rewrites identical bytes
@@ -1108,13 +1112,28 @@ class CDCPipeline:
         }
         # zero-width offset range: the tail position never regresses and
         # no source offsets are (re)claimed by a maintenance epoch
-        self.store.commit_epoch(
+        final = self.store.commit_epoch(
             epoch,
             lineage,
             (ckpt.next_offset, ckpt.next_offset),
             ckpt.registry_json,
             metrics,
         )
+        took = final.last_epoch == epoch and all(
+            final.partitions.get(f"{r['table']}#{r['partition_id']}")
+            == r["path"]
+            for r in lineage
+        )
+        if not took:
+            # a concurrent writer won epoch N: commit_epoch's idempotence
+            # guard dropped our commit — the delta lake is untouched and
+            # our staged files are vacuum-reclaimable orphans, but the
+            # caller must NOT believe the maintenance took effect
+            raise RuntimeError(
+                f"compaction lost epoch {epoch} to a concurrent commit "
+                f"(checkpoint now at epoch {final.last_epoch}); lake "
+                "unchanged — retry compact() from the new checkpoint"
+            )
         return {"epoch": epoch, "skipped": False, **metrics}
 
     def metrics(self) -> dict[str, Any]:

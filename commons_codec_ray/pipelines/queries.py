@@ -8606,10 +8606,14 @@ def q_cdc_alerts(sf_dir: str):
         _shutil.rmtree(lake, ignore_errors=True)
 
 
-def _q_replay_via_pipeline(sf_dir: str, **cfg_kwargs):
+def _q_replay_via_pipeline(sf_dir: str, *, mode: str = "groupby",
+                           post_replay=None, epoch_floor: int = 4000,
+                           **cfg_kwargs):
     """Shared harness: full multi-epoch replay into a temp lake through
     CDCPipeline with the given config, returning the final lake state —
-    the same _CDC_REPLAY_SQL oracle must hold for EVERY apply/sink mode."""
+    the same _CDC_REPLAY_SQL oracle must hold for EVERY apply/sink mode.
+    ``post_replay(pipe)`` runs between replay and readback (maintenance
+    gates like q_cdc_compaction hook in here)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -8617,7 +8621,6 @@ def _q_replay_via_pipeline(sf_dir: str, **cfg_kwargs):
 
     from commons_codec_ray.pipelines.cdc import CDCPipeline
 
-    mode = cfg_kwargs.pop("mode", "groupby")
     events = _pq.read_table(f"{sf_dir}/events.parquet")
     env = EventsToEnvelopes(duplicates=True)(events).sort_by("lsn")
     work = _tempfile.mkdtemp(prefix="ccr_replaymode_")
@@ -8628,12 +8631,14 @@ def _q_replay_via_pipeline(sf_dir: str, **cfg_kwargs):
         # exercises; a FIXED size would mean 500 epoch commits at sf1.0
         # — per-epoch fixed costs, not the engine, would dominate).
         # Results are byte-identical at any epoch size by construction.
-        epoch = max(4000, env.num_rows // 5 + 1)
+        epoch = max(epoch_floor, env.num_rows // 5 + 1)
         pipe = CDCPipeline(
             f"{work}/lake",
             PipelineConfig(num_partitions=16, epoch_size=epoch, **cfg_kwargs),
         )
         pipe.replay(log, epoch_size=epoch, mode=mode)
+        if post_replay is not None:
+            post_replay(pipe)
         out = pa.Table.from_pandas(
             pipe.read_lake().to_pandas(), preserve_index=False
         )
@@ -10258,34 +10263,9 @@ def q_cdc_compaction(sf_dir: str):
     byte-equal to the merge-on-read view — same oracle as cdc_replay;
     the query itself asserts the maintenance actually folded chains so
     a silent no-op cannot pass."""
-    import shutil as _shutil
-    import tempfile as _tempfile
-
-    import pyarrow.parquet as _pq
-
-    from commons_codec_ray.pipelines.cdc import CDCPipeline
     from commons_codec_ray.sink.manifest import entry_files
 
-    events = _pq.read_table(f"{sf_dir}/events.parquet")
-    env = EventsToEnvelopes(duplicates=True)(events).sort_by("lsn")
-    work = _tempfile.mkdtemp(prefix="ccr_compact_")
-    try:
-        log = f"{work}/envelopes.parquet"
-        _pq.write_table(env, log, row_group_size=512)
-        # ~5 epochs at EVERY sf (the delta sink writes the first file per
-        # partition as a full base, so chains need epochs 2+ to exist)
-        epoch = max(200, env.num_rows // 5 + 1)
-        pipe = CDCPipeline(
-            f"{work}/lake",
-            PipelineConfig(
-                num_partitions=16,
-                epoch_size=epoch,
-                sink_mode="delta",
-                compact_ratio=1e9,
-                compact_max_deltas=10**6,
-            ),
-        )
-        pipe.replay(log, epoch_size=epoch)
+    def compact_and_assert(pipe):
         before = pipe.checkpoint()
         res = pipe.compact()
         after = pipe.checkpoint()
@@ -10295,39 +10275,50 @@ def q_cdc_compaction(sf_dir: str):
             raise AssertionError("maintenance epoch moved the resume cursor")
         if any(entry_files(e)[1] for e in after.partitions.values()):
             raise AssertionError("delta chains survived compaction")
-        out = pa.Table.from_pandas(
-            pipe.read_lake().to_pandas(), preserve_index=False
+
+    return _q_replay_via_pipeline(
+        sf_dir,
+        post_replay=compact_and_assert,
+        # the delta sink writes the first file per partition as a full
+        # base, so chains need epochs 2+ to exist at EVERY sf
+        epoch_floor=200,
+        sink_mode="delta",
+        # inline auto-compaction disabled: offline compact() needs chains
+        compact_ratio=1e9,
+        compact_max_deltas=10**6,
+    )
+
+
+def _bipartite_edges(sf_dir: str):
+    """Deterministic bipartite co-engagement graph shared by BOTH
+    link-prediction queries and encoded identically in both SQL
+    oracles (users 0..599 ↔ hubs 600..696; the q_triangles permutation
+    graph has no wedges at all, so a co-engagement shape is used):
+    ``src = eid % 600``, ``dst = 600 + eid % 97``."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(eid % 600), "dst": pa.array(600 + eid % 97)}
         )
-        return out.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
-    finally:
-        _shutil.rmtree(work, ignore_errors=True)
+
+    return events.map_batches(edges, batch_format="pyarrow")
 
 
 def q_link_prediction(sf_dir: str):
     """Top-50 link prediction by common-neighbor count + exact integer
     Jaccard (stages/graph.py:link_prediction — the neighborhood-overlap
-    predictors of Liben-Nowell & Kleinberg 2003) over a deterministic
-    event-derived BIPARTITE graph (users 0..599 ↔ hubs 600..696 — the
-    q_triangles permutation graph has no wedges at all, so a
-    co-engagement shape is used here). Symmetric-adjacency wedges
-    (center-bucketed, one exchange) meet the edge set in PAIR-keyed
-    buckets; pairs that are already edges are dropped (we predict
-    ABSENT links); per-bucket top-k then one kilobyte driver merge.
-    All-integer scores under a total order ⇒ the SQL self-join oracle
-    replays the ranking bit-for-bit."""
+    predictors of Liben-Nowell & Kleinberg 2003) over the shared
+    deterministic bipartite graph (``_bipartite_edges``).
+    Symmetric-adjacency wedges (center-bucketed, one exchange) meet the
+    edge set in PAIR-keyed buckets; pairs that are already edges are
+    dropped (we predict ABSENT links); per-bucket top-k then one
+    kilobyte driver merge. All-integer scores under a total order ⇒
+    the SQL self-join oracle replays the ranking bit-for-bit."""
     from commons_codec_ray.stages.graph import link_prediction
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-
-    def edges(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = eid % 600
-        b = 600 + eid % 97
-        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
-
-    return link_prediction(
-        events.map_batches(edges, batch_format="pyarrow"), top_k=50
-    )
+    return link_prediction(_bipartite_edges(sf_dir), top_k=50)
 
 
 _LINK_PREDICTION_SQL = """
@@ -10357,22 +10348,12 @@ def q_link_prediction_ra(sf_dir: str):
     predictor — attached to the wedge at generation time and summed
     per candidate pair (int64-exact, order-independent, so the SQL
     sum-aggregate oracle replays the ranking bit-for-bit). Same
-    bipartite co-engagement graph and bucketed machinery as
+    bipartite graph (``_bipartite_edges``) and bucketed machinery as
     q_link_prediction."""
     from commons_codec_ray.stages.graph import link_prediction
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-
-    def edges(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = eid % 600
-        b = 600 + eid % 97
-        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
-
     return link_prediction(
-        events.map_batches(edges, batch_format="pyarrow"),
-        top_k=50,
-        score="resource_allocation",
+        _bipartite_edges(sf_dir), top_k=50, score="resource_allocation"
     )
 
 

@@ -172,15 +172,25 @@ def run_expectations(ds, expectations, num_buckets: int | None = None) -> pa.Tab
             .to_pandas()  # one count row per bucket
         )
 
+    # normalize partials (a zero-row to_pandas may drop columns entirely —
+    # e.g. a unique check over an all-NULL or empty key column) and fold;
+    # reindex over EVERY declared expectation so the one-row-per-check
+    # contract holds even when a check saw no rows (checked=0, passed).
+    cols = ["check_name", "checked", "violations"]
+    parts = [p for p in parts if len(p) and set(cols) <= set(p.columns)]
     if parts:
         folded = (
-            pd.concat(parts, ignore_index=True)
+            pd.concat([p[cols] for p in parts], ignore_index=True)
             .groupby("check_name", as_index=False)
             .sum()
-            .sort_values("check_name", kind="mergesort")
         )
     else:
         folded = pd.DataFrame({"check_name": [], "checked": [], "violations": []})
+    folded = (
+        folded.set_index("check_name")
+        .reindex(sorted(names), fill_value=0)
+        .reset_index()
+    )
     return pa.table(
         {
             "check_name": pa.array(folded["check_name"].astype(str), pa.string()),

@@ -94,3 +94,30 @@ def test_declaration_errors(ray_session):
                 Expectation("x", "val", "not_null"),
             ],
         )
+
+
+def test_unique_over_all_null_and_empty_inputs(ray_session):
+    """The one-row-per-expectation contract holds even when a unique
+    check's key column yields zero non-null rows (no groups at all)."""
+    t = pa.table(
+        {
+            "k": pa.array([None, None, None], pa.int64()),
+            "v": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    got = run_expectations(
+        rd.from_arrow(t),
+        [
+            Expectation("k_unique", "k", "unique"),
+            Expectation("v_not_null", "v", "not_null"),
+        ],
+    ).to_pandas().set_index("check_name")
+    assert got.loc["k_unique"].tolist() == [0, 0, True]
+    assert got.loc["v_not_null"].tolist() == [3, 0, True]
+
+    # suite of ONLY unique checks over an all-NULL key: still one row
+    only = run_expectations(
+        rd.from_arrow(t), [Expectation("k_unique", "k", "unique")]
+    ).to_pandas()
+    assert only["check_name"].tolist() == ["k_unique"]
+    assert only["passed"].tolist() == [True]
