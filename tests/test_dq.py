@@ -1,6 +1,7 @@
 """Declarative data-quality expectation checks (stages/dq.py)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
@@ -121,3 +122,33 @@ def test_unique_over_all_null_and_empty_inputs(ray_session):
     ).to_pandas()
     assert only["check_name"].tolist() == ["k_unique"]
     assert only["passed"].tolist() == [True]
+
+
+def test_profile_columns(ray_session):
+    from commons_codec_ray.stages.dq import profile_columns
+
+    t = pa.table(
+        {
+            "i": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "f": pa.array([1.5, None, -2.0, 3.25, 1.5]),
+            "s": pa.array(["a", "b", "a", None, "c"]),
+            "e": pa.array([None] * 5, pa.string()),
+        }
+    )
+    got = (
+        profile_columns(rd.from_arrow(t).repartition(3),
+                        ["i", "f", "s", "e"], num_buckets=4)
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert got.index.tolist() == ["i", "f", "s", "e"]  # input order kept
+    assert got.loc["i"].tolist() == [5, 1, 3, 1.0, 5.0]
+    assert got.loc["f"].tolist() == [5, 1, 3, -2.0, 3.25]
+    row_s = got.loc["s"]
+    assert row_s[["n_rows", "n_nulls", "n_distinct"]].tolist() == [5, 1, 3]
+    assert pd.isna(row_s["min_num"]) and pd.isna(row_s["max_num"])
+    row_e = got.loc["e"]
+    assert row_e[["n_rows", "n_nulls", "n_distinct"]].tolist() == [5, 5, 0]
+    assert pd.isna(row_e["min_num"])
+    with pytest.raises(ValueError, match="duplicate columns"):
+        profile_columns(rd.from_arrow(t), ["i", "i"])
