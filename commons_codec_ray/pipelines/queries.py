@@ -10427,6 +10427,49 @@ def q_dq_checks(sf_dir: str):
     )
 
 
+def q_table_profile(sf_dir: str):
+    """Column profiler (stages/dq.py:profile_columns — the Deequ /
+    Great-Expectations profiling shape): per-column row/null counts and
+    exact numeric min/max from ONE pruned scan of kilobyte partials,
+    plus EXACT distinct counts via one hash-bucketed exchange per
+    column (distinct ORIGINAL values per bucket, so the routing hash
+    can't inflate the count). min/max involve no arithmetic, so they
+    match SQL bit-for-bit; non-numeric columns carry NULL."""
+    from commons_codec_ray.stages.dq import profile_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_columns(orders, cols)
+
+
+_TABLE_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+FROM orders
+"""
+
+
 _DQ_CHECKS_SQL = """
 WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders),
 checks AS (
@@ -10656,6 +10699,7 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "link_prediction_ra": q_link_prediction_ra,
     "dq_checks": q_dq_checks,
+    "table_profile": q_table_profile,
 }
 
 ORACLE_SQL = {
@@ -10857,4 +10901,5 @@ ORACLE_SQL = {
     "link_prediction": _LINK_PREDICTION_SQL,
     "link_prediction_ra": _LINK_PREDICTION_RA_SQL,
     "dq_checks": _DQ_CHECKS_SQL,
+    "table_profile": _TABLE_PROFILE_SQL,
 }

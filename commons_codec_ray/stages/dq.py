@@ -47,6 +47,111 @@ _RESULT_SCHEMA = pa.schema(
 )
 
 
+def profile_columns(ds, columns, num_buckets: int | None = None) -> pa.Table:
+    """Column profiler (the Deequ / Great-Expectations profiling shape
+    Ray-Data-first): one row per profiled column —
+    ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)``.
+
+    ``n_rows`` / ``n_nulls`` / ``min_num`` / ``max_num`` fold from ONE
+    pruned ``map_batches`` scan (kilobyte partials; min/max only for
+    numeric columns — exact, no arithmetic, so they match SQL
+    bit-for-bit; non-numeric columns carry NULL). ``n_distinct`` is
+    EXACT: each column rides one hash-keyed bucket exchange counting
+    distinct ORIGINAL values per bucket (equal values co-bucket; the
+    routing hash can't inflate the count). Exact per-column distinct is
+    inherently one exchange per column — at 100 TB prefer the mergeable
+    KMV estimator in ``stages/sketches.py`` and reserve this for
+    audit-grade profiling jobs."""
+    cols = list(columns)
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {cols}")
+    nb = num_buckets or adaptive_buckets()
+
+    def scan(t: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n_rows": [], "n_nulls": [],
+                "min_num": [], "max_num": []}
+        for c in cols:
+            col = t[c]
+            rows["col_name"].append(c)
+            rows["n_rows"].append(t.num_rows)
+            rows["n_nulls"].append(col.null_count)
+            numeric = pa.types.is_integer(col.type) or pa.types.is_floating(
+                col.type
+            )
+            if numeric and len(col) > col.null_count:
+                mm = pc.min_max(col).as_py()
+                rows["min_num"].append(float(mm["min"]))
+                rows["max_num"].append(float(mm["max"]))
+            else:
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+        return pa.table(
+            {
+                "col_name": pa.array(rows["col_name"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+                "min_num": pa.array(rows["min_num"], pa.float64()),
+                "max_num": pa.array(rows["max_num"], pa.float64()),
+            }
+        )
+
+    base = (
+        ds.select_columns(cols)
+        .map_batches(scan, batch_format="pyarrow")
+        .to_pandas()  # batches × columns partial rows — kilobytes
+        .groupby("col_name")
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            min_num=("min_num", "min"),
+            max_num=("max_num", "max"),
+        )
+    )
+
+    distinct: dict[str, int] = {}
+    for c in cols:
+
+        def key_rows(t: pa.Table, col=c) -> pa.Table:
+            v = t[col].drop_null()
+            if pa.types.is_integer(v.type):
+                h = v.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                h = pd.util.hash_array(
+                    v.to_pandas().to_numpy(dtype=object)
+                ).astype(np.int64)
+            return pa.table({"_b": hash_bucket(h, nb), "k": v})
+
+        parts = (
+            ds.select_columns([c])
+            .map_batches(key_rows, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(
+                lambda df: pd.DataFrame({"d": [df["k"].nunique()]}),
+                batch_format="pandas",
+            )
+            .to_pandas()  # one count per bucket
+        )
+        distinct[c] = int(parts["d"].sum()) if len(parts) else 0
+
+    base = base.reindex(cols)  # input order; all-empty columns fill below
+    return pa.table(
+        {
+            "col_name": pa.array(cols, pa.string()),
+            "n_rows": pa.array(
+                base["n_rows"].fillna(0).astype(np.int64), pa.int64()
+            ),
+            "n_nulls": pa.array(
+                base["n_nulls"].fillna(0).astype(np.int64), pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [distinct[c] for c in cols], pa.int64()
+            ),
+            "min_num": pa.array(base["min_num"], pa.float64()),
+            "max_num": pa.array(base["max_num"], pa.float64()),
+        }
+    )
+
+
 @dataclass(frozen=True)
 class Expectation:
     """One declarative check. ``kind`` ∈ {not_null, range, isin,
