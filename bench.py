@@ -197,6 +197,8 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "semdedup",
         "kcore_sharded",
         "bpe_train",
+        "link_prediction",
+        "table_profile",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []

@@ -118,3 +118,65 @@ def test_multi_table_replay_and_read(tmp_path, mode):
     keys = set(pipe.checkpoint().partitions)
     assert any(k.startswith("notes#") for k in keys)
     assert any(k.startswith("transcripts#") for k in keys)
+
+
+def test_multi_table_offline_compact_scoped_per_table(tmp_path):
+    """compact(table=...) folds ONLY that table's chains; the other
+    table's delta chains and state are untouched, and a second call
+    compacts the rest."""
+    from commons_codec_ray.sink.manifest import entry_files
+
+    rows = []
+    lsn = 0
+    for wave in range(3):  # 3 epochs → base + 2 deltas per partition
+        for conv in ("a", "b", "c"):
+            rows.append(envelope(lsn, conv, 0, f"t-{conv}-{wave}"))
+            lsn += 1
+            rows.append(envelope(lsn, conv, 0, f"n-{conv}-{wave}", table="notes"))
+            lsn += 1
+    log = tmp_path / "env.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), log)
+    pipe = CDCPipeline(
+        tmp_path / "lake",
+        PipelineConfig(num_partitions=4, epoch_size=6, sink_mode="delta",
+                       compact_ratio=1e9, compact_max_deltas=10**6),
+    )
+    pipe.replay(str(log), epoch_size=6)
+
+    def chains(ck, table):
+        return {
+            k: entry_files(e)[1]
+            for k, e in ck.partitions.items()
+            if k.startswith(f"{table}#") and entry_files(e)[1]
+        }
+
+    before = pipe.checkpoint()
+    assert chains(before, "transcripts") and chains(before, "notes")
+
+    res = pipe.compact(table="transcripts")
+    assert not res["skipped"] and res["partitions_compacted"] > 0
+    mid = pipe.checkpoint()
+    assert not chains(mid, "transcripts")        # folded
+    assert chains(mid, "notes") == chains(before, "notes")  # untouched
+
+    tdf = pipe.read_lake(table="transcripts").to_pandas().sort_values("conv_id")
+    ndf = pipe.read_lake(table="notes").to_pandas().sort_values("conv_id")
+    assert tdf["text"].tolist() == ["t-a-2", "t-b-2", "t-c-2"]
+    assert ndf["text"].tolist() == ["n-a-2", "n-b-2", "n-c-2"]
+
+    res2 = pipe.compact(table="notes")
+    assert not res2["skipped"]
+    after = pipe.checkpoint()
+    assert not chains(after, "notes")
+    ndf2 = pipe.read_lake(table="notes").to_pandas().sort_values("conv_id")
+    assert ndf2["text"].tolist() == ["n-a-2", "n-b-2", "n-c-2"]
+    # compacted files live under per-table epoch directories
+    lake = tmp_path / "lake"
+    comp_files = {
+        str(p.relative_to(lake))
+        for p in lake.rglob("part-*.parquet")
+        if f"epoch-{mid.last_epoch:08d}" in str(p)
+        or f"epoch-{after.last_epoch:08d}" in str(p)
+    }
+    assert any("/transcripts/" in f for f in comp_files)
+    assert any("/notes/" in f for f in comp_files)
