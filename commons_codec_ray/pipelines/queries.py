@@ -10500,6 +10500,261 @@ FROM checks ORDER BY check_name
 """
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality filter signals (Rae et al. 2021
+    appendix A1.1) over every document: exact integer word/uniq counts,
+    top-2-gram occurrence count, duplicated-trigram excess, stop-word
+    hits, and the composed keep gate — the published pre-training
+    hygiene rules next to the ratio-based :class:`QualityScorer`.
+    One linear pass, no shuffle."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        text_stage.GopherSignals, batch_format="pyarrow", concurrency=pool_size(2)
+    )
+
+
+_GOPHER_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(t)) AS BIGINT) AS uniq_words,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the', 'a', 'and', 'of', 'to'])) AS BIGINT) AS stop_hits
+  FROM toks),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2),
+bgc AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks WHERE len(t) >= 3),
+tgc AS (
+  SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS BIGINT) AS dup_trigram_excess
+  FROM tg GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.uniq_words,
+       coalesce(bgc.top_bigram_count, 0) AS top_bigram_count,
+       coalesce(tgc.dup_trigram_excess, 0) AS dup_trigram_excess,
+       b.stop_hits,
+       (b.n_words BETWEEN 10 AND 100000
+        AND b.stop_hits >= 1
+        AND coalesce(bgc.top_bigram_count, 0) * 1000000
+            // greatest(b.n_words - 1, 1) <= 100000
+        AND coalesce(tgc.dup_trigram_excess, 0) = 0
+        AND b.uniq_words * 1000000 // greatest(b.n_words, 1) >= 400000) AS keep
+FROM base b
+LEFT JOIN bgc USING (doc_id)
+LEFT JOIN tgc USING (doc_id)
+"""
+
+
+def q_dpo_pairs(sf_dir: str):
+    """Preference-pair construction for reward-model / DPO training:
+    per (source, lang) corpus slice, pair the highest-scored document
+    (chosen) with the lowest-scored (rejected), deterministic doc_id
+    tie-break, groups of one skipped. Score here is the exact n_chars
+    column; in production it is any integer quality score.
+
+    Scale shape: each batch emits at most TWO candidate rows plus a
+    count partial per group it saw; one bucketed exchange of those
+    candidates (O(groups x batches) rows, never the corpus) finishes
+    the per-group argmax/argmin and the group-size guard — the
+    first_last mergeable-order-statistic pattern."""
+    nb = adaptive_buckets()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "lang": t["lang"].to_pylist(),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        cnt = df.groupby(["source", "lang"], as_index=False).size().rename(columns={"size": "_cnt"})
+        hi = df.sort_values(
+            ["source", "lang", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(["source", "lang"])
+        lo = df.sort_values(
+            ["source", "lang", "n_chars", "doc_id"],
+            ascending=[True, True, True, False],
+            kind="mergesort",
+        ).drop_duplicates(["source", "lang"])
+        # exactly ONE row per (group, batch) carries the batch's count
+        # partial (the hi row; the lo row carries 0) so the merge phase
+        # recovers the true group size as a plain sum
+        hi = hi.merge(cnt, on=["source", "lang"])
+        lo = lo.assign(_cnt=np.int64(0))
+        out = pd.concat([hi, lo], ignore_index=True).drop_duplicates(
+            ["source", "lang", "doc_id"], keep="first"
+        )
+        key = pd.util.hash_pandas_object(
+            out["source"].astype(str) + "\x1f" + out["lang"].astype(str), index=False
+        ).to_numpy(np.uint64)
+        out["_gb"] = hash_bucket(key.astype(np.int64), nb)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df.groupby(["source", "lang"], as_index=False)["_cnt"]
+            .sum()
+            .rename(columns={"_cnt": "n_docs"})
+        )
+        hi = df.sort_values(
+            ["source", "lang", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(["source", "lang"])
+        lo = df.sort_values(
+            ["source", "lang", "n_chars", "doc_id"],
+            ascending=[True, True, True, False],
+            kind="mergesort",
+        ).drop_duplicates(["source", "lang"])
+        cols = ["source", "lang", "doc_id", "n_chars"]
+        m = (
+            hi[cols]
+            .merge(lo[cols], on=["source", "lang"], suffixes=("_hi", "_lo"))
+            .merge(n, on=["source", "lang"])
+        )
+        m = m[m["n_docs"] >= 2]
+        return pd.DataFrame(
+            {
+                "source": m["source"],
+                "lang": m["lang"],
+                "chosen_id": m["doc_id_hi"].to_numpy(np.int64),
+                "rejected_id": m["doc_id_lo"].to_numpy(np.int64),
+                "margin": (m["n_chars_hi"] - m["n_chars_lo"]).to_numpy(np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(candidates, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+_DPO_PAIRS_SQL = """
+WITH ranked AS (
+  SELECT source, lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC, doc_id) AS rmax,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars ASC, doc_id DESC) AS rmin,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents),
+c AS (SELECT source, lang, doc_id AS chosen_id, n_chars AS chosen_chars
+      FROM ranked WHERE rmax = 1 AND n >= 2),
+r AS (SELECT source, lang, doc_id AS rejected_id, n_chars AS rejected_chars
+      FROM ranked WHERE rmin = 1 AND n >= 2)
+SELECT c.source, c.lang, c.chosen_id, r.rejected_id,
+       c.chosen_chars - r.rejected_chars AS margin
+FROM c JOIN r USING (source, lang)
+"""
+
+
+def q_cdc_late_data(sf_dir: str):
+    """Bounded-lateness CDC ingest: the replay stream arrives with
+    deterministic stragglers (every lsn % 17 == 3 delayed by 400
+    sequence positions, every lsn % 17 == 11 by 2000), the ingest
+    admits rows at most 1000 sequence numbers behind the high
+    watermark (Flink/Beam allowed-lateness semantics, here on sequence
+    numbers so the rule is scale-invariant), and the survivors replay
+    to the lake. The 400-class is inside the window and kept; the
+    2000-class is dropped except stragglers near the end of stream,
+    whose watermark never advances past them.
+
+    The filter runs BEFORE decode (late rows never pay decode cost)
+    via :func:`stages.watermark.bounded_lateness_filter` — a
+    distributed segmented scan: range-bucket by arrival key, tiny
+    per-bucket max pre-pass (over a column-pruned re-read of the
+    source, not a recompute of the envelope stream), driver-side
+    exclusive prefix max, one keyed exchange for the within-bucket
+    vectorized scan."""
+    import pyarrow.parquet as pq
+
+    from commons_codec_ray.stages.watermark import bounded_lateness_filter
+
+    cfg = PipelineConfig()
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+    def attach_arrival(t: pa.Table, col: str = "lsn") -> pa.Table:
+        lsn = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mod = lsn % 17
+        delay = np.where(mod == 3, 400, np.where(mod == 11, 2000, 0)).astype(np.int64)
+        out = t.append_column("_akey", pa.array(lsn + delay, pa.int64()))
+        if col != "lsn":
+            out = out.append_column("lsn", pa.array(lsn, pa.int64()))
+        return out
+
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(attach_arrival, batch_format="pyarrow")
+    seq_src = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
+        lambda t: attach_arrival(t, col="event_id"), batch_format="pyarrow"
+    )
+    ds = bounded_lateness_filter(
+        ds,
+        arrival_col="_akey",
+        seq_col="lsn",
+        allowed_lag=1000,
+        key_lo=0,
+        key_hi=n_events + 2000,
+        seq_source=seq_src,
+    )
+    ds = ds.map_batches(lambda t: t.drop_columns(["_akey"]), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+    return apply_changes(ds, cfg)
+
+
+_CDC_LATE_DATA_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, event_id AS lsn
+  FROM events),
+arr AS (
+  SELECT *, lsn + CASE WHEN lsn % 17 = 3 THEN 400
+                       WHEN lsn % 17 = 11 THEN 2000
+                       ELSE 0 END AS akey
+  FROM ops),
+wm AS (
+  SELECT *, max(lsn) OVER (ORDER BY akey, lsn
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS hwm
+  FROM arr),
+ok AS (SELECT * FROM wm WHERE hwm IS NULL OR lsn + 1000 >= hwm),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM ok)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op = 1
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -10700,6 +10955,9 @@ QUERIES = {
     "link_prediction_ra": q_link_prediction_ra,
     "dq_checks": q_dq_checks,
     "table_profile": q_table_profile,
+    "gopher_quality": q_gopher_quality,
+    "dpo_pairs": q_dpo_pairs,
+    "cdc_late_data": q_cdc_late_data,
 }
 
 ORACLE_SQL = {
@@ -10902,4 +11160,7 @@ ORACLE_SQL = {
     "link_prediction_ra": _LINK_PREDICTION_RA_SQL,
     "dq_checks": _DQ_CHECKS_SQL,
     "table_profile": _TABLE_PROFILE_SQL,
+    "gopher_quality": _GOPHER_QUALITY_SQL,
+    "dpo_pairs": _DPO_PAIRS_SQL,
+    "cdc_late_data": _CDC_LATE_DATA_SQL,
 }

@@ -374,3 +374,73 @@ def bpe_segment(ds, merges: int = 4, column: str = "text", id_column: str = "doc
         return pa.table({id_column: ids, "n_tokens": pa.array(out, pa.int64())})
 
     return ds.map_batches(count_tokens, batch_format="pyarrow")
+
+
+class GopherSignals:
+    """Gopher-style repetition/quality gates (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 — the published rule
+    family: word-count bounds, stop-word presence, fraction of text in
+    the most common 2-gram, fraction of duplicated n-grams). All
+    signals are EXACT integers (counts and floor-divided ppm ratios) so
+    a SQL oracle reproduces them bit-for-bit; thresholds are adapted to
+    the synthetic corpus so the keep flag actually discriminates.
+
+    Emitted per document: ``n_words`` (single-space split, matching
+    DuckDB ``string_split(text, ' ')``), ``uniq_words``,
+    ``top_bigram_count`` (occurrences of the most frequent adjacent
+    word pair), ``dup_trigram_excess`` (trigram occurrences beyond each
+    first — i.e. total minus distinct), ``stop_hits`` (distinct hits in
+    a small stop list), and the gate::
+
+        keep = 10 <= n_words <= 100000
+               and stop_hits >= 1
+               and top_bigram_count * 1e6 // max(n_words - 1, 1) <= 100000
+               and dup_trigram_excess == 0
+               and uniq_words * 1e6 // n_words >= 400000
+    """
+
+    STOPS = frozenset(["the", "a", "and", "of", "to"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        uniq_words = np.zeros(n, np.int64)
+        top_bg = np.zeros(n, np.int64)
+        dup_tg = np.zeros(n, np.int64)
+        stop_hits = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            m = len(toks)
+            n_words[i] = m
+            uniq = set(toks)
+            uniq_words[i] = len(uniq)
+            stop_hits[i] = len(uniq & self.STOPS)
+            if m >= 2:
+                counts: dict[tuple[str, str], int] = {}
+                for j in range(m - 1):
+                    k = (toks[j], toks[j + 1])
+                    counts[k] = counts.get(k, 0) + 1
+                top_bg[i] = max(counts.values())
+            if m >= 3:
+                tgs = list(zip(toks, toks[1:], toks[2:]))
+                dup_tg[i] = len(tgs) - len(set(tgs))
+        keep = (
+            (n_words >= 10)
+            & (n_words <= 100000)
+            & (stop_hits >= 1)
+            & (top_bg * 1_000_000 // np.maximum(n_words - 1, 1) <= 100000)
+            & (dup_tg == 0)
+            & (uniq_words * 1_000_000 // np.maximum(n_words, 1) >= 400000)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "uniq_words": pa.array(uniq_words, pa.int64()),
+                "top_bigram_count": pa.array(top_bg, pa.int64()),
+                "dup_trigram_excess": pa.array(dup_tg, pa.int64()),
+                "stop_hits": pa.array(stop_hits, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )

@@ -1,0 +1,128 @@
+"""Bounded-lateness (watermark) filtering for out-of-order streams.
+
+Streaming systems admit late data only up to an *allowed lateness*
+behind the high watermark — the running maximum sequence number (or
+event time) observed so far in ARRIVAL order; anything older is
+dropped (Flink/Beam semantics; the reference's single-threaded relay
+never reorders, so its watermark is trivially the last row —
+/root/reference/src/commons_codec/transform — while a distributed
+ingest must reconstruct it).
+
+The running maximum over arrival order is a prefix scan. Distributed
+as a *segmented scan*, the classic two-phase decomposition:
+
+1. Range-bucket rows by arrival key (contiguous buckets, so "all
+   earlier buckets" is well defined and the exchange is balanced when
+   arrival keys are near-uniform — they are for a mostly-ordered
+   stream with bounded stragglers).
+2. A lightweight pre-pass computes max(seq) per bucket (one tiny
+   ``groupby().aggregate(Max)``; kilobytes collected on the driver),
+   the driver takes the EXCLUSIVE prefix max across buckets, and the
+   per-bucket carry array (num_buckets int64s) is captured by the
+   second pass.
+3. One keyed exchange co-locates each bucket; inside a bucket the
+   strict-prefix max is a vectorized ``np.maximum.accumulate`` over
+   rows sorted by (arrival, seq), combined with the carried
+   cross-bucket max.
+
+The watermark for a row is defined over rows with STRICTLY SMALLER
+(arrival, seq) key — not row position — which makes the result
+independent of duplicate deliveries: a byte-identical duplicate shares
+its original's key, contributes the same seq, and ``seq >= wm - lag``
+can never be flipped by the row's own seq entering the prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Max
+
+_NEG_INF = np.int64(np.iinfo(np.int64).min)
+
+
+def _bucketize(arrival_col: str, key_lo: int, key_hi: int, num_buckets: int):
+    span = max(int(key_hi) - int(key_lo), 1)
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = t[arrival_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (a - np.int64(key_lo)) * np.int64(num_buckets) // np.int64(span)
+        b = np.clip(b, 0, num_buckets - 1)
+        return t.append_column("_wb", pa.array(b, pa.int64()))
+
+    return fn
+
+
+def bounded_lateness_filter(
+    ds: rd.Dataset,
+    *,
+    arrival_col: str,
+    seq_col: str,
+    allowed_lag: int,
+    key_lo: int,
+    key_hi: int,
+    seq_source: Optional[rd.Dataset] = None,
+    num_buckets: int = 256,
+) -> rd.Dataset:
+    """Keep rows with ``seq >= high_watermark - allowed_lag``.
+
+    ``high_watermark`` for a row is max(seq) over all rows strictly
+    earlier in arrival order (ordered by ``(arrival_col, seq_col)``).
+    The first-arriving row has no watermark and is always kept.
+
+    ``seq_source``: optional cheap Dataset with the SAME
+    (arrival_col, seq_col) values, used for the bucket-max pre-pass.
+    Pass a column-pruned source read when ``ds`` is an expensive lazy
+    pipeline — consuming ``ds`` twice would re-execute its upstream
+    stages (Ray Datasets recompute, they don't cache). Defaults to
+    ``ds`` itself.
+
+    ``key_lo``/``key_hi``: arrival-key range for range bucketing
+    (half-open; from source metadata, e.g. parquet row counts — no
+    extra pass over the data).
+    """
+    bucketize = _bucketize(arrival_col, key_lo, key_hi, num_buckets)
+    pre = (seq_source if seq_source is not None else ds).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+    rows = pre.groupby("_wb").aggregate(Max(seq_col)).take_all()
+    bucket_max = np.full(num_buckets, _NEG_INF, np.int64)
+    for r in rows:
+        bucket_max[int(r["_wb"])] = np.int64(r[f"max({seq_col})"])
+    # exclusive prefix max: carry[b] = max seq over buckets < b
+    carry = np.full(num_buckets, _NEG_INF, np.int64)
+    if num_buckets > 1:
+        carry[1:] = np.maximum.accumulate(bucket_max[:-1])
+
+    lag = int(allowed_lag)
+
+    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_wb"].iloc[0])
+        arr = df[arrival_col].to_numpy(np.int64)
+        seq = df[seq_col].to_numpy(np.int64)
+        order = np.lexsort((seq, arr))
+        a_s, s_s = arr[order], seq[order]
+        run = np.maximum.accumulate(s_s)
+        n = len(s_s)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (a_s[1:] != a_s[:-1]) | (s_s[1:] != s_s[:-1])
+        start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        wm_in = np.where(start > 0, run[np.maximum(start - 1, 0)], _NEG_INF)
+        wm = np.maximum(wm_in, carry[b])
+        # seq + lag >= wm (never wm - lag: that underflows at -inf)
+        keep_sorted = (wm == _NEG_INF) | (s_s + np.int64(lag) >= wm)
+        keep = np.empty(n, bool)
+        keep[order] = keep_sorted
+        return df[keep].drop(columns=["_wb"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(filter_bucket, batch_format="pandas")
+    )
