@@ -10755,6 +10755,116 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_conv_prefix_dedup(sf_dir: str):
+    """Prefix-dominated conversation dedup: a conversation is removed
+    when another conversation's turn sequence properly extends it (the
+    shorter one is a training-set duplicate — the standard transcript
+    hygiene rule for resumed/branched chats), or when an identical
+    sequence exists under a smaller conv_id. The corpus is the events
+    stream as transcripts (one turn per event, ordered by event_id)
+    plus a PLANTED truncated copy of each conversation's first half —
+    the natural corpus has a ~100-value turn alphabet over 50+-turn
+    conversations, so accidental prefixes never occur (same planting
+    rationale as ngram_jaccard).
+
+    Scale shape: per conversation a rolling blake2b chain emits one
+    hash row per PREFIX length (O(total turns) rows, the substring_
+    dedup cost shape) and one full-sequence row; ONE hash-bucketed
+    exchange co-locates every conversation's full hash with any other
+    conversation's equal prefix hash, so domination is decided locally
+    per bucket with no driver materialization and no pairwise join."""
+    import hashlib
+
+    nb = adaptive_buckets()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "props"])
+
+    def ub(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        h_col, cid_col, nt_col, full_col = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            texts = [(p or "") for p in g["props"].tolist()]
+            convs = [(f"c-{uid}", texts)]
+            half = len(texts) // 2
+            if half >= 1:
+                convs.append((f"p-{uid}", texts[:half]))
+            for cid, seq in convs:
+                n = len(seq)
+                dig = b""
+                for k, text in enumerate(seq, start=1):
+                    dig = hashlib.blake2b(
+                        dig + text.encode(), digest_size=16
+                    ).digest()
+                    h_col.append(dig.hex())
+                    cid_col.append(cid)
+                    nt_col.append(n)
+                    full_col.append(k == n)
+        out = pd.DataFrame(
+            {"h": h_col, "conv_id": cid_col, "n_turns": nt_col, "is_full": full_col}
+        )
+        hb = np.frombuffer(
+            bytes.fromhex("".join(s[:16] for s in h_col)), dtype=">u8"
+        ).astype(np.int64) if h_col else np.empty(0, np.int64)
+        out["_hb"] = hash_bucket(hb, nb)
+        return out
+
+    def judge(df: pd.DataFrame) -> pd.DataFrame:
+        pref_h = df.loc[~df["is_full"], "h"].unique()
+        fulls = df[df["is_full"]]
+        # a prefix row equal to a full hash is necessarily a different,
+        # strictly longer conversation (a chain can't collide with its
+        # own proper prefix), so its existence alone dominates
+        dom = fulls["h"].isin(pref_h)
+        # equal sequences: smallest conv_id survives
+        dom |= fulls["conv_id"] > fulls.groupby("h")["conv_id"].transform("min")
+        keep = fulls[~dom]
+        # Arrow table out (typed even when the bucket keeps nothing)
+        return pa.table(
+            {
+                "conv_id": pa.array(keep["conv_id"].tolist(), pa.string()),
+                "n_turns": pa.array(keep["n_turns"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(ub, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(emit, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(judge, batch_format="pandas")
+    )
+
+
+_CONV_PREFIX_DEDUP_SQL = """
+WITH turns0 AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id, user_id, event_id,
+         coalesce(props, '') AS text,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+turns AS (
+  SELECT conv_id, event_id, text FROM turns0
+  UNION ALL
+  SELECT 'p-' || CAST(user_id AS VARCHAR), event_id, text
+  FROM turns0 WHERE rk <= n // 2),
+seqs AS (
+  SELECT conv_id, string_agg(text, chr(31) ORDER BY event_id) AS seq,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM turns GROUP BY conv_id),
+dominated AS (
+  SELECT DISTINCT a.conv_id
+  FROM seqs a JOIN seqs b ON a.conv_id <> b.conv_id
+   AND (starts_with(b.seq, a.seq || chr(31))
+        OR (b.seq = a.seq AND b.conv_id < a.conv_id)))
+SELECT conv_id, n_turns FROM seqs
+WHERE conv_id NOT IN (SELECT conv_id FROM dominated)
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -10958,6 +11068,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "dpo_pairs": q_dpo_pairs,
     "cdc_late_data": q_cdc_late_data,
+    "conv_prefix_dedup": q_conv_prefix_dedup,
 }
 
 ORACLE_SQL = {
@@ -11163,4 +11274,5 @@ ORACLE_SQL = {
     "gopher_quality": _GOPHER_QUALITY_SQL,
     "dpo_pairs": _DPO_PAIRS_SQL,
     "cdc_late_data": _CDC_LATE_DATA_SQL,
+    "conv_prefix_dedup": _CONV_PREFIX_DEDUP_SQL,
 }
