@@ -10865,6 +10865,177 @@ WHERE conv_id NOT IN (SELECT conv_id FROM dominated)
 """
 
 
+def q_sft_masks(sf_dir: str):
+    """Chat-template render + loss-mask accounting per conversation
+    (the step between transcript prep and sequence packing: SFT loss
+    applies only to assistant turns). Per conversation — events as
+    transcripts, one turn per event ordered by event_id, role =
+    event_type, assistant roles {'click', 'view'} — exact integer
+    rendered length (``<|role|>text\\n`` per turn), assistant text
+    chars (the unmasked span total), and mask segment count (runs of
+    contiguous assistant turns). One user-bucketed exchange; per-group
+    work is vectorized numpy."""
+    nb = adaptive_buckets()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "event_type", "props"]
+    )
+
+    def ub(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        role_len = df["event_type"].str.len().to_numpy(np.int64)
+        text_len = df["props"].fillna("").str.len().to_numpy(np.int64)
+        asst = df["event_type"].isin(("click", "view")).to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        new_user = np.empty(len(df), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        prev_asst = np.empty(len(df), bool)
+        prev_asst[0] = False
+        prev_asst[1:] = asst[:-1]
+        seg_start = asst & (new_user | ~prev_asst)
+        g = pd.DataFrame(
+            {
+                "user_id": uid,
+                "n_turns": np.int64(1),
+                "rendered_chars": role_len + text_len + 5,
+                "assistant_chars": np.where(asst, text_len, 0),
+                "mask_segments": seg_start.astype(np.int64),
+            }
+        ).groupby("user_id", as_index=False).sum()
+        return pd.DataFrame(
+            {
+                "conv_id": ("c-" + g["user_id"].astype(str)).astype("string"),
+                "n_turns": g["n_turns"].to_numpy(np.int64),
+                "rendered_chars": g["rendered_chars"].to_numpy(np.int64),
+                "assistant_chars": g["assistant_chars"].to_numpy(np.int64),
+                "mask_segments": g["mask_segments"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(ub, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_conv, batch_format="pandas")
+    )
+
+
+_SFT_MASKS_SQL = """
+WITH t AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         event_type AS role, coalesce(props, '') AS text,
+         event_type IN ('click', 'view') AS is_asst,
+         lag(event_type IN ('click', 'view'), 1, false)
+           OVER (PARTITION BY user_id ORDER BY event_id) AS prev_asst
+  FROM events)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(role) + length(text) + 5) AS BIGINT) AS rendered_chars,
+       CAST(sum(CASE WHEN is_asst THEN length(text) ELSE 0 END) AS BIGINT)
+         AS assistant_chars,
+       CAST(sum(CASE WHEN is_asst AND NOT prev_asst THEN 1 ELSE 0 END) AS BIGINT)
+         AS mask_segments
+FROM t GROUP BY conv_id
+"""
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary rate against a top-K document-
+    frequency vocabulary — the tokenizer-coverage diagnostic run before
+    committing to a vocab. Two passes: (1) the vocab_df machinery
+    (per-batch (doc, token)-distinct partials, one int-keyed exchange,
+    each bucket's exact totals reduced to <= K winners per bucket on
+    the driver — kilobytes) builds the global top-20 by (df DESC,
+    token ASC); (2) the vocab set is broadcast into a second linear
+    scan that counts OOV tokens per document, exact integer ppm."""
+    K = 20
+    B = 256
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        toks = la.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        df = pd.DataFrame({"d": doc_of, "token": toks})
+        df = df[df["token"] != ""].drop_duplicates()
+        counts = df["token"].value_counts()
+        tok_arr = counts.index.to_numpy()
+        bucket = (pd.util.hash_array(tok_arr) & np.uint64(B - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "_vb": pa.array(bucket),
+                "token": pa.array(tok_arr, pa.string()),
+                "df_part": pa.array(counts.to_numpy(), pa.int64()),
+            }
+        )
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("token", as_index=False)["df_part"].sum()
+        tot = tot.sort_values(["df_part", "token"], ascending=[False, True])
+        return tot.head(K)
+
+    winners = (
+        rd.read_parquet(docs_path, columns=["text"])
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("_vb")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["df_part", "token"], ascending=[False, True])
+        .head(K)
+    )
+    vocab = frozenset(winners["token"])
+
+    def oov(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        offsets = la.offsets.to_numpy().astype(np.int64)
+        toks = la.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
+        nonempty = toks != ""
+        toks, doc_of = toks[nonempty], doc_of[nonempty]
+        n_tok = np.bincount(doc_of, minlength=t.num_rows).astype(np.int64)
+        is_oov = ~pd.Index(toks).isin(vocab)
+        oov_cnt = np.bincount(doc_of, weights=is_oov, minlength=t.num_rows).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "oov_tokens": pa.array(oov_cnt, pa.int64()),
+                "oov_ppm": pa.array(
+                    oov_cnt * 1_000_000 // np.maximum(n_tok, 1), pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        oov, batch_format="pyarrow"
+    )
+
+
+_OOV_RATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tk
+  FROM documents),
+tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''),
+df AS (SELECT tk, count(DISTINCT doc_id) AS dfc FROM tok2 GROUP BY tk),
+vocab AS (SELECT tk FROM df ORDER BY dfc DESC, tk LIMIT 20),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN tk NOT IN (SELECT tk FROM vocab)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS oov
+  FROM tok2 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_tok, 0) AS n_tokens,
+       coalesce(p.oov, 0) AS oov_tokens,
+       coalesce(p.oov, 0) * 1000000 // greatest(coalesce(p.n_tok, 0), 1) AS oov_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -11069,6 +11240,8 @@ QUERIES = {
     "dpo_pairs": q_dpo_pairs,
     "cdc_late_data": q_cdc_late_data,
     "conv_prefix_dedup": q_conv_prefix_dedup,
+    "sft_masks": q_sft_masks,
+    "oov_rate": q_oov_rate,
 }
 
 ORACLE_SQL = {
@@ -11275,4 +11448,6 @@ ORACLE_SQL = {
     "dpo_pairs": _DPO_PAIRS_SQL,
     "cdc_late_data": _CDC_LATE_DATA_SQL,
     "conv_prefix_dedup": _CONV_PREFIX_DEDUP_SQL,
+    "sft_masks": _SFT_MASKS_SQL,
+    "oov_rate": _OOV_RATE_SQL,
 }
