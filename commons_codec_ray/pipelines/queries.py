@@ -11036,6 +11036,71 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_tool_call_stats(sf_dir: str):
+    """Agent-transcript tool-use accounting over the REPLAYED lake (the
+    post-ingest analytics an agent-data pipeline runs): per
+    conversation, turns, tool-call count, distinct tools used, and the
+    first tool-calling turn (NULL when the conversation never calls a
+    tool). Composes the full streaming replay (decode -> one shuffle ->
+    LWW apply) with one conv-bucketed aggregation exchange; per-group
+    work is vectorized pandas."""
+    nb = adaptive_buckets()
+    lake = q_cdc_replay(sf_dir)
+
+    def cb(t: pa.Table) -> pa.Table:
+        key = pd.util.hash_pandas_object(
+            pd.Series(t["conv_id"].to_pylist()), index=False
+        ).to_numpy(np.uint64)
+        return t.append_column("_cb", hash_bucket(key.astype(np.int64), nb))
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=True)
+        n_turns = g.size()
+        n_tool = g["tool"].count()
+        n_dist = g["tool"].nunique(dropna=True)
+        first = (
+            df[df["tool"].notna()].groupby("conv_id")["turn_idx"].min().astype("Int64")
+        )
+        out = pd.DataFrame(
+            {
+                "conv_id": pd.Series(n_turns.index, dtype="string"),
+                "n_turns": n_turns.to_numpy(np.int64),
+                "n_tool_calls": n_tool.to_numpy(np.int64),
+                "n_distinct_tools": n_dist.to_numpy(np.int64),
+            }
+        )
+        out["first_tool_turn"] = first.reindex(n_turns.index).to_numpy()
+        return out
+
+    return (
+        lake.map_batches(cb, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(stats, batch_format="pandas")
+    )
+
+
+_TOOL_CALL_STATS_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         event_id AS lsn
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM ops),
+lake AS (SELECT conv_id, turn_idx, tool FROM ranked WHERE rn = 1 AND op = 1)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(tool) AS BIGINT) AS n_tool_calls,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(min(CASE WHEN tool IS NOT NULL THEN turn_idx END) AS BIGINT)
+         AS first_tool_turn
+FROM lake GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -11242,6 +11307,7 @@ QUERIES = {
     "conv_prefix_dedup": q_conv_prefix_dedup,
     "sft_masks": q_sft_masks,
     "oov_rate": q_oov_rate,
+    "tool_call_stats": q_tool_call_stats,
 }
 
 ORACLE_SQL = {
@@ -11450,4 +11516,5 @@ ORACLE_SQL = {
     "conv_prefix_dedup": _CONV_PREFIX_DEDUP_SQL,
     "sft_masks": _SFT_MASKS_SQL,
     "oov_rate": _OOV_RATE_SQL,
+    "tool_call_stats": _TOOL_CALL_STATS_SQL,
 }

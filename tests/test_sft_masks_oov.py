@@ -1,6 +1,7 @@
 """SFT loss-mask accounting (q_sft_masks) and OOV-rate diagnostics
 (q_oov_rate) semantics on hand-built corpora."""
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -75,3 +76,33 @@ def test_oov_rate_rare_tokens_flagged(ray_session, tmp_path):
     assert got.loc[11].n_tokens == 3
     assert got.loc[11].oov_ppm == 2 * 1_000_000 // 3
     assert (got.loc[range(10), "oov_tokens"] == 0).all()
+
+
+def test_tool_call_stats_null_first_turn(ray_session, tmp_path):
+    from commons_codec_ray.pipelines.queries import q_tool_call_stats
+
+    # user 1 never crosses the tool threshold (value < 50); user 2 does
+    # on its second surviving turn. event_id % 10 == 7 rows are deletes
+    # and event_id % 40 is the turn -- keep ids low and distinct.
+    rows = [
+        (1, 0, "click", 10.0), (1, 1, "view", 20.0), (1, 2, "error", 49.0),
+        (2, 20, "click", 10.0), (2, 21, "view", 99.0), (2, 22, "click", 75.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(len(rows))], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_tool_call_stats(str(tmp_path)).to_pandas().set_index("conv_id")
+    c1 = got.loc["c-1"]
+    assert (c1.n_turns, c1.n_tool_calls, c1.n_distinct_tools) == (3, 0, 0)
+    assert pd.isna(c1.first_tool_turn)
+    c2 = got.loc["c-2"]
+    assert (c2.n_turns, c2.n_tool_calls, c2.n_distinct_tools) == (3, 2, 1)
+    assert c2.first_tool_turn == 21
