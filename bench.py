@@ -199,6 +199,8 @@ def bench_once(num_cpus: int, headline_only: bool = False) -> dict:
         "bpe_train",
         "link_prediction",
         "table_profile",
+        "cdc_late_data",
+        "conv_prefix_dedup",
     )
     sweeps: list[dict[str, float]] = []
     sweep_loads: list[float] = []

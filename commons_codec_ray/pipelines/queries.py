@@ -6007,20 +6007,20 @@ def q_semi_join_bloom(sf_dir: str):
     return orders.map_batches(BloomSemiFilter, batch_format="pyarrow", concurrency=pool_size(2))
 
 
-def q_vocab_df(sf_dir: str):
-    """Corpus vocabulary with document frequency, top-100: per-batch
+def _token_df_topk(sf_dir: str, k: int, num_buckets: int = 256) -> pd.DataFrame:
+    """Exact top-k corpus tokens by document frequency: per-batch
     (doc, token)-distinct partial counts (the combiner), then ONE
     shuffle keyed on an INT64 token-hash bucket (string sort-shuffle
     keys measured 2-3× slower than int keys — same integer-exchange
     rule as the CDC shuffle). All partials of a token land in the same
-    bucket, so each bucket computes exact totals AND its own top-100;
-    the driver reduces ≤ 100·num_buckets bucket winners. Tokenization
-    is a single-space split to match the SQL oracle's
-    ``string_split(text, ' ')`` exactly."""
-
+    bucket, so each bucket computes exact totals AND its own top-k; the
+    driver reduces ≤ k·num_buckets bucket winners. Tokenization is a
+    single-space split to match the SQL oracles' ``string_split(text,
+    ' ')`` exactly. Ties rank (df DESC, token ASC). Shared by
+    q_vocab_df and q_oov_rate (q_tfidf keeps its full-vocabulary
+    variant — no top-k cut there)."""
+    B = num_buckets
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    K = 100
-    B = 256  # token-hash buckets: the exchange key space
 
     def partial_df(t: pa.Table) -> pa.Table:
         la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
@@ -6045,7 +6045,7 @@ def q_vocab_df(sf_dir: str):
         totals = g.groupby("token", sort=False)["df_part"].sum().reset_index(name="df")
         return totals.sort_values(
             ["df", "token"], ascending=[False, True], kind="mergesort"
-        ).head(K)
+        ).head(k)
 
     top = (
         docs.map_batches(partial_df, batch_format="pyarrow")
@@ -6053,7 +6053,15 @@ def q_vocab_df(sf_dir: str):
         .map_groups(bucket_top, batch_format="pandas")
         .to_pandas()
     )
-    top = top.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(K)
+    return top.sort_values(
+        ["df", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary with document frequency, top-100 — see
+    :func:`_token_df_topk` for the exchange shape."""
+    top = _token_df_topk(sf_dir, 100)
     return pa.table(
         {
             "token": pa.array(top["token"].to_numpy(), pa.string()),
@@ -10852,7 +10860,12 @@ turns AS (
   SELECT 'p-' || CAST(user_id AS VARCHAR), event_id, text
   FROM turns0 WHERE rk <= n // 2),
 seqs AS (
-  SELECT conv_id, string_agg(text, chr(31) ORDER BY event_id) AS seq,
+  -- length-prefixed turn encoding: unambiguous even if a text ever
+  -- contains the chr(31) separator (the engine's fixed-width hash
+  -- chain is separator-free, so the oracle must be too)
+  SELECT conv_id,
+         string_agg(CAST(length(text) AS VARCHAR) || ':' || text,
+                    chr(31) ORDER BY event_id) AS seq,
          CAST(count(*) AS BIGINT) AS n_turns
   FROM turns GROUP BY conv_id),
 dominated AS (
@@ -10951,43 +10964,8 @@ def q_oov_rate(sf_dir: str):
     the driver — kilobytes) builds the global top-20 by (df DESC,
     token ASC); (2) the vocab set is broadcast into a second linear
     scan that counts OOV tokens per document, exact integer ppm."""
-    K = 20
-    B = 256
     docs_path = f"{sf_dir}/documents.parquet"
-
-    def partial_df(t: pa.Table) -> pa.Table:
-        la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
-        offsets = la.offsets.to_numpy().astype(np.int64)
-        toks = la.flatten().to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offsets))
-        df = pd.DataFrame({"d": doc_of, "token": toks})
-        df = df[df["token"] != ""].drop_duplicates()
-        counts = df["token"].value_counts()
-        tok_arr = counts.index.to_numpy()
-        bucket = (pd.util.hash_array(tok_arr) & np.uint64(B - 1)).astype(np.int64)
-        return pa.table(
-            {
-                "_vb": pa.array(bucket),
-                "token": pa.array(tok_arr, pa.string()),
-                "df_part": pa.array(counts.to_numpy(), pa.int64()),
-            }
-        )
-
-    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
-        tot = df.groupby("token", as_index=False)["df_part"].sum()
-        tot = tot.sort_values(["df_part", "token"], ascending=[False, True])
-        return tot.head(K)
-
-    winners = (
-        rd.read_parquet(docs_path, columns=["text"])
-        .map_batches(partial_df, batch_format="pyarrow")
-        .groupby("_vb")
-        .map_groups(bucket_top, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["df_part", "token"], ascending=[False, True])
-        .head(K)
-    )
-    vocab = frozenset(winners["token"])
+    vocab = frozenset(_token_df_topk(sf_dir, 20)["token"])
 
     def oov(t: pa.Table) -> pa.Table:
         la = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")

@@ -67,7 +67,7 @@ def bounded_lateness_filter(
     key_lo: int,
     key_hi: int,
     seq_source: Optional[rd.Dataset] = None,
-    num_buckets: int = 256,
+    num_buckets: Optional[int] = None,
 ) -> rd.Dataset:
     """Keep rows with ``seq >= high_watermark - allowed_lag``.
 
@@ -85,7 +85,16 @@ def bounded_lateness_filter(
     ``key_lo``/``key_hi``: arrival-key range for range bucketing
     (half-open; from source metadata, e.g. parquet row counts — no
     extra pass over the data).
+
+    ``num_buckets`` defaults to ``adaptive_buckets(key_hi - key_lo)``
+    (the arrival-key span is ~the row count for dense sequence
+    numbers), so per-bucket frames stay flat and parallelism scales
+    with the cluster instead of a fixed constant.
     """
+    if num_buckets is None:
+        from commons_codec_ray.util import adaptive_buckets
+
+        num_buckets = adaptive_buckets(max(int(key_hi) - int(key_lo), 0))
     bucketize = _bucketize(arrival_col, key_lo, key_hi, num_buckets)
     pre = (seq_source if seq_source is not None else ds).map_batches(
         bucketize, batch_format="pyarrow"

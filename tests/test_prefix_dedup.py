@@ -47,3 +47,40 @@ def test_no_domination_all_kept(ray_session, tmp_path):
     got = q_conv_prefix_dedup(str(tmp_path)).to_pandas()
     assert sorted(got.conv_id) == ["c-1", "c-2", "c-3"]
     assert set(got.n_turns) == {1}
+
+
+def test_separator_in_text_engine_oracle_parity(ray_session, tmp_path):
+    """A turn text containing the oracle's chr(31) separator must not
+    fabricate a prefix relation (length-prefixed oracle encoding)."""
+    import duckdb
+
+    from commons_codec_ray.pipelines.queries import ORACLE_SQL
+
+    sep = chr(31)
+    rows = [
+        (1, 10, "x"),                 # c-1 = ["x"]
+        (2, 20, "x" + sep + "y"),     # c-2 = ["x\x1fy", "z"]; p-2 = ["x\x1fy"]
+        (2, 21, "z"),
+    ]
+    pq.write_table(_events(rows), tmp_path / "events.parquet")
+    got = (
+        q_conv_prefix_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    # naive separator-joined encoding would claim c-1 ("x") is a prefix
+    # of c-2 ("x\x1fy..."); it is not a TURN prefix
+    assert dict(zip(got.conv_id, got.n_turns)) == {"c-1": 1, "c-2": 2}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = (
+        con.execute(ORACLE_SQL["conv_prefix_dedup"])
+        .df()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(oracle.conv_id, oracle.n_turns)) == {"c-1": 1, "c-2": 2}
