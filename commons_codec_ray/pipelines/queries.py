@@ -10691,11 +10691,27 @@ def q_cdc_late_data(sf_dir: str):
     source, not a recompute of the envelope stream), driver-side
     exclusive prefix max, one keyed exchange for the within-bucket
     vectorized scan."""
+    cfg = PipelineConfig()
+    ds = _late_envelopes(sf_dir, emit="kept")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=True),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+    )
+    return apply_changes(ds, cfg)
+
+
+def _late_envelopes(sf_dir: str, *, emit: str):
+    """Shared straggler stream for the bounded-lateness queries: the
+    duplicate-delivery envelope stream with deterministic arrival
+    delays, split by the watermark rule (see q_cdc_late_data)."""
     import pyarrow.parquet as pq
 
     from commons_codec_ray.stages.watermark import bounded_lateness_filter
 
-    cfg = PipelineConfig()
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
 
     def attach_arrival(t: pa.Table, col: str = "lsn") -> pa.Table:
@@ -10721,17 +10737,88 @@ def q_cdc_late_data(sf_dir: str):
         key_lo=0,
         key_hi=n_events + 2000,
         seq_source=seq_src,
+        emit=emit,
     )
-    ds = ds.map_batches(lambda t: t.drop_columns(["_akey"]), batch_format="pyarrow")
-    ds = ds.map_batches(
-        DecodeEnvelopes(cfg, combine=True),
+    return ds.map_batches(lambda t: t.drop_columns(["_akey"]), batch_format="pyarrow")
+
+
+def q_cdc_late_dropped(sf_dir: str):
+    """Observability side of q_cdc_late_data: per-conversation count of
+    DISTINCT operations the watermark refused (duplicate deliveries of
+    a rejected op collapse — both copies share its lsn). This is the
+    per-key lag/lateness metric a production ingest exports next to
+    the lake. Every conversation gets a row (zero when nothing was
+    late — the metric must exist to alert on, and a small scale factor
+    legitimately drops nothing). One conv-bucketed exchange of
+    (conv_id, lsn) pairs from the (small) dropped side unioned with
+    per-batch-distinct zero-marker rows from a pruned user_id read."""
+    nb = adaptive_buckets()
+    dropped = _late_envelopes(sf_dir, emit="dropped").map_batches(
+        lambda t: t.select(["conv_id", "lsn"]), batch_format="pyarrow"
+    )
+    universe = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"c-{u}" for u in set(t["user_id"].to_pylist())], pa.string()
+                ),
+            }
+        ).append_column(
+            "lsn", pa.array([-1] * len(set(t["user_id"].to_pylist())), pa.int64())
+        ),
         batch_format="pyarrow",
-        batch_size=cfg.decode_batch_size,
     )
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)), batch_format="pyarrow"
+
+    def cb(t: pa.Table) -> pa.Table:
+        key = pd.util.hash_pandas_object(
+            pd.Series(t["conv_id"].to_pylist()), index=False
+        ).to_numpy(np.uint64)
+        return t.append_column("_cb", hash_bucket(key.astype(np.int64), nb))
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["conv_id", "lsn"])
+        g = (
+            df.assign(_real=(df["lsn"] >= 0).astype(np.int64))
+            .groupby("conv_id", sort=True)["_real"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(g.index, dtype="string"),
+                "n_dropped": g.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        dropped.union(universe)
+        .map_batches(cb, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(count_distinct, batch_format="pandas")
     )
-    return apply_changes(ds, cfg)
+
+
+_CDC_LATE_DROPPED_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id, event_id AS lsn
+  FROM events),
+arr AS (
+  SELECT *, lsn + CASE WHEN lsn % 17 = 3 THEN 400
+                       WHEN lsn % 17 = 11 THEN 2000
+                       ELSE 0 END AS akey
+  FROM ops),
+wm AS (
+  SELECT *, max(lsn) OVER (ORDER BY akey, lsn
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS hwm
+  FROM arr),
+d AS (
+  SELECT conv_id, count(*) AS nd
+  FROM wm WHERE hwm IS NOT NULL AND lsn + 1000 < hwm
+  GROUP BY conv_id),
+u AS (SELECT DISTINCT 'c-' || CAST(user_id AS VARCHAR) AS conv_id FROM events)
+SELECT u.conv_id, CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dropped
+FROM u LEFT JOIN d USING (conv_id)
+"""
 
 
 _CDC_LATE_DATA_SQL = """
@@ -11286,6 +11373,7 @@ QUERIES = {
     "sft_masks": q_sft_masks,
     "oov_rate": q_oov_rate,
     "tool_call_stats": q_tool_call_stats,
+    "cdc_late_dropped": q_cdc_late_dropped,
 }
 
 ORACLE_SQL = {
@@ -11495,4 +11583,5 @@ ORACLE_SQL = {
     "sft_masks": _SFT_MASKS_SQL,
     "oov_rate": _OOV_RATE_SQL,
     "tool_call_stats": _TOOL_CALL_STATS_SQL,
+    "cdc_late_dropped": _CDC_LATE_DROPPED_SQL,
 }

@@ -68,8 +68,12 @@ def bounded_lateness_filter(
     key_hi: int,
     seq_source: Optional[rd.Dataset] = None,
     num_buckets: Optional[int] = None,
+    emit: str = "kept",
 ) -> rd.Dataset:
     """Keep rows with ``seq >= high_watermark - allowed_lag``.
+
+    ``emit='dropped'`` inverts the filter and returns the REJECTED rows
+    instead — the observability side (what did the watermark refuse?).
 
     ``high_watermark`` for a row is max(seq) over all rows strictly
     earlier in arrival order (ordered by ``(arrival_col, seq_col)``).
@@ -108,6 +112,9 @@ def bounded_lateness_filter(
     if num_buckets > 1:
         carry[1:] = np.maximum.accumulate(bucket_max[:-1])
 
+    if emit not in ("kept", "dropped"):
+        raise ValueError(f"emit must be 'kept' or 'dropped', got {emit!r}")
+    want_dropped = emit == "dropped"
     lag = int(allowed_lag)
 
     def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -128,6 +135,8 @@ def bounded_lateness_filter(
         keep_sorted = (wm == _NEG_INF) | (s_s + np.int64(lag) >= wm)
         keep = np.empty(n, bool)
         keep[order] = keep_sorted
+        if want_dropped:
+            keep = ~keep
         return df[keep].drop(columns=["_wb"])
 
     return (

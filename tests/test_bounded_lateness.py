@@ -146,3 +146,35 @@ def test_dpo_pairs_semantics(ray_session, tmp_path):
     assert (en.chosen_id, en.rejected_id, en.margin) == (2, 1, 80)
     fr = got[got.lang == "fr"].iloc[0]
     assert (fr.chosen_id, fr.rejected_id, fr.margin) == (4, 5, 0)
+
+
+def test_emit_dropped_partitions_stream(ray_session):
+    import pytest
+
+    rows = [(i, i, f"r{i}") for i in range(31) if i not in (5, 28)]
+    rows += [(35, 5, "late5"), (33, 28, "late28")]
+    kept = set(_run(rows, lag=10))
+    ds = bounded_lateness_filter(
+        _stream(rows),
+        arrival_col="akey",
+        seq_col="seq",
+        allowed_lag=10,
+        key_lo=0,
+        key_hi=36,
+        emit="dropped",
+    )
+    dropped = set(ds.to_pandas()["tag"])
+    assert dropped == {"late5"}
+    assert kept | dropped == {r[2] for r in rows}
+    assert kept & dropped == set()
+
+    with pytest.raises(ValueError):
+        bounded_lateness_filter(
+            _stream(rows),
+            arrival_col="akey",
+            seq_col="seq",
+            allowed_lag=10,
+            key_lo=0,
+            key_hi=36,
+            emit="both",
+        )
