@@ -12,9 +12,14 @@ The running maximum over arrival order is a prefix scan. Distributed
 as a *segmented scan*, the classic two-phase decomposition:
 
 1. Range-bucket rows by arrival key (contiguous buckets, so "all
-   earlier buckets" is well defined and the exchange is balanced when
-   arrival keys are near-uniform — they are for a mostly-ordered
-   stream with bounded stragglers).
+   earlier buckets" is well defined). Two bucketing modes:
+   ``linear`` splits the [key_lo, key_hi) span into equal widths —
+   balanced when arrival keys are near-uniform, as they are for dense
+   sequence numbers; ``quantile`` draws a bounded per-block sample of
+   arrival keys in one cheap pass and cuts at empirical quantiles, so
+   buckets stay balanced under ANY key distribution (bursty ingest,
+   sparse timestamp keys). Bucket boundaries never change the result
+   (tested) — only balance and parallelism.
 2. A lightweight pre-pass computes max(seq) per bucket (one tiny
    ``groupby().aggregate(Max)``; kilobytes collected on the driver),
    the driver takes the EXCLUSIVE prefix max across buckets, and the
@@ -58,17 +63,61 @@ def _bucketize(arrival_col: str, key_lo: int, key_hi: int, num_buckets: int):
     return fn
 
 
+def _bucketize_cuts(arrival_col: str, cuts: np.ndarray):
+    def fn(t: pa.Table) -> pa.Table:
+        a = t[arrival_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(cuts, a, side="right")
+        return t.append_column("_wb", pa.array(b.astype(np.int64), pa.int64()))
+
+    return fn
+
+
+def _quantile_cuts(
+    src: rd.Dataset,
+    arrival_col: str,
+    num_buckets: int,
+    per_block: int = 256,
+    driver_cap: int = 1 << 20,
+) -> np.ndarray:
+    """Interior cut points at empirical arrival-key quantiles from ONE
+    pass over ``src``: each block contributes at most ``per_block``
+    evenly-spaced order statistics of its own keys (kilobytes per
+    block), the driver pools and cuts. Equal per-block weight slightly
+    biases boundaries when block sizes vary — fine for load balance,
+    which is all boundaries affect. Ties collapse via np.unique, so
+    heavily repeated keys yield fewer, wider buckets (never wrong)."""
+
+    def samp(t: pa.Table) -> pa.Table:
+        a = np.sort(t[arrival_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        if len(a) == 0:
+            return pa.table({"_s": pa.array([], pa.int64())})
+        k = min(len(a), per_block)
+        idx = np.linspace(0, len(a) - 1, k).astype(np.int64)
+        return pa.table({"_s": pa.array(a[idx], pa.int64())})
+
+    s = np.sort(
+        src.map_batches(samp, batch_format="pyarrow").to_pandas()["_s"].to_numpy(np.int64)
+    )
+    if len(s) == 0:
+        return np.empty(0, np.int64)
+    if len(s) > driver_cap:
+        s = s[np.linspace(0, len(s) - 1, driver_cap).astype(np.int64)]
+    cuts = s[np.linspace(0, len(s) - 1, num_buckets + 1).astype(np.int64)][1:-1]
+    return np.unique(cuts)
+
+
 def bounded_lateness_filter(
     ds: rd.Dataset,
     *,
     arrival_col: str,
     seq_col: str,
     allowed_lag: int,
-    key_lo: int,
-    key_hi: int,
+    key_lo: Optional[int] = None,
+    key_hi: Optional[int] = None,
     seq_source: Optional[rd.Dataset] = None,
     num_buckets: Optional[int] = None,
     emit: str = "kept",
+    bucketing: str = "linear",
 ) -> rd.Dataset:
     """Keep rows with ``seq >= high_watermark - allowed_lag``.
 
@@ -86,23 +135,39 @@ def bounded_lateness_filter(
     stages (Ray Datasets recompute, they don't cache). Defaults to
     ``ds`` itself.
 
-    ``key_lo``/``key_hi``: arrival-key range for range bucketing
-    (half-open; from source metadata, e.g. parquet row counts — no
-    extra pass over the data).
+    ``bucketing='linear'`` (default, for dense sequence-number keys)
+    needs ``key_lo``/``key_hi`` — the arrival-key range, half-open,
+    from source metadata (e.g. parquet row counts — no extra pass).
+    ``bucketing='quantile'`` instead cuts at sampled empirical
+    quantiles of the arrival key (one cheap pass over ``seq_source``;
+    see :func:`_quantile_cuts`) and stays balanced under bursty or
+    sparse key distributions where linear widths collapse into a few
+    hot buckets.
 
     ``num_buckets`` defaults to ``adaptive_buckets(key_hi - key_lo)``
     (the arrival-key span is ~the row count for dense sequence
-    numbers), so per-bucket frames stay flat and parallelism scales
-    with the cluster instead of a fixed constant.
+    numbers; for quantile mode the CPU floor alone applies), so
+    per-bucket frames stay flat and parallelism scales with the
+    cluster instead of a fixed constant.
     """
-    if num_buckets is None:
-        from commons_codec_ray.util import adaptive_buckets
+    from commons_codec_ray.util import adaptive_buckets
 
-        num_buckets = adaptive_buckets(max(int(key_hi) - int(key_lo), 0))
-    bucketize = _bucketize(arrival_col, key_lo, key_hi, num_buckets)
-    pre = (seq_source if seq_source is not None else ds).map_batches(
-        bucketize, batch_format="pyarrow"
-    )
+    src = seq_source if seq_source is not None else ds
+    if bucketing == "linear":
+        if key_lo is None or key_hi is None:
+            raise ValueError("linear bucketing requires key_lo and key_hi")
+        if num_buckets is None:
+            num_buckets = adaptive_buckets(max(int(key_hi) - int(key_lo), 0))
+        bucketize = _bucketize(arrival_col, key_lo, key_hi, num_buckets)
+    elif bucketing == "quantile":
+        if num_buckets is None:
+            num_buckets = adaptive_buckets()
+        cuts = _quantile_cuts(src, arrival_col, num_buckets)
+        num_buckets = len(cuts) + 1
+        bucketize = _bucketize_cuts(arrival_col, cuts)
+    else:
+        raise ValueError(f"bucketing must be 'linear' or 'quantile', got {bucketing!r}")
+    pre = src.map_batches(bucketize, batch_format="pyarrow")
     rows = pre.groupby("_wb").aggregate(Max(seq_col)).take_all()
     bucket_max = np.full(num_buckets, _NEG_INF, np.int64)
     for r in rows:

@@ -178,3 +178,26 @@ def test_emit_dropped_partitions_stream(ray_session):
             key_hi=36,
             emit="both",
         )
+
+
+def test_quantile_bucketing_matches_linear_on_skewed_keys(ray_session):
+    # arrival keys clustered in two far-apart bursts: linear widths put
+    # everything into 2 hot buckets; quantile cuts stay balanced. The
+    # RESULT must be identical either way.
+    rows = [(i, i, f"a{i}") for i in range(40)]
+    rows += [(1_000_000 + i, 100 + i, f"b{i}") for i in range(40)]
+    rows += [(1_000_050, 50, "late50")]  # 89 behind seq 139 at arrival
+    lin = set(_run(rows, lag=10, num_buckets=16))
+    qnt = set(_run(rows, lag=10, num_buckets=16, bucketing="quantile"))
+    assert lin == qnt
+    assert "late50" not in lin
+
+    # quantile mode also works without key bounds
+    ds = bounded_lateness_filter(
+        _stream(rows),
+        arrival_col="akey",
+        seq_col="seq",
+        allowed_lag=10,
+        bucketing="quantile",
+    )
+    assert set(ds.to_pandas()["tag"]) == lin
