@@ -11166,6 +11166,86 @@ FROM lake GROUP BY conv_id
 """
 
 
+def q_context_truncate(sf_dir: str):
+    """Context-window truncation for SFT prep: keep each conversation's
+    maximal SUFFIX of turns (most recent context) whose total rendered
+    length (the sft_masks ``<|role|>text\\n`` accounting) fits a
+    512-char budget — always keeping at least the final turn even when
+    it alone overflows (the turn-splitting case is the tokenizer's
+    problem, not the selector's). Per conversation: kept-turn count and
+    kept rendered chars. One user-bucketed exchange; the suffix sum is
+    a reversed vectorized cumsum per group."""
+    nb = adaptive_buckets()
+    BUDGET = 512
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "event_type", "props"]
+    )
+
+    def ub(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ub", hash_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        )
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        rlen = (
+            df["event_type"].str.len().to_numpy(np.int64)
+            + df["props"].fillna("").str.len().to_numpy(np.int64)
+            + 5
+        )
+        n = len(df)
+        # reversed per-user cumsum: suffix sum ending at each row
+        rev = rlen[::-1]
+        uid_rev = uid[::-1]
+        cs = np.cumsum(rev)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = uid_rev[1:] != uid_rev[:-1]
+        base = np.where(new, cs - rev, 0)
+        base = np.maximum.accumulate(np.where(new, base, np.int64(np.iinfo(np.int64).min)))
+        sufsum = (cs - base)[::-1]
+        last_of_user = np.empty(n, bool)
+        last_of_user[-1] = True
+        last_of_user[:-1] = uid[1:] != uid[:-1]
+        keep = (sufsum <= BUDGET) | last_of_user
+        g = pd.DataFrame(
+            {"user_id": uid[keep], "rlen": rlen[keep]}
+        ).groupby("user_id", as_index=False).agg(
+            n_kept=("rlen", "size"), kept_chars=("rlen", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": ("c-" + g["user_id"].astype(str)).astype("string"),
+                "n_kept": g["n_kept"].to_numpy(np.int64),
+                "kept_chars": g["kept_chars"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(ub, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(per_conv, batch_format="pandas")
+    )
+
+
+_CONTEXT_TRUNCATE_SQL = """
+WITH t AS (
+  SELECT user_id, 'c-' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+         length(event_type) + length(coalesce(props, '')) + 5 AS rlen,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rpos
+  FROM events),
+s AS (
+  SELECT *, sum(rlen) OVER (PARTITION BY user_id ORDER BY event_id DESC
+                            ROWS UNBOUNDED PRECEDING) AS sufsum
+  FROM t),
+k AS (SELECT * FROM s WHERE sufsum <= 512 OR rpos = 1)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(rlen) AS BIGINT) AS kept_chars
+FROM k GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -11374,6 +11454,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "tool_call_stats": q_tool_call_stats,
     "cdc_late_dropped": q_cdc_late_dropped,
+    "context_truncate": q_context_truncate,
 }
 
 ORACLE_SQL = {
@@ -11584,4 +11665,5 @@ ORACLE_SQL = {
     "oov_rate": _OOV_RATE_SQL,
     "tool_call_stats": _TOOL_CALL_STATS_SQL,
     "cdc_late_dropped": _CDC_LATE_DROPPED_SQL,
+    "context_truncate": _CONTEXT_TRUNCATE_SQL,
 }

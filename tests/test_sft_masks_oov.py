@@ -106,3 +106,25 @@ def test_tool_call_stats_null_first_turn(ray_session, tmp_path):
     c2 = got.loc["c-2"]
     assert (c2.n_turns, c2.n_tool_calls, c2.n_distinct_tools) == (3, 2, 1)
     assert c2.first_tool_turn == 21
+
+
+def test_context_truncate_suffix_and_oversize_turn(ray_session, tmp_path):
+    from commons_codec_ray.pipelines.queries import q_context_truncate
+
+    # user 1: rendered lens 105,105,105,105,105,105 -> budget 512 keeps
+    #         the last 4 (420) but not 5 (525)
+    # user 2: single oversize turn (rendered 605) -> kept anyway
+    rows = [(1, i, "role", "x" * 96) for i in range(6)]  # 4+96+5 = 105
+    rows.append((2, 10, "role", "y" * 596))  # 4+596+5 = 605
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "props": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_context_truncate(str(tmp_path)).to_pandas().set_index("conv_id")
+    assert (got.loc["c-1"].n_kept, got.loc["c-1"].kept_chars) == (4, 420)
+    assert (got.loc["c-2"].n_kept, got.loc["c-2"].kept_chars) == (1, 605)
