@@ -1887,6 +1887,38 @@ SELECT query_id, vec_id, round(s, 4) AS score FROM ranked WHERE rn <= 10
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for 8 query vectors: top-5 most-similar
+    vectors with a DIFFERENT label (contrastive-training near-misses).
+    Same broadcast/stream/partial-top-k shape as ann_topk; the label
+    constraint is a vectorized mask inside the scorer — the corpus
+    still streams once, no shuffle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    out = sim_stage.hard_negatives(
+        ds, query_ids=list(range(8)), k=5, round_to=4
+    )
+    return out.select_columns(["query_id", "vec_id", "score"])
+
+
+_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+  FROM embeddings e JOIN q ON e.label <> q.qlabel),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(s, 4) AS score FROM ranked WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Payload decoding: JSON flatten + Extended JSON round trip
 # ---------------------------------------------------------------------------
@@ -10850,6 +10882,53 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_locf_fill(sf_dir: str):
+    """Global forward-fill (LOCF gap repair): every event carries the
+    integer-cents value of the last 'click' observation at or before it
+    in ``(ts, event_id)`` order — ``last_value(x IGNORE NULLS) OVER
+    (ORDER BY ts, event_id)`` as a distributed segmented scan
+    (:func:`stages.watermark.forward_fill`): quantile range-bucket on
+    the timestamp, per-bucket last-observation pre-pass (kilobytes to
+    the driver), exclusive prefix carry, ONE keyed exchange. No sort of
+    the full table, no window over a single partition — the two ways
+    this op is usually ruined at scale."""
+    from commons_codec_ray.stages.watermark import forward_fill
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        val = t["value"].to_numpy(zero_copy_only=False)
+        is_obs = pc.equal(t["event_type"], "click").to_numpy(zero_copy_only=False)
+        cents = duck_rint(val * 100.0).astype(np.int64)
+        obs = pa.array(np.where(is_obs, cents, 0), pa.int64(), mask=~is_obs)
+        return pa.table({"event_id": t["event_id"], "_ts": ts, "obs": obs})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = forward_fill(
+        prepped, order_col="_ts", tiebreak_col="event_id", value_col="obs"
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "filled"]], batch_format="pandas"
+    )
+
+
+_LOCF_FILL_SQL = """
+WITH obs AS (
+  SELECT event_id, ts,
+         CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) END AS obs
+  FROM events)
+SELECT event_id,
+       last_value(obs IGNORE NULLS) OVER (
+         ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM obs
+"""
+
+
 def q_conv_prefix_dedup(sf_dir: str):
     """Prefix-dominated conversation dedup: a conversation is removed
     when another conversation's turn sequence properly extends it (the
@@ -11455,6 +11534,8 @@ QUERIES = {
     "tool_call_stats": q_tool_call_stats,
     "cdc_late_dropped": q_cdc_late_dropped,
     "context_truncate": q_context_truncate,
+    "locf_fill": q_locf_fill,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLE_SQL = {
@@ -11666,4 +11747,6 @@ ORACLE_SQL = {
     "tool_call_stats": _TOOL_CALL_STATS_SQL,
     "cdc_late_dropped": _CDC_LATE_DROPPED_SQL,
     "context_truncate": _CONTEXT_TRUNCATE_SQL,
+    "locf_fill": _LOCF_FILL_SQL,
+    "hard_negatives": _HARD_NEGATIVES_SQL,
 }

@@ -38,18 +38,32 @@ class BruteForceTopK:
     """map_batches stage: per-batch cosine scores vs broadcast queries,
     keeping the batch-local top-k per query (partial reduce)."""
 
-    def __init__(self, queries_ref, k: int = 10, id_column: str = "vec_id"):
+    def __init__(
+        self,
+        queries_ref,
+        k: int = 10,
+        id_column: str = "vec_id",
+        label_column: str | None = None,
+    ):
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
         self.qids = np.asarray(q["ids"])
         self.qmat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        # hard-negative mode: per-query label; candidates sharing it are
+        # masked out (contrastive-mining semantics)
+        self.qlabels = np.asarray(q["labels"]) if label_column else None
         self.k = k
         self.id_column = id_column
+        self.label_column = label_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(batch["embedding"]))
         scores = self.qmat @ m.T  # (nq, nb)
-        k = min(self.k, scores.shape[1])
+        labels = (
+            batch[self.label_column].to_numpy(zero_copy_only=False)
+            if self.label_column
+            else None
+        )
         out_q, out_v, out_s = [], [], []
         for qi in range(scores.shape[0]):
             # deterministic boundary: (score desc, id asc), matching the
@@ -58,15 +72,32 @@ class BruteForceTopK:
             # the boundary stay in), then one small lexsort — O(n + c log
             # c) instead of a full-batch sort per query
             s = scores[qi]
-            if k < len(s):
-                kth = s[np.argpartition(-s, k - 1)[k - 1]]
-                cand = np.flatnonzero(s >= kth)
+            pool = (
+                np.flatnonzero(labels != self.qlabels[qi])
+                if labels is not None
+                else np.arange(len(s))
+            )
+            if len(pool) == 0:
+                continue
+            k = min(self.k, len(pool))
+            sp = s[pool]
+            if k < len(sp):
+                kth = sp[np.argpartition(-sp, k - 1)[k - 1]]
+                cand = pool[sp >= kth]
             else:
-                cand = np.arange(len(s))
+                cand = pool
             order = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
             out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
             out_v.append(ids[order])
             out_s.append(s[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_column: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -97,6 +128,68 @@ def ann_topk(ds, query_ids, k: int = 10, id_column: str = "vec_id", round_to: in
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_column": id_column},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=pool_size(4),
+    )
+
+    def head_k(group: pd.DataFrame) -> pd.DataFrame:
+        from commons_codec_ray.util import duckdb_round
+
+        g = (
+            group.sort_values(["score", id_column], ascending=[False, True], kind="mergesort")
+            .head(k)
+            .copy()
+        )
+        if round_to is not None:
+            g["score"] = duckdb_round(g["score"].to_numpy(), round_to)
+        return g
+
+    return partials.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+def hard_negatives(
+    ds,
+    query_ids,
+    k: int = 5,
+    id_column: str = "vec_id",
+    label_column: str = "label",
+    round_to: int | None = 4,
+):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a contrastive loss learns most from
+    (in-batch negatives are mostly easy; mined hard negatives dominate
+    retrieval-model quality).
+
+    Same broadcast-queries / streaming-corpus / partial-top-k shape as
+    :func:`ann_topk`; the label constraint is a per-batch mask inside
+    the scorer, so the corpus still streams once with no shuffle."""
+    qtbl = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t[id_column], value_set=pa.array(query_ids))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    qref = ray.put(
+        {
+            "ids": qtbl[id_column].to_numpy(),
+            "vectors": np.stack(qtbl["embedding"].to_numpy()),
+            "labels": qtbl[label_column].to_numpy(),
+        }
+    )
+
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "id_column": id_column,
+            "label_column": label_column,
+        },
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=pool_size(4),

@@ -106,6 +106,121 @@ def _quantile_cuts(
     return np.unique(cuts)
 
 
+def forward_fill(
+    ds: rd.Dataset,
+    *,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    out_col: str = "filled",
+    num_buckets: Optional[int] = None,
+    seq_source: Optional[rd.Dataset] = None,
+) -> rd.Dataset:
+    """Global last-observation-carried-forward over a TOTAL order —
+    ``last_value(value IGNORE NULLS) OVER (ORDER BY order, tiebreak)``
+    distributed as a segmented scan (same two-phase decomposition as
+    :func:`bounded_lateness_filter`, different carried statistic):
+
+    1. Range-bucket rows by ``order_col`` at sampled empirical
+       quantiles (:func:`_quantile_cuts`; contiguous half-open ranges,
+       so "all earlier buckets" is well defined and bucket order is key
+       order).
+    2. Pre-pass: each batch emits, per bucket it touches, the value at
+       its lexicographically largest non-null ``(order, tiebreak)`` row
+       — a few rows per block, kilobytes on the driver. The driver
+       reduces per bucket and takes the EXCLUSIVE prefix: ``carry[b]``
+       is the value of the last non-null observation in any bucket
+       ``< b`` (or null when none exists).
+    3. One keyed exchange co-locates each bucket; inside, the fill is a
+       vectorized index trick over rows sorted by ``(order, tiebreak)``
+       seeded with the carry.
+
+    ``order_col`` and ``tiebreak_col`` must be int64-coercible and the
+    pair must be unique per row (a timestamp + a unique id).
+    ``value_col`` is a nullable integer observation column; rows before
+    the first observation stay null. ``seq_source``: as in
+    :func:`bounded_lateness_filter`, an optional column-pruned source
+    for the sampling/pre-pass when ``ds`` is an expensive lazy pipeline.
+
+    The reference's relay never reorders or fills
+    (/root/reference/src/commons_codec/transform) — this is the
+    distributed gap-repair stage a 100 TB ingest needs in front of it.
+    """
+    from commons_codec_ray.util import adaptive_buckets
+
+    src = seq_source if seq_source is not None else ds
+    if num_buckets is None:
+        num_buckets = adaptive_buckets()
+    cuts = _quantile_cuts(src, order_col, num_buckets)
+    num_buckets = len(cuts) + 1
+    bucketize = _bucketize_cuts(order_col, cuts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = bucketize(t)
+        v = t2[value_col].to_numpy(zero_copy_only=False)
+        nn = pd.notna(v)
+        if not nn.any():
+            empty = pa.array([], pa.int64())
+            return pa.table({"_wb": empty, "_o": empty, "_t": empty, "_v": empty})
+        o = t2[order_col].to_numpy(zero_copy_only=False).astype(np.int64)[nn]
+        tb = t2[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)[nn]
+        b = t2["_wb"].to_numpy()[nn]
+        vv = v[nn]
+        idx = np.lexsort((tb, o, b))
+        b_s = b[idx]
+        last = np.nonzero(np.r_[b_s[1:] != b_s[:-1], True])[0]
+        sel = idx[last]
+        return pa.table(
+            {
+                "_wb": pa.array(b[sel], pa.int64()),
+                "_o": pa.array(o[sel], pa.int64()),
+                "_t": pa.array(tb[sel], pa.int64()),
+                "_v": pa.array(vv[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = src.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # per-bucket lexmax across block partials, then exclusive prefix carry
+    bucket_val: dict[int, tuple[int, int, int]] = {}
+    for b, o, tb, v in parts.itertuples(index=False):
+        cur = bucket_val.get(int(b))
+        if cur is None or (int(o), int(tb)) > (cur[0], cur[1]):
+            bucket_val[int(b)] = (int(o), int(tb), int(v))
+    carry_val = np.zeros(num_buckets, np.int64)
+    carry_has = np.zeros(num_buckets, bool)
+    run_v, run_has = 0, False
+    for b in range(num_buckets):
+        carry_val[b], carry_has[b] = run_v, run_has
+        if b in bucket_val:
+            run_v, run_has = bucket_val[b][2], True
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_wb"].iloc[0])
+        o = df[order_col].to_numpy(np.int64)
+        tb = df[tiebreak_col].to_numpy(np.int64)
+        order = np.lexsort((tb, o))
+        v = df[value_col].to_numpy(object)[order]
+        nn = pd.notna(v)
+        n = len(v)
+        idx = np.where(nn, np.arange(1, n + 1), 0)
+        run = np.maximum.accumulate(idx)
+        filled = np.empty(n, object)
+        hit = run > 0
+        filled[hit] = v[run[hit] - 1]
+        filled[~hit] = int(carry_val[b]) if carry_has[b] else None
+        out = np.empty(n, object)
+        out[order] = filled
+        res = df.drop(columns=["_wb", value_col]).copy()
+        res[out_col] = pd.array(out, dtype="Int64")
+        return res
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(fill, batch_format="pandas")
+    )
+
+
 def bounded_lateness_filter(
     ds: rd.Dataset,
     *,

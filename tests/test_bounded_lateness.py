@@ -85,6 +85,63 @@ def test_seq_source_prepass_matches_inline(ray_session):
     assert "late7" not in got and len(got) == 49
 
 
+def _ffill_stream(obs):
+    """obs: list of (order, tiebreak, value-or-None)."""
+    t = pa.table(
+        {
+            "o": pa.array([r[0] for r in obs], pa.int64()),
+            "tb": pa.array([r[1] for r in obs], pa.int64()),
+            "v": pa.array([r[2] for r in obs], pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def _ffill_run(obs, **kw):
+    from commons_codec_ray.stages.watermark import forward_fill
+
+    out = forward_fill(
+        _ffill_stream(obs), order_col="o", tiebreak_col="tb", value_col="v", **kw
+    )
+    df = out.to_pandas().sort_values(["o", "tb"]).reset_index(drop=True)
+    return [None if pd.isna(x) else int(x) for x in df["filled"]]
+
+
+def test_forward_fill_matches_pandas_reference(ray_session):
+    rng = np.random.RandomState(7)
+    n = 500
+    orders = rng.permutation(n)  # scrambled physical layout, total order by o
+    obs = [
+        (int(o), int(o) * 3 + 1, int(o) % 10 if o % 3 == 0 else None) for o in orders
+    ]
+    got = _ffill_run(obs, num_buckets=16)
+    ref = (
+        pd.DataFrame(sorted(obs), columns=["o", "tb", "v"])["v"]
+        .astype("Int64")
+        .ffill()
+    )
+    want = [None if pd.isna(x) else int(x) for x in ref]
+    assert got == want
+
+
+def test_forward_fill_leading_nulls_stay_null(ray_session):
+    obs = [(0, 0, None), (1, 1, None), (2, 2, 7), (3, 3, None)]
+    assert _ffill_run(obs, num_buckets=4) == [None, None, 7, 7]
+
+
+def test_forward_fill_bucket_count_invariant(ray_session):
+    obs = [(i, i, i * 11 if i % 7 == 2 else None) for i in range(300)]
+    a = _ffill_run(obs, num_buckets=2)
+    b = _ffill_run(obs, num_buckets=64)
+    assert a == b
+
+
+def test_forward_fill_tiebreak_within_equal_order_keys(ray_session):
+    # equal order keys resolved by tiebreak: (5, 1, 100) precedes (5, 2, None)
+    obs = [(5, 2, None), (5, 1, 100), (4, 0, None), (6, 0, None)]
+    assert _ffill_run(obs, num_buckets=2) == [None, 100, 100, 100]
+
+
 def test_gopher_signals_exact_counts():
     texts = [
         # keep: 12 words, all-distinct except one stop hit, no dup trigram

@@ -152,3 +152,45 @@ def test_quantize_int8_bounds_and_zero_vector(ray_session):
     assert q[1].tolist() == [0, 0, 0, 0]
     assert q[2].tolist() == [127, 127, -127, 63]
     assert q.max() <= 127 and q.min() >= -127
+
+
+def test_hard_negatives_excludes_query_label(ray_session):
+    from commons_codec_ray.stages.similarity import hard_negatives
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    labels = (
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "label"])
+        .to_pandas()
+        .set_index("vec_id")["label"]
+    )
+    out = hard_negatives(ds, query_ids=QUERIES, k=5, round_to=None).to_pandas()
+    for qid, g in out.groupby("query_id"):
+        assert len(g) == 5
+        assert qid not in set(g["vec_id"])  # self shares its own label
+        assert all(labels[v] != labels[qid] for v in g["vec_id"])
+
+
+def test_hard_negatives_are_hardest_cross_label(ray_session):
+    # brute-force reference: for each query, the mined negatives must be
+    # exactly the top-5 cosine among different-label vectors
+    from commons_codec_ray.stages.similarity import hard_negatives
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    df = ds.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    got = hard_negatives(ds, query_ids=QUERIES, k=5, round_to=None).to_pandas()
+    for q in QUERIES:
+        qi = df.index[df["vec_id"] == q][0]
+        s = m @ m[qi]
+        mask = (df["label"] != df["label"].iloc[qi]).to_numpy()
+        pool = np.flatnonzero(mask)
+        order = pool[np.lexsort((df["vec_id"].to_numpy()[pool], -s[pool]))][:5]
+        want = list(df["vec_id"].to_numpy()[order])
+        have = list(got[got["query_id"] == q].sort_values(
+            ["score", "vec_id"], ascending=[False, True])["vec_id"])
+        assert have == want
