@@ -4720,20 +4720,41 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1 :]
 
 
-def q_typo_pairs(sf_dir: str):
-    """Fuzzy self-join at edit distance ≤ 1 via DELETION NEIGHBORHOODS
-    (the FastSS blocking scheme): every distinct key emits itself plus
-    its |s| single-character deletions; two keys within ED 1 are
-    GUARANTEED to share a variant (substitution → the common deletion,
-    indel → the shorter string itself), so candidate generation is one
-    variant-keyed exchange of N·L rows — never the O(N²) cross join.
-    Candidates dedupe in a pair-keyed exchange and are verified with an
-    exact two-pointer ED≤1 check. The key set here is derived
+def _ed_le(a: str, b: str, k: int) -> bool:
+    """Exact edit-distance ≤ k check (full DP with early exit; keys in
+    the fuzzy-join family are short, so the O(len²) row is trivial)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if k == 1:
+        return _ed_le1(a, b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ai != b[j - 1]))
+        prev = cur
+        if min(prev) > k:
+            return False
+    return prev[lb] <= k
+
+
+def _typo_pairs_impl(sf_dir: str, depth: int):
+    """Fuzzy self-join at edit distance ≤ ``depth`` via DELETION
+    NEIGHBORHOODS (the FastSS blocking scheme, Bocek et al. 2007):
+    every distinct key emits itself plus all variants reachable by up
+    to ``depth`` character deletions; two keys within ED ``depth`` are
+    GUARANTEED to share a variant, so candidate generation is one
+    variant-keyed exchange of N·L^depth rows — never the O(N²) cross
+    join. Candidates dedupe in a pair-keyed exchange and are verified
+    with an exact edit-distance check. The key set is derived
     deterministically from doc_id (the natural corpus has a 31-token
     vocabulary — too clean to contain typos); the oracle replays the
     same neighborhood construction with DuckDB list lambdas and gates
     on levenshtein()."""
     import zlib as _zlib
+    from itertools import combinations as _comb
 
     nb = adaptive_buckets()
     _SUF = ["", "a", "b", "ab", "ba"]
@@ -4747,14 +4768,18 @@ def q_typo_pairs(sf_dir: str):
 
     def neighborhoods(df: pd.DataFrame) -> pd.DataFrame:
         # per DISTINCT key (vocabulary-sized, not corpus-sized): the key
-        # itself plus all single-char deletions
+        # itself plus all ≤depth-deletion variants
         out_v, out_s = [], []
         for s in df["s"].drop_duplicates():
-            out_v.append(s)
-            out_s.append(s)
-            for i in range(len(s)):
-                out_v.append(s[:i] + s[i + 1 :])
-                out_s.append(s)
+            vs = {s}
+            for r in range(1, min(depth, len(s)) + 1):
+                for pos in _comb(range(len(s)), r):
+                    t = s
+                    for p in reversed(pos):
+                        t = t[:p] + t[p + 1 :]
+                    vs.add(t)
+            out_v.extend(vs)
+            out_s.extend([s] * len(vs))
         return pd.DataFrame({"v": out_v, "s": out_s})
 
     def vbucket(t: pa.Table) -> pa.Table:
@@ -4799,7 +4824,7 @@ def q_typo_pairs(sf_dir: str):
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["sa", "sb"])
         keep = [
-            _ed_le1(a, b) for a, b in zip(d["sa"], d["sb"])
+            _ed_le(a, b, depth) for a, b in zip(d["sa"], d["sb"])
         ]  # candidate set is tiny (shared-variant collisions only)
         return d.loc[keep, ["sa", "sb"]]
 
@@ -4814,6 +4839,20 @@ def q_typo_pairs(sf_dir: str):
         .groupby("_pb")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+def q_typo_pairs(sf_dir: str):
+    """ED≤1 fuzzy self-join (see :func:`_typo_pairs_impl`)."""
+    return _typo_pairs_impl(sf_dir, depth=1)
+
+
+def q_typo_pairs2(sf_dir: str):
+    """ED≤2 fuzzy self-join: same FastSS shape as typo_pairs with
+    depth-2 deletion neighborhoods (1 + L + C(L,2) variants per
+    distinct key) and an exact DP verify — catches transposition-like
+    double edits ('ab'↔'ba') and two-character indels the ED≤1 join
+    misses."""
+    return _typo_pairs_impl(sf_dir, depth=2)
 
 
 _TYPO_PAIRS_SQL = """
@@ -4831,6 +4870,29 @@ cand AS (
   SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
   FROM nbr a JOIN nbr b ON a.v = b.v AND a.s <> b.s)
 SELECT sa, sb FROM cand WHERE levenshtein(sa, sb) <= 1
+"""
+
+
+_TYPO_PAIRS2_SQL = """
+WITH s AS (
+  SELECT DISTINCT 'w' || CAST(doc_id // 50 AS VARCHAR) ||
+         CASE doc_id % 5 WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                         WHEN 3 THEN 'ab' WHEN 4 THEN 'ba' ELSE '' END AS s
+  FROM documents),
+d1 AS (
+  SELECT s, unnest(list_append(
+           list_transform(range(1, len(s) + 1),
+                          i -> substr(s, 1, i - 1) || substr(s, i + 1)), s)) AS v
+  FROM s),
+nbr AS (
+  SELECT DISTINCT s, unnest(list_append(
+           list_transform(range(1, len(v) + 1),
+                          i -> substr(v, 1, i - 1) || substr(v, i + 1)), v)) AS v
+  FROM d1),
+cand AS (
+  SELECT DISTINCT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+  FROM nbr a JOIN nbr b ON a.v = b.v AND a.s <> b.s)
+SELECT sa, sb FROM cand WHERE levenshtein(sa, sb) <= 2
 """
 
 
@@ -5367,6 +5429,72 @@ def q_hash_sample(sf_dir: str):
 _HASH_SAMPLE_SQL = """
 SELECT doc_id, text FROM documents
 WHERE CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 10 = 0
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split with per-(split,
+    source) accounting (row count + doc_id checksum) — the split audit
+    table a data card publishes. Membership is a pure content hash
+    (same md5-bucket rule as hash_sample), so the split needs no
+    coordination, survives re-crawls and cluster resizes, and any
+    engine re-derives it exactly. One linear pass: per-batch partial
+    (split, source) count/sum groupbys (vectorized), kilobytes of
+    mergeable partials reduced on the driver — never a shuffle of the
+    corpus itself."""
+    import hashlib as _hashlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        h = np.fromiter(
+            (
+                int(_hashlib.md5((x or "").encode("utf-8")).hexdigest()[:8], 16) % 100
+                for x in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        df = pd.DataFrame(
+            {
+                "split": split,
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["split", "source"], as_index=False).agg(
+            n_docs=("doc_id", "size"), id_sum=("doc_id", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["split", "source"], as_index=False)[["n_docs", "id_sum"]]
+        .sum()
+        .sort_values(["split", "source"])
+    )
+    return pa.table(
+        {
+            "split": pa.array(out["split"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64), pa.int64()),
+            "id_sum": pa.array(out["id_sum"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_DATASET_SPLIT_SQL = """
+WITH b AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT) % 100 AS h
+  FROM documents)
+SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY 1, 2
 """
 
 
@@ -11536,6 +11664,8 @@ QUERIES = {
     "context_truncate": q_context_truncate,
     "locf_fill": q_locf_fill,
     "hard_negatives": q_hard_negatives,
+    "dataset_split": q_dataset_split,
+    "typo_pairs2": q_typo_pairs2,
 }
 
 ORACLE_SQL = {
@@ -11749,4 +11879,6 @@ ORACLE_SQL = {
     "context_truncate": _CONTEXT_TRUNCATE_SQL,
     "locf_fill": _LOCF_FILL_SQL,
     "hard_negatives": _HARD_NEGATIVES_SQL,
+    "dataset_split": _DATASET_SPLIT_SQL,
+    "typo_pairs2": _TYPO_PAIRS2_SQL,
 }

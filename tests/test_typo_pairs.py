@@ -35,3 +35,40 @@ def test_ed_le1_longer_cases():
     assert _ed_le1("w123a", "w123b")
     assert not _ed_le1("w123ab", "w123ba")
     assert not _ed_le1("w12", "w1234")
+
+
+def test_ed_le_k_matches_dp_exhaustively():
+    from commons_codec_ray.pipelines.queries import _ed_le
+
+    alpha = "ab"
+    words = [""] + [
+        "".join(w)
+        for n in range(1, 5)
+        for w in itertools.product(alpha, repeat=n)
+    ]
+    for k in (1, 2, 3):
+        for x in words:
+            for y in words:
+                assert _ed_le(x, y, k) == (_lev(x, y) <= k), (x, y, k)
+
+
+def test_depth2_neighborhood_candidates_are_complete():
+    # FastSS completeness at depth 2: every pair within ED<=2 over a
+    # small vocabulary shares a <=2-deletion variant
+    from itertools import combinations
+
+    def nbhd(s, depth=2):
+        vs = {s}
+        for r in range(1, min(depth, len(s)) + 1):
+            for pos in combinations(range(len(s)), r):
+                t = s
+                for p in reversed(pos):
+                    t = t[:p] + t[p + 1 :]
+                vs.add(t)
+        return vs
+
+    vocab = ["w1", "w1a", "w1b", "w1ab", "w1ba", "w2", "w12", "w21ab"]
+    for x in vocab:
+        for y in vocab:
+            if x != y and _lev(x, y) <= 2:
+                assert nbhd(x) & nbhd(y), (x, y)
