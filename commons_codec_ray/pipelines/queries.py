@@ -1919,6 +1919,78 @@ SELECT query_id, vec_id, round(s, 4) AS score FROM ranked WHERE rn <= 5
 """
 
 
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-Marginal-Relevance diverse top-5 for query vector 0
+    (Carbonell & Goldstein 1998), λ=0.5: greedy argmax of
+    ``rel − max-sim-to-selected`` (the λ=0.5 objective ×2) over a
+    top-20 relevance pool. The distributed stage is the streaming
+    brute-force pool (ann_topk shape); the greedy loop runs on the
+    driver over the BOUNDED pool only (20×20 sims). All similarities
+    quantize to integer ppm before ANY comparison (raw-float argmax is
+    not replayable across engines on corpora with duplicate vectors —
+    see stages/similarity.py mmr_select). Oracle: the five selection
+    steps unrolled as chained materialized CTEs."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = sim_stage.mmr_select(ds, query_id=0, pool_k=20, k=5)
+    return pa.table(
+        {
+            "sel_rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+            "vec_id": pa.array(df["vec_id"].to_numpy(np.int64), pa.int64()),
+            "m2_ppm": pa.array(df["m2_ppm"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_MMR_RERANK_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+rel AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                    * 1000000) AS BIGINT) AS rp
+  FROM embeddings e, q WHERE e.vec_id <> 0),
+pool AS MATERIALIZED (SELECT * FROM rel ORDER BY rp DESC, vec_id LIMIT 20),
+s1 AS MATERIALIZED (
+  SELECT vec_id, v, rp AS m FROM pool ORDER BY rp DESC, vec_id LIMIT 1),
+c2 AS (
+  SELECT p.vec_id, p.v, p.rp,
+         p.rp - CAST(round(list_cosine_similarity(p.v, s1.v) * 1000000) AS BIGINT) AS m
+  FROM pool p, s1 WHERE p.vec_id <> s1.vec_id),
+s2 AS MATERIALIZED (SELECT vec_id, v, m FROM c2 ORDER BY m DESC, vec_id LIMIT 1),
+c3 AS (
+  SELECT p.vec_id, p.v, p.rp,
+         p.rp - greatest(
+           CAST(round(list_cosine_similarity(p.v, s1.v) * 1000000) AS BIGINT),
+           CAST(round(list_cosine_similarity(p.v, s2.v) * 1000000) AS BIGINT)) AS m
+  FROM pool p, s1, s2 WHERE p.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+s3 AS MATERIALIZED (SELECT vec_id, v, m FROM c3 ORDER BY m DESC, vec_id LIMIT 1),
+c4 AS (
+  SELECT p.vec_id, p.v, p.rp,
+         p.rp - greatest(
+           CAST(round(list_cosine_similarity(p.v, s1.v) * 1000000) AS BIGINT),
+           CAST(round(list_cosine_similarity(p.v, s2.v) * 1000000) AS BIGINT),
+           CAST(round(list_cosine_similarity(p.v, s3.v) * 1000000) AS BIGINT)) AS m
+  FROM pool p, s1, s2, s3
+  WHERE p.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+s4 AS MATERIALIZED (SELECT vec_id, v, m FROM c4 ORDER BY m DESC, vec_id LIMIT 1),
+c5 AS (
+  SELECT p.vec_id, p.v, p.rp,
+         p.rp - greatest(
+           CAST(round(list_cosine_similarity(p.v, s1.v) * 1000000) AS BIGINT),
+           CAST(round(list_cosine_similarity(p.v, s2.v) * 1000000) AS BIGINT),
+           CAST(round(list_cosine_similarity(p.v, s3.v) * 1000000) AS BIGINT),
+           CAST(round(list_cosine_similarity(p.v, s4.v) * 1000000) AS BIGINT)) AS m
+  FROM pool p, s1, s2, s3, s4
+  WHERE p.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id, s4.vec_id)),
+s5 AS MATERIALIZED (SELECT vec_id, v, m FROM c5 ORDER BY m DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, m AS m2_ppm FROM s1
+UNION ALL SELECT 2, vec_id, m FROM s2
+UNION ALL SELECT 3, vec_id, m FROM s3
+UNION ALL SELECT 4, vec_id, m FROM s4
+UNION ALL SELECT 5, vec_id, m FROM s5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Payload decoding: JSON flatten + Extended JSON round trip
 # ---------------------------------------------------------------------------
@@ -11057,6 +11129,73 @@ FROM obs
 """
 
 
+def q_activity_gaps(sf_dir: str):
+    """Per-user activity-gap analysis over hourly buckets: distinct
+    active hours, silent hours inside the user's span, and the longest
+    consecutive silent run — the coverage/staleness metrics a feed
+    monitor exports. Per-batch DISTINCT (user, epoch-hour) partials
+    shrink the exchange to at most users × span rows, then ONE
+    user-bucketed exchange and a fully vectorized per-bucket pass
+    (reduceat over sorted hour diffs — no per-user Python loop)."""
+    nb = adaptive_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        df = pd.DataFrame({"user_id": u, "hr": hr}).drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("_ub", hash_bucket(df["user_id"].to_numpy(np.int64), nb))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "hr"]).sort_values(["user_id", "hr"])
+        u = d["user_id"].to_numpy(np.int64)
+        h = d["hr"].to_numpy(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.append(starts, n))
+        first = h[starts]
+        last = h[starts + counts - 1]
+        span = last - first + 1
+        # pairwise silent runs; zeroed across user boundaries, padded so
+        # reduceat segments line up with user starts
+        gap = np.zeros(n, np.int64)
+        if n > 1:
+            gap[:-1] = np.where(u[1:] == u[:-1], np.diff(h) - 1, 0)
+        max_gap = np.maximum.reduceat(gap, starts)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "n_active_hours": counts.astype(np.int64),
+                "n_gap_hours": (span - counts).astype(np.int64),
+                "max_gap_hours": max_gap,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+_ACTIVITY_GAPS_SQL = """
+WITH h AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events),
+d AS (
+  SELECT user_id, hr,
+         lead(hr) OVER (PARTITION BY user_id ORDER BY hr) AS nxt
+  FROM h)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_active_hours,
+       CAST(datediff('hour', min(hr), max(hr)) + 1 - count(*) AS BIGINT)
+         AS n_gap_hours,
+       CAST(max(coalesce(datediff('hour', hr, nxt), 1) - 1) AS BIGINT)
+         AS max_gap_hours
+FROM d GROUP BY user_id
+"""
+
+
 def q_conv_prefix_dedup(sf_dir: str):
     """Prefix-dominated conversation dedup: a conversation is removed
     when another conversation's turn sequence properly extends it (the
@@ -11666,6 +11805,8 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "dataset_split": q_dataset_split,
     "typo_pairs2": q_typo_pairs2,
+    "mmr_rerank": q_mmr_rerank,
+    "activity_gaps": q_activity_gaps,
 }
 
 ORACLE_SQL = {
@@ -11881,4 +12022,6 @@ ORACLE_SQL = {
     "hard_negatives": _HARD_NEGATIVES_SQL,
     "dataset_split": _DATASET_SPLIT_SQL,
     "typo_pairs2": _TYPO_PAIRS2_SQL,
+    "mmr_rerank": _MMR_RERANK_SQL,
+    "activity_gaps": _ACTIVITY_GAPS_SQL,
 }

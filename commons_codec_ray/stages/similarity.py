@@ -210,6 +210,91 @@ def hard_negatives(
     return partials.groupby("query_id").map_groups(head_k, batch_format="pandas")
 
 
+def mmr_select(
+    ds,
+    query_id: int,
+    pool_k: int = 20,
+    k: int = 5,
+    id_column: str = "vec_id",
+):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-k with λ=0.5: greedily pick the candidate maximizing
+    ``rel(c) - max_{s in selected} sim(c, s)`` (the λ=0.5 objective
+    scaled by 2, which preserves the argmax).
+
+    Scale shape: the DISTRIBUTED stage is the relevance pool — a
+    streaming brute-force top-``pool_k`` over the corpus (same
+    broadcast/partial-reduce as :func:`ann_topk`); the greedy loop is
+    inherently sequential but runs on the driver over the BOUNDED pool
+    (pool_k × pool_k sims — bytes), never the corpus.
+
+    Determinism: every similarity is quantized to integer ppm
+    (``duck_rint(cos * 1e6)``) BEFORE any comparison — selection on
+    raw floats is not replayable across engines because amplified
+    corpora contain exact duplicate vectors whose objective values tie
+    at math level and order by accumulated-ulp noise (observed: numpy
+    vs DuckDB swapped ranks 2/3 on a duplicated corpus). Integer
+    scores tie-break by id ascending. The partial top-k scan keeps a
+    16-candidate slack so a ppm-tied candidate cut by the raw-score
+    batch boundary cannot change pool membership."""
+    import pandas as pd
+
+    from commons_codec_ray.util import duck_rint
+
+    partials = (
+        ann_topk(ds, [query_id], k=pool_k + 16, id_column=id_column, round_to=None)
+        .to_pandas()
+    )
+    partials = partials[partials[id_column] != query_id].copy()
+    partials["rp"] = duck_rint(partials["score"].to_numpy(np.float64) * 1e6).astype(
+        np.int64
+    )
+    pool = partials.sort_values(
+        ["rp", id_column], ascending=[False, True], kind="mergesort"
+    ).head(pool_k)
+    ids = pool[id_column].to_numpy()
+    rel_ppm = pool["rp"].to_numpy(np.int64)
+
+    want = set(ids.tolist())
+    vec = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t[id_column], value_set=pa.array(sorted(want)))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index(id_column)["embedding"]
+    )
+    m = _normalize(np.stack([np.asarray(vec[i], np.float64) for i in ids]))
+    sims_ppm = duck_rint((m @ m.T) * 1e6).astype(np.int64)
+
+    selected: list[int] = []
+    out_rank, out_id, out_score = [], [], []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        best = None
+        for i in remaining:
+            pen = max(sims_ppm[i][j] for j in selected) if selected else 0
+            score = int(rel_ppm[i]) - int(pen)
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, i, score = best
+        selected.append(i)
+        remaining.remove(i)
+        out_rank.append(rank)
+        out_id.append(int(ids[i]))
+        out_score.append(score)
+    return pd.DataFrame(
+        {
+            "rank": np.array(out_rank, np.int64),
+            id_column: np.array(out_id, np.int64),
+            "m2_ppm": np.array(out_score, np.int64),
+        }
+    )
+
+
 class IVFIndex:
     """IVF coarse quantizer: seeded k-means (numpy Lloyd, few rounds) on
     a corpus sample; search probes the ``nprobe`` nearest centroids.

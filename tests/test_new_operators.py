@@ -264,3 +264,49 @@ def test_rank_sketch_per_key_compressed_rank_bound(ray_session):
         # total rank error ≤ Σ_batches ⌈n_b/m⌉ ≈ n·B/(m·B) per batch sum
         bound = B * int(np.ceil(n / B / 16)) + B
         assert abs(rank - target) <= bound, (q, rank, target, bound)
+
+
+def test_activity_gaps_edge_cases(ray_session, tmp_path):
+    from commons_codec_ray.pipelines.queries import q_activity_gaps
+
+    hour = 3_600_000_000  # us
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: single event → span 1, no gaps
+        (1, base),
+        # user 2: hours 0,1,2 → contiguous, no gaps
+        (2, base), (2, base + hour), (2, base + 2 * hour),
+        # user 3: hours 0 and 5 → 4 silent hours, max run 4
+        (3, base), (3, base + 5 * hour),
+        # user 4: two events inside ONE hour → 1 active hour
+        (4, base), (4, base + 60_000_000),
+        # user 5: hours 0, 2, 10 → gaps of 1 and 7
+        (5, base), (5, base + 2 * hour), (5, base + 10 * hour),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        q_activity_gaps(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = {
+        1: (1, 0, 0),
+        2: (3, 0, 0),
+        3: (2, 4, 4),
+        4: (1, 0, 0),
+        5: (3, 8, 7),
+    }
+    for u, (act, gap, mx) in want.items():
+        r = out.loc[u]
+        assert (r["n_active_hours"], r["n_gap_hours"], r["max_gap_hours"]) == (act, gap, mx), u

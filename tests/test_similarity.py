@@ -2,6 +2,7 @@
 queries); LSH and IVF are approximate scale paths — assert recall here."""
 
 import numpy as np
+import pyarrow as pa
 import ray.data as rd
 
 from commons_codec_ray.stages.similarity import ann_topk, ivf_topk, lsh_topk
@@ -194,3 +195,63 @@ def test_hard_negatives_are_hardest_cross_label(ray_session):
         have = list(got[got["query_id"] == q].sort_values(
             ["score", "vec_id"], ascending=[False, True])["vec_id"])
         assert have == want
+
+
+def test_mmr_select_matches_naive_reference(ray_session):
+    from commons_codec_ray.stages.similarity import mmr_select
+    from commons_codec_ray.util import duck_rint
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = mmr_select(ds, query_id=0, pool_k=20, k=5)
+
+    # independent reference: full corpus in memory, same ppm objective
+    df = ds.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    qi = int(df.index[df["vec_id"] == 0][0])
+    rel = duck_rint((m @ m[qi]) * 1e6).astype(np.int64)
+    sims = duck_rint((m @ m.T) * 1e6).astype(np.int64)
+    ids = df["vec_id"].to_numpy()
+    cand = [i for i in range(len(df)) if ids[i] != 0]
+    cand.sort(key=lambda i: (-rel[i], ids[i]))
+    pool = cand[:20]
+    sel, want = [], []
+    for _ in range(5):
+        best = min(
+            (i for i in pool if i not in sel),
+            key=lambda i: (
+                -(int(rel[i]) - (max(int(sims[i][j]) for j in sel) if sel else 0)),
+                ids[i],
+            ),
+        )
+        sel.append(best)
+        want.append(int(ids[best]))
+    assert list(got["vec_id"]) == want
+    assert list(got["rank"]) == [1, 2, 3, 4, 5]
+    assert len(set(got["vec_id"])) == 5
+
+
+def test_mmr_select_diversifies_duplicate_leaders(ray_session):
+    # a corpus whose top relevance hits are copies of one vector: plain
+    # top-k returns the copies; MMR must pick one copy then diversify
+    from commons_codec_ray.stages.similarity import mmr_select
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 8)
+    q = base[0]
+    near = q + 0.01 * rng.randn(3, 8)  # three near-duplicates of q
+    other = rng.randn(4, 8)
+    vecs = np.vstack([q[None, :], near, other])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    got = mmr_select(ds, query_id=0, pool_k=7, k=3)
+    picked = list(got["vec_id"])
+    # rank 1 is a near-duplicate of q; ranks 2-3 must NOT both be the
+    # remaining near-duplicates (similarity penalty pushes them out)
+    assert picked[0] in (1, 2, 3)
+    assert not set(picked[1:]).issubset({1, 2, 3})
