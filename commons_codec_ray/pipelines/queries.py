@@ -10671,10 +10671,12 @@ def q_table_profile(sf_dir: str):
     """Column profiler (stages/dq.py:profile_columns — the Deequ /
     Great-Expectations profiling shape): per-column row/null counts and
     exact numeric min/max from ONE pruned scan of kilobyte partials,
-    plus EXACT distinct counts via one hash-bucketed exchange per
-    column (distinct ORIGINAL values per bucket, so the routing hash
-    can't inflate the count). min/max involve no arithmetic, so they
-    match SQL bit-for-bit; non-numeric columns carry NULL."""
+    plus EXACT distinct counts via ONE combined hash-bucketed exchange
+    for all columns at once (per-batch distinct ORIGINAL values tagged
+    by column index in typed lanes — equal (column, value) pairs
+    co-bucket, so the routing hash can't inflate the count). min/max
+    involve no arithmetic, so they match SQL bit-for-bit; non-numeric
+    columns carry NULL."""
     from commons_codec_ray.stages.dq import profile_columns
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]

@@ -122,6 +122,7 @@ def profile_columns(ds, columns, num_buckets: int | None = None) -> pa.Table:
             ("k_int", pa.int64()),
             ("k_flt", pa.float64()),
             ("k_str", pa.string()),
+            ("k_bin", pa.binary()),
         ]
     )
 
@@ -138,22 +139,37 @@ def profile_columns(ds, columns, num_buckets: int | None = None) -> pa.Table:
             k_int = pa.nulls(n, pa.int64())
             k_flt = pa.nulls(n, pa.float64())
             k_str = pa.nulls(n, pa.string())
+            k_bin = pa.nulls(n, pa.binary())
             if pa.types.is_integer(v.type):
                 # wrapping int64 cast is bijective, so distinctness of
                 # 64-bit unsigned values survives the transport lane
                 k_int = v.cast(pa.int64(), safe=False)
                 h = k_int.to_numpy(zero_copy_only=False).astype(np.uint64)
             elif pa.types.is_floating(v.type):
-                # +0.0 folds -0.0 into 0.0 so the pair routes (and
-                # counts) as one value, matching SQL DISTINCT
-                k_flt = pc.add(v.cast(pa.float64()), 0.0)
+                # canonicalize: +0.0 folds -0.0 into 0.0 and every NaN
+                # payload collapses to one quiet NaN, so each routes
+                # (and counts) as ONE value — SQL DISTINCT semantics
+                w = v.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
+                w = np.where(np.isnan(w), np.float64("nan"), w)
+                w = np.unique(w)  # payload collapse can re-duplicate
+                n = len(w)
+                k_int = pa.nulls(n, pa.int64())
+                k_str = pa.nulls(n, pa.string())
+                k_bin = pa.nulls(n, pa.binary())
+                k_flt = pa.array(w, pa.float64())
+                h = pd.util.hash_array(w).astype(np.uint64)
+            elif pa.types.is_binary(v.type) or pa.types.is_fixed_size_binary(
+                v.type
+            ) or pa.types.is_large_binary(v.type):
+                # bytes are not UTF-8; they get their own lane
+                k_bin = v.cast(pa.binary())
                 h = pd.util.hash_array(
-                    k_flt.to_numpy(zero_copy_only=False)
+                    k_bin.to_pandas().to_numpy(dtype=object)
                 ).astype(np.uint64)
             else:
                 k_str = v.cast(pa.string())
                 h = pd.util.hash_array(
-                    np.asarray(k_str.to_pylist(), dtype=object)
+                    k_str.to_pandas().to_numpy(dtype=object)
                 ).astype(np.uint64)
             hb = (h ^ (np.uint64(ci + 1) * _GAMMA)).astype(np.int64)
             outs.append(
@@ -164,6 +180,7 @@ def profile_columns(ds, columns, num_buckets: int | None = None) -> pa.Table:
                         "k_int": k_int,
                         "k_flt": k_flt,
                         "k_str": k_str,
+                        "k_bin": k_bin,
                     }
                 )
             )
@@ -171,21 +188,19 @@ def profile_columns(ds, columns, num_buckets: int | None = None) -> pa.Table:
             return _KEY_SCHEMA.empty_table()
         return pa.concat_tables(outs)
 
+    _LANES = ("k_int", "k_flt", "k_str", "k_bin")
+
     def bucket_distinct(t: pa.Table) -> pa.Table:
-        cids = np.unique(t["_cid"].to_numpy(zero_copy_only=False))
-        out_c, out_d = [], []
-        for ci in cids:
-            sub = t.filter(pc.equal(t["_cid"], int(ci)))
-            d = 0
-            for lane in ("k_int", "k_flt", "k_str"):
-                col = sub[lane].drop_null()
-                if len(col):
-                    d += pc.count_distinct(col).as_py()
-            out_c.append(int(ci))
-            out_d.append(int(d))
-        return pa.table(
-            {"_cid": pa.array(out_c, pa.int64()), "d": pa.array(out_d, pa.int64())}
+        # one Arrow hash aggregation per bucket: count_distinct ignores
+        # nulls, so summing the four lanes counts exactly the populated
+        # one per column id
+        g = t.group_by("_cid").aggregate(
+            [(lane, "count_distinct") for lane in _LANES]
         )
+        d = np.zeros(g.num_rows, np.int64)
+        for lane in _LANES:
+            d += g[f"{lane}_count_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table({"_cid": g["_cid"], "d": pa.array(d, pa.int64())})
 
     parts = (
         ds.select_columns(cols)

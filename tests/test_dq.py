@@ -152,3 +152,30 @@ def test_profile_columns(ray_session):
     assert pd.isna(row_e["min_num"])
     with pytest.raises(ValueError, match="duplicate columns"):
         profile_columns(rd.from_arrow(t), ["i", "i"])
+
+
+def test_profile_columns_binary_nan_and_zero_lanes(ray_session):
+    """Review regressions: binary columns must profile without a UTF-8
+    cast crash; -0.0/+0.0 and differently-payloaded NaNs each count as
+    ONE distinct value (SQL DISTINCT semantics)."""
+    import struct
+
+    from commons_codec_ray.stages.dq import profile_columns
+
+    qnan = struct.unpack("<d", struct.pack("<Q", 0x7FF8000000000000))[0]
+    snan = struct.unpack("<d", struct.pack("<Q", 0x7FF0000000000001))[0]
+    t = pa.table(
+        {
+            "b": pa.array([b"\xff\xfe", b"\x00", b"\xff\xfe", None], pa.binary()),
+            "z": pa.array([0.0, -0.0, 1.0, None], pa.float64()),
+            "n": pa.array([qnan, snan, 2.0, 2.0], pa.float64()),
+        }
+    )
+    got = (
+        profile_columns(rd.from_arrow(t).repartition(2), ["b", "z", "n"], num_buckets=4)
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert got.loc["b", "n_distinct"] == 2  # raw bytes, no UTF-8 crash
+    assert got.loc["z", "n_distinct"] == 2  # {0.0, 1.0}: -0.0 folds in
+    assert got.loc["n", "n_distinct"] == 2  # {NaN, 2.0}: payloads fold
