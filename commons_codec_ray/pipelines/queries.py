@@ -11131,6 +11131,50 @@ FROM obs
 """
 
 
+def q_running_total(sf_dir: str):
+    """Global running revenue total in (ts, event_id) order — the
+    cumulative-metric backfill every analytics lake materializes.
+    Distributed as a segmented prefix SUM
+    (:func:`stages.watermark.running_sum`): quantile range buckets,
+    one tiny per-bucket Sum pre-pass, driver exclusive prefix, ONE
+    keyed exchange — never a global sort or single-partition window.
+    Exact integer cents end to end."""
+    from commons_codec_ray.stages.watermark import running_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = duck_rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "_ts": t["ts"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = running_sum(
+        prepped, order_col="_ts", tiebreak_col="event_id", value_col="cents",
+        out_col="run_cents",
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "run_cents"]], batch_format="pandas"
+    )
+
+
+_RUNNING_TOTAL_SQL = """
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS run_cents
+FROM events
+"""
+
+
 def q_activity_gaps(sf_dir: str):
     """Per-user activity-gap analysis over hourly buckets: distinct
     active hours, silent hours inside the user's span, and the longest
@@ -11809,6 +11853,7 @@ QUERIES = {
     "typo_pairs2": q_typo_pairs2,
     "mmr_rerank": q_mmr_rerank,
     "activity_gaps": q_activity_gaps,
+    "running_total": q_running_total,
 }
 
 ORACLE_SQL = {
@@ -12026,4 +12071,5 @@ ORACLE_SQL = {
     "typo_pairs2": _TYPO_PAIRS2_SQL,
     "mmr_rerank": _MMR_RERANK_SQL,
     "activity_gaps": _ACTIVITY_GAPS_SQL,
+    "running_total": _RUNNING_TOTAL_SQL,
 }

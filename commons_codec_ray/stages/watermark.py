@@ -221,6 +221,78 @@ def forward_fill(
     )
 
 
+def running_sum(
+    ds: rd.Dataset,
+    *,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    out_col: str = "running",
+    num_buckets: Optional[int] = None,
+    seq_source: Optional[rd.Dataset] = None,
+) -> rd.Dataset:
+    """Global running total over a TOTAL order —
+    ``sum(value) OVER (ORDER BY order, tiebreak)`` as the third member
+    of the segmented-scan family (:func:`bounded_lateness_filter`
+    carries a prefix MAX, :func:`forward_fill` a last-observation; the
+    carried monoid here is SUM):
+
+    1. Quantile range-bucket on ``order_col`` (contiguous half-open
+       ranges → bucket order is key order).
+    2. Pre-pass: ONE tiny ``groupby().aggregate(Sum)`` of the value per
+       bucket; the driver takes the EXCLUSIVE prefix sum as the
+       per-bucket carry (num_buckets int64s).
+    3. One keyed exchange co-locates each bucket; inside, the running
+       total is ``np.cumsum`` over rows sorted by ``(order, tiebreak)``
+       plus the carry.
+
+    ``value_col`` must be int64 (exact-integer lanes only — a float
+    running sum is order-dependent and not SQL-replayable). The
+    ``(order, tiebreak)`` pair must be unique per row."""
+    from ray.data.aggregate import Sum
+
+    from commons_codec_ray.util import adaptive_buckets
+
+    src = seq_source if seq_source is not None else ds
+    if num_buckets is None:
+        num_buckets = adaptive_buckets()
+    cuts = _quantile_cuts(src, order_col, num_buckets)
+    num_buckets = len(cuts) + 1
+    bucketize = _bucketize_cuts(order_col, cuts)
+
+    rows = (
+        src.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .aggregate(Sum(value_col))
+        .take_all()
+    )
+    bucket_sum = np.zeros(num_buckets, np.int64)
+    for r in rows:
+        bucket_sum[int(r["_wb"])] = np.int64(r[f"sum({value_col})"])
+    carry = np.zeros(num_buckets, np.int64)
+    if num_buckets > 1:
+        carry[1:] = np.cumsum(bucket_sum[:-1])
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_wb"].iloc[0])
+        o = df[order_col].to_numpy(np.int64)
+        tb = df[tiebreak_col].to_numpy(np.int64)
+        v = df[value_col].to_numpy(np.int64)
+        order = np.lexsort((tb, o))
+        run_sorted = np.cumsum(v[order]) + carry[b]
+        run = np.empty(len(v), np.int64)
+        run[order] = run_sorted
+        out = df.drop(columns=["_wb"]).copy()
+        out[out_col] = run
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
 def bounded_lateness_filter(
     ds: rd.Dataset,
     *,

@@ -258,3 +258,29 @@ def test_quantile_bucketing_matches_linear_on_skewed_keys(ray_session):
         bucketing="quantile",
     )
     assert set(ds.to_pandas()["tag"]) == lin
+
+
+def test_running_sum_matches_cumsum_reference(ray_session):
+    from commons_codec_ray.stages.watermark import running_sum
+
+    rng = np.random.RandomState(11)
+    n = 400
+    orders = rng.permutation(n)  # scrambled layout, total order by o
+    t = pa.table(
+        {
+            "o": pa.array(orders.astype(np.int64), pa.int64()),
+            "tb": pa.array((orders * 7 + 1).astype(np.int64), pa.int64()),
+            "v": pa.array(((orders % 13) - 6).astype(np.int64), pa.int64()),
+        }
+    )
+    for nb in (2, 32):
+        out = (
+            running_sum(
+                rd.from_arrow(t).repartition(4),
+                order_col="o", tiebreak_col="tb", value_col="v", num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("o")
+        )
+        want = np.cumsum(np.arange(n) % 13 - 6)  # sorted-by-o values
+        assert out["running"].to_numpy(np.int64).tolist() == want.tolist()
