@@ -11131,6 +11131,103 @@ FROM obs
 """
 
 
+def q_turn_latency(sf_dir: str):
+    """Conversational latency by role transition: for consecutive
+    turns within a conversation (the events-as-transcripts mapping the
+    CDC oracles share: conversation = user, turn order = (ts,
+    event_id), role = event_type), each (role_from, role_to)
+    transition accumulates count / total / max inter-turn gap in
+    microseconds — the responsiveness table an assistant-quality
+    dashboard exports. One user-bucketed exchange (a conversation
+    never straddles buckets, so no transition is lost), vectorized
+    adjacent diffs per bucket, kilobyte (role×role) partials combined
+    on the driver."""
+    nb = adaptive_buckets()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def cb(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_ub": hash_bucket(u, nb),
+                "user_id": t["user_id"],
+                "_tsu": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "role": t["event_type"],
+            }
+        )
+
+    def lat(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "_tsu", "event_id"])
+        u = d["user_id"].to_numpy(np.int64)
+        tsu = d["_tsu"].to_numpy(np.int64)
+        role = d["role"].to_numpy()
+        if len(u) < 2:
+            return pd.DataFrame(
+                {"role_from": [], "role_to": [], "n": [], "total_us": [], "max_us": []}
+            )
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame(
+            {
+                "role_from": role[:-1][same],
+                "role_to": role[1:][same],
+                "dt": (tsu[1:] - tsu[:-1])[same],
+            }
+        ).groupby(["role_from", "role_to"], as_index=False).agg(
+            n=("dt", "size"), total_us=("dt", "sum"), max_us=("dt", "max")
+        )
+        return g
+
+    parts = (
+        ds.map_batches(cb, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(lat, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × |roles|² kilobyte partials
+    )
+    if not len(parts):
+        return pa.table(
+            {
+                "role_from": pa.array([], pa.string()),
+                "role_to": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "total_us": pa.array([], pa.int64()),
+                "max_us": pa.array([], pa.int64()),
+            }
+        )
+    out = (
+        parts.groupby(["role_from", "role_to"], as_index=False)
+        .agg(n=("n", "sum"), total_us=("total_us", "sum"), max_us=("max_us", "max"))
+        .sort_values(["role_from", "role_to"])
+    )
+    return pa.table(
+        {
+            "role_from": pa.array(out["role_from"], pa.string()),
+            "role_to": pa.array(out["role_to"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "total_us": pa.array(out["total_us"].to_numpy(np.int64), pa.int64()),
+            "max_us": pa.array(out["max_us"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_TURN_LATENCY_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_role,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_role AS role_from, event_type AS role_to,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS total_us,
+       CAST(max(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS max_us
+FROM o WHERE prev_role IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_running_total(sf_dir: str):
     """Global running revenue total in (ts, event_id) order — the
     cumulative-metric backfill every analytics lake materializes.
@@ -11854,6 +11951,7 @@ QUERIES = {
     "mmr_rerank": q_mmr_rerank,
     "activity_gaps": q_activity_gaps,
     "running_total": q_running_total,
+    "turn_latency": q_turn_latency,
 }
 
 ORACLE_SQL = {
@@ -12072,4 +12170,5 @@ ORACLE_SQL = {
     "mmr_rerank": _MMR_RERANK_SQL,
     "activity_gaps": _ACTIVITY_GAPS_SQL,
     "running_total": _RUNNING_TOTAL_SQL,
+    "turn_latency": _TURN_LATENCY_SQL,
 }
