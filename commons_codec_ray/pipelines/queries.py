@@ -9150,6 +9150,52 @@ FROM sym s JOIN deg du ON du.n = s.u JOIN deg dv ON dv.n = s.v
 """
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (stages/graph.py ``hits``, Kleinberg
+    1999): two exact-integer alternating power-iteration rounds over
+    the same deterministic directed event graph as q_pagerank —
+    unnormalized (rescaling-only in exact arithmetic, guarded against
+    int64 growth), so the unrolled-CTE oracle joins replay every score
+    bit-for-bit. Long output: (node, kind 'auth'|'hub', score)."""
+    from commons_codec_ray.stages.graph import hits
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return hits(events.map_batches(edges, batch_format="pyarrow"), iterations=2)
+
+
+_HITS_SQL = """
+WITH raw AS (
+  SELECT event_id % 1200 AS u,
+         ((event_id % 1200) // 8) * 8 + (event_id * 3) % 8 AS v
+  FROM events),
+e AS (SELECT DISTINCT u, v FROM raw),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+a1 AS (SELECT v, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY v),
+h1 AS (SELECT e.u, CAST(sum(a1.s) AS BIGINT) AS s
+       FROM e JOIN a1 ON a1.v = e.v GROUP BY e.u),
+a2 AS (SELECT e.v, CAST(sum(h1.s) AS BIGINT) AS s
+       FROM e JOIN h1 ON h1.u = e.u GROUP BY e.v),
+h2 AS (SELECT e.u, CAST(sum(a2.s) AS BIGINT) AS s
+       FROM e JOIN a2 ON a2.v = e.v GROUP BY e.u)
+SELECT n.n AS node, 'auth' AS kind, coalesce(a2.s, 0) AS score
+FROM nodes n LEFT JOIN a2 ON a2.v = n.n
+UNION ALL
+SELECT n.n AS node, 'hub' AS kind, coalesce(h2.s, 0) AS score
+FROM nodes n LEFT JOIN h2 ON h2.u = n.n
+"""
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (stages/graph.py:clustering_coeff — the node-resolved
@@ -11735,6 +11781,206 @@ FROM k GROUP BY conv_id
 """
 
 
+def q_c4_clean(sf_dir: str):
+    """C4-style line/page cleaning (stages/text.py C4LineRules — the
+    Raffel et al. 2020 C4 recipe next to the Gopher gates): pages are
+    deterministically re-lined into 8-word pseudo-lines, lines with <5
+    words or the blocked word are dropped, pages with a bad word or <3
+    surviving lines are gated. Exact integer counts; one linear
+    actor-pool pass, no shuffle."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        text_stage.C4LineRules, batch_format="pyarrow", concurrency=pool_size(2)
+    )
+
+
+_C4_CLEAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+lined AS (
+  SELECT doc_id, t,
+         list_transform(range(0, CAST((len(t) + 7) // 8 AS INT)),
+                        i -> list_slice(t, i * 8 + 1, i * 8 + 8)) AS ls
+  FROM toks),
+k AS (
+  SELECT doc_id, t, ls,
+         list_filter(ls, l -> len(l) >= 5
+                              AND NOT list_contains(l, 'spark')) AS kept
+  FROM lined)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(coalesce(list_sum(list_transform(kept, l -> len(l))), 0) AS BIGINT)
+         AS clean_n_words,
+       (NOT list_contains(t, 'dup') AND len(kept) >= 3) AS keep
+FROM k
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Per-user robust outlier summary via the median absolute
+    deviation (stages/grouptop.py ``mad_per_key``, Hampel 1974): exact
+    doubled/quadrupled integer medians (med2 = 2·median, mad4 = 4·MAD)
+    keep the even-count midpoint in the integers, and the outlier test
+    ``2·|2x − med2| > 3·mad4`` is the scale-free robust alternative to
+    q_outliers' 2-sigma lane (MAD is immune to the outliers inflating
+    the sigma they're tested against). One hash-bucket exchange, one
+    vectorized two-indexing pass per bucket."""
+    from commons_codec_ray.stages.grouptop import mad_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = duck_rint(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {"user_id": t["user_id"], "x": pa.array(x.astype(np.int64), pa.int64())}
+        )
+
+    return mad_per_key(
+        ds.map_batches(cents, batch_format="pyarrow"), key="user_id", column="x"
+    )
+
+
+_MAD_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+m AS (
+  SELECT user_id, CAST(2 * median(x) AS BIGINT) AS med2
+  FROM c GROUP BY user_id),
+d AS (
+  SELECT c.user_id, abs(2 * x - med2) AS dev2, med2
+  FROM c JOIN m USING (user_id)),
+m2 AS (
+  SELECT user_id, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM d GROUP BY user_id)
+SELECT d.user_id, CAST(count(*) AS BIGINT) AS n,
+       any_value(d.med2) AS med2, any_value(m2.mad4) AS mad4,
+       CAST(sum(CASE WHEN 2 * dev2 > 3 * m2.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN m2 USING (user_id)
+GROUP BY d.user_id
+"""
+
+
+def q_seq_gaps(sf_dir: str):
+    """Missing-range audit over a filtered global id sequence
+    (stages/watermark.py ``sequence_gaps``) — the ``lead() OVER (ORDER
+    BY id)`` check a CDC ingest runs on its LSN/offset column to prove
+    no change was dropped, distributed as the BACKWARD-carry member of
+    the segmented-scan family (quantile range buckets, one tiny Min
+    pre-pass, driver exclusive SUFFIX min, ONE keyed exchange — never
+    a global sort). The purchase-only filter makes the surviving
+    event_id sequence genuinely gappy."""
+    from commons_codec_ray.stages.watermark import sequence_gaps
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(["event_id"])
+
+    return sequence_gaps(
+        ds.map_batches(keep, batch_format="pyarrow"), id_col="event_id"
+    )
+
+
+_SEQ_GAPS_SQL = """
+WITH f AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
+d AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM f)
+SELECT event_id AS gap_after, nxt AS next_present,
+       CAST(nxt - event_id - 1 AS BIGINT) AS n_missing
+FROM d WHERE nxt - event_id > 1
+"""
+
+
+def q_profile_drift(sf_dir: str):
+    """Snapshot-drift profiling (the Deequ AnomalyDetection shape over
+    stages/dq.py ``profile_columns``): profile the SAME columns on the
+    early and late halves of the event log (split at max(event_id)//2
+    — a deterministic yesterday-vs-today proxy) and emit both profiles
+    long-format plus the exact null-rate ppm, so a monitor can diff
+    sides. Two one-scan profiles, each with ONE combined distinct
+    exchange; kilobyte results on the driver."""
+    from commons_codec_ray.stages.dq import profile_columns
+
+    cols = ["user_id", "event_type", "value"]
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"] + cols
+    )
+    mid = int(ds.max("event_id")) // 2
+
+    def half(late: bool):
+        def pick(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            sel = eid > mid if late else eid <= mid
+            return t.filter(pa.array(sel)).select(cols)
+
+        return pick
+
+    out = []
+    for side, late in (("early", False), ("late", True)):
+        prof = profile_columns(
+            ds.map_batches(half(late), batch_format="pyarrow"), cols
+        )
+        n_rows = prof["n_rows"].to_numpy(zero_copy_only=False)
+        n_nulls = prof["n_nulls"].to_numpy(zero_copy_only=False)
+        ppm = np.where(
+            n_rows > 0, n_nulls * 1_000_000 // np.maximum(n_rows, 1), 0
+        )
+        out.append(
+            prof.add_column(1, "side", pa.array([side] * prof.num_rows))
+            .append_column("null_ppm", pa.array(ppm, pa.int64()))
+        )
+    return pa.concat_tables(out)
+
+
+_PROFILE_DRIFT_SQL = """
+WITH mid AS (SELECT max(event_id) // 2 AS m FROM events),
+early AS (SELECT * FROM events WHERE event_id <= (SELECT m FROM mid)),
+late AS (SELECT * FROM events WHERE event_id > (SELECT m FROM mid))
+SELECT 'user_id' AS col_name, 'early' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(min(user_id) AS DOUBLE) AS min_num, CAST(max(user_id) AS DOUBLE) AS max_num,
+       CAST((count(*) - count(user_id)) * 1000000 // count(*) AS BIGINT) AS null_ppm
+FROM early
+UNION ALL
+SELECT 'event_type', 'early', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL,
+       CAST((count(*) - count(event_type)) * 1000000 // count(*) AS BIGINT)
+FROM early
+UNION ALL
+SELECT 'value', 'early', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+       CAST((count(*) - count(value)) * 1000000 // count(*) AS BIGINT)
+FROM early
+UNION ALL
+SELECT 'user_id', 'late', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+       CAST((count(*) - count(user_id)) * 1000000 // count(*) AS BIGINT)
+FROM late
+UNION ALL
+SELECT 'event_type', 'late', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL,
+       CAST((count(*) - count(event_type)) * 1000000 // count(*) AS BIGINT)
+FROM late
+UNION ALL
+SELECT 'value', 'late', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+       CAST((count(*) - count(value)) * 1000000 // count(*) AS BIGINT)
+FROM late
+"""
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_log_compaction": q_cdc_log_compaction,
@@ -11911,6 +12157,11 @@ QUERIES = {
     "densest_subgraph": q_densest_subgraph,
     "clustering_coeff": q_clustering_coeff,
     "assortativity": q_assortativity,
+    "hits": q_hits,
+    "c4_clean": q_c4_clean,
+    "mad_outliers": q_mad_outliers,
+    "seq_gaps": q_seq_gaps,
+    "profile_drift": q_profile_drift,
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
     "mutual_info": q_mutual_info,
@@ -12130,6 +12381,11 @@ ORACLE_SQL = {
     "densest_subgraph": _DENSEST_SQL,
     "clustering_coeff": _CLUSTERING_COEFF_SQL,
     "assortativity": _ASSORTATIVITY_SQL,
+    "hits": _HITS_SQL,
+    "c4_clean": _C4_CLEAN_SQL,
+    "mad_outliers": _MAD_OUTLIERS_SQL,
+    "seq_gaps": _SEQ_GAPS_SQL,
+    "profile_drift": _PROFILE_DRIFT_SQL,
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,

@@ -1761,3 +1761,228 @@ def link_prediction(edges_ds, src: str = "src", dst: str = "dst",
             scol: pa.array(best[scol].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def hits(edges_ds, iterations: int = 2, src: str = "src", dst: str = "dst",
+         num_buckets: int | None = None):
+    """Exact-integer HITS (Kleinberg, JACM 1999): ``iterations`` rounds
+    of the alternating power iteration, long-format output —
+    ``(node:int64, kind:'auth'|'hub', score:int64)``.
+
+        h_0(u) = 1
+        a_k(v) = Σ_{(u,v)∈E} h_{k-1}(u)
+        h_k(u) = Σ_{(u,v)∈E} a_k(v)
+
+    over DISTINCT directed edges (multi-edges collapse, self-loops
+    allowed); nodes with no in-edges (no out-edges) report authority
+    (hub) 0. The textbook per-round L2 normalization only rescales —
+    in exact arithmetic the rankings and score *ratios* are unchanged —
+    so it is SKIPPED: every score stays an exact int64 and a SQL oracle
+    replays the rounds with unrolled CTE joins, bit-for-bit at any
+    cluster size. Growth is bounded instead by a guard: scores are
+    checked against 2^44 each round (one more round multiplies by at
+    most the max degree, so int64 cannot wrap silently); callers with
+    hotter graphs lower ``iterations`` or rescale inputs.
+
+    Scale shape: the unioned-exchange Pregel variant
+    (:func:`pagerank_unioned`'s shape, alternating key sides). Setup is
+    ONE exchange that dedupes edges and node sentinels into TWO keyed
+    copies — hash(src) buckets ``[0, nb)`` for the hub phase, hash(dst)
+    buckets ``[nb, 2nb)`` for the authority phase (disjoint bucket-id
+    namespaces, so a single groupby routes both). Each half-iteration
+    is then one ``union + groupby`` exchange in which the sums AND the
+    next phase's per-edge contributions are emitted in the same group
+    pass. Because HITS alternates key sides every half-round, the
+    static edge copies do ride each exchange (the documented cost of
+    the zero-actor variant; the actor-sharded fix is the same
+    :class:`_PagerankShard` machinery with both copies pinned — edges
+    move at setup only — left as the >billion-edge path).
+    """
+    nb = num_buckets or adaptive_buckets()
+    kinds = {"edge": np.int8(0), "sentinel": np.int8(1), "contrib": np.int8(2),
+             "score": np.int8(3)}
+
+    def explode_setup(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.unique(np.concatenate([s, d]))  # batch-local node candidates
+        ne, nv = len(s), len(v)
+        b_src = hash_bucket(s, nb).to_numpy(zero_copy_only=False)
+        b_dst = hash_bucket(d, nb).to_numpy(zero_copy_only=False) + nb
+        b_v0 = hash_bucket(v, nb).to_numpy(zero_copy_only=False)
+        zero_e = np.zeros(ne, np.int64)
+        zero_v = np.zeros(nv, np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(np.concatenate([b_src, b_dst, b_v0, b_v0 + nb])),
+                "key": pa.array(np.concatenate([s, d, v, v])),
+                "other": pa.array(np.concatenate([d, s, zero_v, zero_v])),
+                "c": pa.array(np.concatenate([zero_e, zero_e, zero_v, zero_v])),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(2 * ne, np.int8),
+                            np.ones(2 * nv, np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def setup_group(g: pd.DataFrame) -> pa.Table:
+        e = g[g["kind"] == kinds["edge"]].drop_duplicates(["key", "other"])
+        v = np.unique(g.loc[g["kind"] == kinds["sentinel"], "key"].to_numpy(np.int64))
+        bucket = np.int64(g["_b"].iloc[0])
+        ne, nv = len(e), len(v)
+        return pa.table(
+            {
+                "_b": pa.array(np.full(ne + nv, bucket)),
+                "key": pa.array(
+                    np.concatenate([e["key"].to_numpy(np.int64), v])
+                ),
+                "other": pa.array(
+                    np.concatenate([e["other"].to_numpy(np.int64), np.zeros(nv, np.int64)])
+                ),
+                "c": pa.array(np.zeros(ne + nv, np.int64)),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(ne, np.int8), np.ones(nv, np.int8)])
+                ),
+            }
+        )
+
+    static = (
+        edges_ds.map_batches(explode_setup, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(setup_group, batch_format="pandas")
+        .materialize()
+    )
+
+    def side(lo: int, hi: int):
+        def pick(t: pa.Table) -> pa.Table:
+            b = t["_b"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((b >= lo) & (b < hi)))
+
+        return pick
+
+    # round-0 contributions (h0 = 1) fall straight out of the dst-keyed
+    # static edges: each distinct edge (u,v) contributes 1 at hash(v)
+    def contrib0(t: pa.Table) -> pa.Table:
+        b = t["_b"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        sel = (b >= nb) & (k == kinds["edge"])
+        n = int(sel.sum())
+        return pa.table(
+            {
+                "_b": pa.array(b[sel]),
+                "key": pa.array(t["key"].to_numpy(zero_copy_only=False)[sel]),
+                "other": pa.array(np.zeros(n, np.int64)),
+                "c": pa.array(np.ones(n, np.int64)),
+                "kind": pa.array(np.full(n, kinds["contrib"], np.int8)),
+            }
+        )
+
+    _GUARD = np.int64(1) << np.int64(44)
+
+    def _rows(b, key, other, c, kind) -> pa.Table:
+        return pa.table(
+            {
+                "_b": pa.array(np.asarray(b, np.int64)),
+                "key": pa.array(np.asarray(key, np.int64)),
+                "other": pa.array(np.asarray(other, np.int64)),
+                "c": pa.array(np.asarray(c, np.int64)),
+                "kind": pa.array(np.asarray(kind, np.int8)),
+            }
+        )
+
+    def half_step(out_label: str | None, next_lo: int, emit_contribs: bool = True):
+        """One half-iteration: sum contribs per key (sentinels keep the
+        zero-score nodes), emit next-phase contributions per edge; when
+        ``out_label`` is set also emit tagged score rows (kind=3), which
+        every later exchange passes through untouched. Returns ARROW
+        tables — the output unions with arrow static blocks and Ray's
+        sort sampler requires one block type."""
+
+        def step(g: pd.DataFrame) -> pa.Table:
+            passthru = g[g["kind"] == kinds["score"]]
+            cont = g[g["kind"] == kinds["contrib"]]
+            v = np.unique(
+                g.loc[g["kind"] == kinds["sentinel"], "key"].to_numpy(np.int64)
+            )
+            tot = cont.groupby("key")["c"].sum()
+            score = pd.Series(np.zeros(len(v), np.int64), index=v)
+            score.loc[tot.index] = tot.to_numpy(np.int64)
+            if len(score) and int(score.max()) >= int(_GUARD):
+                raise OverflowError(
+                    "hits(): score exceeded 2^44; lower iterations or rescale"
+                )
+            outs = [
+                _rows(
+                    passthru["_b"].to_numpy(np.int64),
+                    passthru["key"].to_numpy(np.int64),
+                    passthru["other"].to_numpy(np.int64),
+                    passthru["c"].to_numpy(np.int64),
+                    passthru["kind"].to_numpy(np.int8),
+                )
+            ]
+            e = g[g["kind"] == kinds["edge"]]
+            if emit_contribs and len(e):
+                u = e["other"].to_numpy(np.int64)  # opposite endpoint
+                c = score.loc[e["key"].to_numpy(np.int64)].to_numpy(np.int64)
+                outs.append(
+                    _rows(
+                        hash_bucket(u, nb).to_numpy(zero_copy_only=False) + next_lo,
+                        u,
+                        np.zeros(len(u), np.int64),
+                        c,
+                        np.full(len(u), kinds["contrib"], np.int8),
+                    )
+                )
+            if out_label is not None:
+                outs.append(
+                    _rows(
+                        np.full(len(v), -1 if out_label == "auth" else -2, np.int64),
+                        score.index.to_numpy(np.int64),
+                        np.zeros(len(v), np.int64),
+                        score.to_numpy(np.int64),
+                        np.full(len(v), kinds["score"], np.int8),
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        return step
+
+    stream = static.map_batches(contrib0, batch_format="pyarrow")
+    for k in range(iterations):
+        last = k == iterations - 1
+        # authority phase: dst-keyed buckets [nb, 2nb)
+        stream = (
+            static.map_batches(side(nb, 2 * nb), batch_format="pyarrow")
+            .union(stream)
+            .groupby("_b")
+            .map_groups(half_step("auth" if last else None, 0), batch_format="pandas")
+        )
+        # hub phase: src-keyed buckets [0, nb); the final half-step has
+        # no next phase, so it skips the contribution emission
+        stream = (
+            static.map_batches(side(0, nb), batch_format="pyarrow")
+            .union(stream)
+            .groupby("_b")
+            .map_groups(
+                half_step("hub" if last else None, nb, emit_contribs=not last),
+                batch_format="pandas",
+            )
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        sel = k == kinds["score"]
+        b = t["_b"].to_numpy(zero_copy_only=False)[sel]
+        return pa.table(
+            {
+                "node": pa.array(t["key"].to_numpy(zero_copy_only=False)[sel]),
+                "kind": pa.array(np.where(b == -1, "auth", "hub")),
+                "score": pa.array(t["c"].to_numpy(zero_copy_only=False)[sel]),
+            }
+        )
+
+    return stream.map_batches(finalize, batch_format="pyarrow")

@@ -444,3 +444,99 @@ class GopherSignals:
                 "keep": pa.array(keep, pa.bool_()),
             }
         )
+
+
+class C4LineRules:
+    """C4-style line/page cleaning (Raffel et al. 2020, JMLR 21(140) §2.2
+    — the "Colossal Clean Crawled Corpus" recipe): per page, keep only
+    lines that pass the line rules, then gate the page itself. All
+    counts are exact integers so a SQL oracle (DuckDB list lambdas over
+    the same deterministic re-lining) replays them bit-for-bit.
+
+    Line rules (C4: "only retained lines that ... contained at least 5
+    words" / "removed any line with the word Javascript"):
+
+    - at least ``min_words`` words;
+    - none of ``line_block_words`` present;
+    - when ``require_terminal_punct`` (the published rule; OFF here —
+      the synthetic corpus carries no punctuation, so the rule would
+      zero every page), the line's last word must end in ``.!?"``.
+
+    Page rules (C4: bad-word list / "lorem ipsum" / "{" page drops,
+    "discarded any page with fewer than 3 sentences"): drop when any
+    word of ``page_bad_words`` occurs anywhere, or fewer than
+    ``min_kept_lines`` lines survive.
+
+    ``chunk_words``: a real crawl splits pages on ``'\\n'``
+    (``chunk_words=None``); the sandbox corpus is a single-space word
+    stream, so pages are deterministically re-lined into fixed-width
+    ``chunk_words``-word pseudo-lines first (the last, shorter line
+    then exercises the min-words drop exactly like a real trailing
+    fragment).
+
+    Emitted per page: ``doc_id``, ``n_lines``, ``n_kept_lines``,
+    ``clean_n_words`` (words in kept lines), ``keep``. One linear pass,
+    no shuffle; compile-once state rides the actor ``__init__``.
+    """
+
+    def __init__(
+        self,
+        min_words: int = 5,
+        min_kept_lines: int = 3,
+        line_block_words: tuple[str, ...] = ("spark",),
+        page_bad_words: tuple[str, ...] = ("dup",),
+        chunk_words: int | None = 8,
+        require_terminal_punct: bool = False,
+    ) -> None:
+        self.min_words = min_words
+        self.min_kept_lines = min_kept_lines
+        self.line_block = frozenset(line_block_words)
+        self.page_bad = frozenset(page_bad_words)
+        self.chunk_words = chunk_words
+        self.require_terminal_punct = require_terminal_punct
+
+    def _lines(self, text: str) -> list[list[str]]:
+        if self.chunk_words is None:
+            return [ln.split(" ") for ln in text.split("\n")]
+        toks = text.split(" ")
+        w = self.chunk_words
+        return [toks[i : i + w] for i in range(0, len(toks), w)]
+
+    def _line_ok(self, line: list[str]) -> bool:
+        if len(line) < self.min_words:
+            return False
+        if self.line_block and not self.line_block.isdisjoint(line):
+            return False
+        if self.require_terminal_punct and not line[-1].endswith(
+            (".", "!", "?", '"')
+        ):
+            return False
+        return True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_lines = np.zeros(n, np.int64)
+        n_kept = np.zeros(n, np.int64)
+        clean_words = np.zeros(n, np.int64)
+        bad_page = np.zeros(n, bool)
+        for i, t in enumerate(texts):
+            lines = self._lines(t or "")
+            n_lines[i] = len(lines)
+            kept = [ln for ln in lines if self._line_ok(ln)]
+            n_kept[i] = len(kept)
+            clean_words[i] = sum(len(ln) for ln in kept)
+            if self.page_bad and any(
+                not self.page_bad.isdisjoint(ln) for ln in lines
+            ):
+                bad_page[i] = True
+        keep = (~bad_page) & (n_kept >= self.min_kept_lines)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept_lines": pa.array(n_kept, pa.int64()),
+                "clean_n_words": pa.array(clean_words, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )

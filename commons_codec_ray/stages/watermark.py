@@ -396,3 +396,91 @@ def bounded_lateness_filter(
         .groupby("_wb")
         .map_groups(filter_bucket, batch_format="pandas")
     )
+
+
+def sequence_gaps(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    num_buckets: Optional[int] = None,
+    seq_source: Optional[rd.Dataset] = None,
+) -> rd.Dataset:
+    """Missing-range detection over a global integer sequence — the
+    gaps half of SQL's gaps-and-islands, i.e. the ``lead() OVER
+    (ORDER BY id)`` audit a CDC ingest runs on its LSN/offset column to
+    prove no change was dropped. One output row per hole:
+    ``(gap_after, next_present, n_missing)`` with ``n_missing =
+    next_present − gap_after − 1 > 0``.
+
+    Fourth member of the segmented-scan family, and the first with a
+    BACKWARD carry (:func:`bounded_lateness_filter` carries a prefix
+    max, :func:`forward_fill` a last observation, :func:`running_sum` a
+    prefix sum — all forward):
+
+    1. Quantile range-bucket on ``id_col`` (contiguous half-open
+       ranges → bucket order is id order).
+    2. Pre-pass: ONE tiny ``groupby().aggregate(Min)`` per bucket; the
+       driver takes the EXCLUSIVE SUFFIX min — ``carry[b]`` is the
+       first id present in any bucket ``> b`` (the cross-block "lead"
+       seed; None for the global tail).
+    3. One keyed exchange co-locates each bucket; inside, gaps fall out
+       of ``np.diff`` over the sorted (deduped) ids, the bucket's last
+       id pairing with the carry.
+
+    Ids must be int64-coercible; duplicates are tolerated (collapsed —
+    a sequence column should be unique, but an at-least-once feed may
+    replay rows)."""
+    from ray.data.aggregate import Min
+
+    from commons_codec_ray.util import adaptive_buckets
+
+    src = seq_source if seq_source is not None else ds
+    if num_buckets is None:
+        num_buckets = adaptive_buckets()
+    cuts = _quantile_cuts(src, id_col, num_buckets)
+    num_buckets = len(cuts) + 1
+    bucketize = _bucketize_cuts(id_col, cuts)
+
+    rows = (
+        src.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .aggregate(Min(id_col))
+        .take_all()
+    )
+    bucket_min: dict[int, int] = {
+        int(r["_wb"]): int(r[f"min({id_col})"]) for r in rows
+    }
+    # exclusive suffix min: first id present strictly after bucket b
+    carry_next = np.zeros(num_buckets, np.int64)
+    carry_has = np.zeros(num_buckets, bool)
+    run_v, run_has = 0, False
+    for b in range(num_buckets - 1, -1, -1):
+        carry_next[b], carry_has[b] = run_v, run_has
+        if b in bucket_min:
+            run_v, run_has = bucket_min[b], True
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_wb"].iloc[0])
+        ids = np.unique(df[id_col].to_numpy(np.int64))
+        nxt = np.empty(len(ids), np.int64)
+        has = np.ones(len(ids), bool)
+        nxt[:-1] = ids[1:]
+        if carry_has[b]:
+            nxt[-1] = carry_next[b]
+        else:
+            has[-1] = False
+        miss = nxt - ids - 1
+        sel = has & (miss > 0)
+        return pd.DataFrame(
+            {
+                "gap_after": ids[sel],
+                "next_present": nxt[sel],
+                "n_missing": miss[sel],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
