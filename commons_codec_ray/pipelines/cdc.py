@@ -969,44 +969,6 @@ class CDCPipeline:
                 )
         return partitions
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Garbage-collect partition files superseded for more than
-        ``keep_last`` committed epochs (bounds time-travel history).
-        Never touches the current checkpoint's files. Returns removed
-        paths."""
-        import os
-
-        from commons_codec_ray.sink.manifest import entry_files
-
-        ckpt = self.store.read_checkpoint()
-        horizon = ckpt.last_epoch - keep_last
-
-        def paths_of(entries) -> set[str]:
-            out: set[str] = set()
-            for entry in entries:
-                base, deltas = entry_files(entry)
-                if base:
-                    out.add(base)
-                out.update(deltas)
-            return out
-
-        live = paths_of(ckpt.partitions.values())
-        # everything still referenced by a retained snapshot stays
-        for e in range(max(0, horizon), ckpt.last_epoch + 1):
-            try:
-                live.update(paths_of(self._partitions_at(e).values()))
-            except ValueError:
-                continue
-        removed = []
-        epochs_dir = self.store.root / "epochs"
-        if epochs_dir.exists():
-            for f in epochs_dir.rglob("part-*.parquet"):
-                rel = str(f.relative_to(self.store.root))
-                if rel not in live:
-                    os.unlink(f)
-                    removed.append(rel)
-        return removed
-
     def compact(self, table: str | None = None) -> dict[str, Any]:
         """Offline small-file compaction — the maintenance analog of a
         lakehouse rewrite-data-files job: fold every partition whose
@@ -1191,6 +1153,118 @@ class CDCPipeline:
 
     def checkpoint(self) -> Checkpoint:
         return self.store.read_checkpoint()
+
+    def vacuum(
+        self, keep_last: int | None = None, dry_run: bool = False
+    ) -> dict[str, Any]:
+        """Reclaim files no retained reader can reach — the maintenance
+        analog of a lakehouse VACUUM. Two classes go in one walk:
+
+        **Orphans** (always reclaimed): because the COMMIT POINT is the
+        atomic checkpoint swap (manifest.py), every crash mode leaves
+        only ever-unreferenced garbage — partition files written before
+        a manifest, whole epochs whose manifest landed but whose
+        checkpoint swap didn't (the epoch number is reused by the
+        resumed run), staged compaction outputs, and stranded
+        ``*.tmp-*`` atomic-write staging files. None are reachable by
+        readers, so deleting them can never change a query result — the
+        safety property the ``cdc_vacuum`` oracle pins.
+
+        **Expired history** (only when ``keep_last`` is set): files
+        referenced ONLY by snapshots older than the last ``keep_last``
+        committed epochs — Delta's ``VACUUM RETAIN``; bounds
+        ``read_lake(epoch=...)`` time travel to the retained window.
+        ``keep_last=None`` (default) retains every committed snapshot;
+        ``keep_last=0`` keeps only the current state. Retention is
+        computed from the reconstructed partition VIEW at each retained
+        epoch (a snapshot needs files committed long before it), never
+        from manifest age alone.
+
+        Offline maintenance like :meth:`compact`: don't run concurrently
+        with an ingest epoch (its not-yet-committed files would look
+        like orphans). Metadata-only cost — O(epochs) manifest reads +
+        one directory walk; data files are never read."""
+        from commons_codec_ray.sink.manifest import entry_files
+
+        def paths_of(entries) -> set[str]:
+            out: set[str] = set()
+            for entry in entries:
+                base, deltas = entry_files(entry)
+                if base:
+                    out.add(base)
+                out.update(deltas)
+            return out
+
+        t0 = time.time()
+        store = self.store
+        ckpt = store.read_checkpoint()
+        live = paths_of(ckpt.partitions.values())
+        referenced = set(live)
+        if keep_last is None:
+            # retain all history: any file any committed manifest ever
+            # named (every snapshot's view is a subset of this union)
+            for e in range(ckpt.last_epoch + 1):
+                try:
+                    m = store.read_manifest(e)
+                except FileNotFoundError:
+                    continue
+                for info in (m.get("files") or {}).values():
+                    referenced.add(info["path"])
+        else:
+            # retain the views of the last keep_last snapshots only
+            for e in range(max(0, ckpt.last_epoch - keep_last), ckpt.last_epoch + 1):
+                try:
+                    referenced.update(paths_of(self._partitions_at(e).values()))
+                except ValueError:
+                    continue
+        root = store.root
+        epochs_root = root / "epochs"
+        removed: list[str] = []
+        n_scanned = 0
+        bytes_reclaimed = 0
+        if epochs_root.exists():
+            for p in sorted(epochs_root.rglob("*.parquet")):
+                n_scanned += 1
+                rel = p.relative_to(root).as_posix()
+                if rel in referenced:
+                    continue
+                removed.append(rel)
+                bytes_reclaimed += p.stat().st_size
+                if not dry_run:
+                    p.unlink()
+            # stranded atomic-write staging files are garbage in every
+            # state — os.replace either happened (tmp gone) or didn't
+            for p in sorted(epochs_root.rglob("*.tmp-*")):
+                removed.append(p.relative_to(root).as_posix())
+                bytes_reclaimed += p.stat().st_size
+                if not dry_run:
+                    p.unlink()
+            # uncommitted epoch dirs (manifest written, checkpoint swap
+            # never happened): drop the stale manifest + empty dir so the
+            # resumed run's reuse of the epoch number starts clean
+            for d in sorted(epochs_root.iterdir()):
+                mnum = re.fullmatch(r"epoch-(\d{8})", d.name)
+                if not mnum or int(mnum.group(1)) <= ckpt.last_epoch:
+                    continue
+                stale = d / "manifest.json"
+                if stale.exists():
+                    removed.append(stale.relative_to(root).as_posix())
+                    bytes_reclaimed += stale.stat().st_size
+                    if not dry_run:
+                        stale.unlink()
+                if not dry_run and not any(d.iterdir()):
+                    d.rmdir()
+        return {
+            "dry_run": dry_run,
+            "keep_last": keep_last,
+            "files_scanned": n_scanned,
+            "files_live": len(live),
+            "files_referenced": len(referenced),
+            "orphans_removed": len(removed),
+            "bytes_reclaimed": bytes_reclaimed,
+            "orphan_paths": removed,
+            "duration_s": round(time.time() - t0, 3),
+        }
 
 
 def _decode_parallelism() -> int:

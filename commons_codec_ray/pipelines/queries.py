@@ -8069,6 +8069,149 @@ FROM v WHERE op = 1
 """
 
 
+def q_scd2_lookup(sf_dir: str):
+    """Point-in-time dimension lookup against the SCD2 history — the
+    classic warehouse enrichment: each purchase FACT reads the version
+    of its (conv_id, turn_idx) dimension row that was current AS OF the
+    fact's log position. Versions carry [ver_lsn, to_lsn) validity in
+    LSN terms (unique per key — no as-of ties by construction, unlike
+    event-time), built by the same decode → one key-bucket exchange →
+    vectorized lead pass as q_cdc_scd2; the lookup itself is the
+    distributed backward as-of join (stages/joins.py) on a composite
+    string key, with a vectorized gap mask: a version CLOSED before the
+    fact (a later update or delete) yields NULL, not a stale row.
+    Two keyed exchanges total (dim build + join); facts never sort
+    globally. Oracle: DuckDB native ASOF LEFT JOIN + the same mask."""
+    from commons_codec_ray.stages.joins import asof_join
+
+    cfg = PipelineConfig()
+    ds = _events(sf_dir)
+    ds = ds.map_batches(EventsToEnvelopes(duplicates=True), batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeEnvelopes(cfg, combine=False),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    num_buckets = adaptive_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "op", "role", "lsn", "shuffle_key"])
+        keys = t["shuffle_key"].to_numpy(zero_copy_only=False)
+        return t.append_column("_sb", hash_bucket(keys, num_buckets)).drop_columns(
+            ["shuffle_key"]
+        )
+
+    def dim_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        df = df.drop_duplicates(["conv_id", "turn_idx", "lsn"], keep="first")
+        conv = df["conv_id"].to_numpy()
+        turn = df["turn_idx"].to_numpy()
+        lsn = df["lsn"].to_numpy(np.int64)
+        n = len(df)
+        has_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            has_next[:-1] = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        to_lsn = pd.array([pd.NA] * n, dtype="Int64")
+        to_lsn[has_next] = lsn[1:][has_next[:-1]]
+        k = (
+            pd.Series(conv, dtype="string")
+            + "#"
+            + pd.Series(turn.astype(np.int64)).astype(str)
+        )
+        keep = df["op"].to_numpy() == 1
+        # arrow output: keeps the dataset schema arrow-backed for the
+        # downstream asof_join's type probe (nullable to_lsn included)
+        return pa.table(
+            {
+                "_k": pa.array(k[keep], pa.string()),
+                "lsn_at": pa.array(lsn[keep]),
+                "role_v": pa.array(df["role"].to_numpy()[keep], pa.string()),
+                "ver_lsn": pa.array(lsn[keep]),
+                "to_lsn": pa.array(to_lsn[keep], pa.int64()),
+            }
+        )
+
+    dim = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(dim_bucket, batch_format="pandas")
+    )
+
+    def facts(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "purchase"))
+        eid = f["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = f["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = (
+            pd.Series(uid).astype(str).radd("c-")
+            + "#"
+            + pd.Series(eid % 40).astype(str)
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "_k": pa.array(k, pa.string()),
+                "lsn_at": pa.array(eid),
+            }
+        )
+
+    left = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    ).map_batches(facts, batch_format="pyarrow")
+    joined = asof_join(
+        left, dim, on="lsn_at", by="_k", right_columns=["role_v", "ver_lsn", "to_lsn"]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        at = df["lsn_at"].to_numpy(np.int64)
+        to_lsn = df["to_lsn"].astype("Int64")
+        closed = to_lsn.notna().to_numpy() & (
+            to_lsn.fillna(np.iinfo(np.int64).max).to_numpy(np.int64) <= at
+        )
+        role = pd.Series(df["role_v"], dtype="string").mask(closed)
+        ver = df["ver_lsn"].astype("Int64").mask(closed)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+                "role_asof": pa.array(role, pa.string()),
+                "version_lsn": pa.array(ver, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+_SCD2_LOOKUP_SQL = """
+WITH ops AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, event_id AS lsn
+  FROM events),
+v AS (
+  SELECT *, lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS to_lsn
+  FROM ops),
+dim AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS k,
+         role, lsn AS ver_lsn, to_lsn
+  FROM v WHERE op = 1),
+facts AS (
+  SELECT event_id,
+         'c-' || CAST(user_id AS VARCHAR) || '#'
+           || CAST(CAST(event_id % 40 AS INTEGER) AS VARCHAR) AS k
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT f.event_id, d.role, d.ver_lsn, d.to_lsn
+  FROM facts f ASOF LEFT JOIN dim d
+    ON f.k = d.k AND f.event_id >= d.ver_lsn)
+SELECT event_id,
+       CASE WHEN to_lsn IS NOT NULL AND to_lsn <= event_id THEN NULL
+            ELSE role END AS role_asof,
+       CASE WHEN to_lsn IS NOT NULL AND to_lsn <= event_id THEN NULL
+            ELSE ver_lsn END AS version_lsn
+FROM j
+"""
+
+
 def q_global_rank(sf_dir: str):
     """Exact distributed ROW_NUMBER over the whole table
     (stages/ranking.py global_rank): hash-sampled range boundaries → one
@@ -9194,6 +9337,76 @@ UNION ALL
 SELECT n.n AS node, 'hub' AS kind, coalesce(h2.s, 0) AS score
 FROM nodes n LEFT JOIN h2 ON h2.u = n.n
 """
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (stages/graph.py
+    ``personalized_pagerank``; Page et al. 1999 §6): teleport mass
+    restricted to a 13-node seed set (node ids ≡ 0 mod 97 — the oracle
+    derives the same live-seed set from its node CTE, so seeds absent
+    at small sf drop out identically on both sides). Same exact
+    fixed-point int64 arithmetic and fused union-exchange shape as
+    q_pagerank, so 3 unrolled CTE rounds replay every score
+    bit-for-bit; zero contributions are pruned in flight (personalized
+    mass stays sparse early — the volume win over uniform PageRank)."""
+    from commons_codec_ray.stages.graph import personalized_pagerank
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (a // 8) * 8 + (eid * 3) % 8
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return personalized_pagerank(
+        events.map_batches(edges, batch_format="pyarrow"),
+        seeds=np.arange(0, 1200, 97, dtype=np.int64),
+        iterations=3,
+    )
+
+
+def _ppr_sql(iters: int) -> str:
+    """Unrolled-CTE oracle mirroring the personalized fixed-point
+    updates (seed-only teleport; cf. _pagerank_sql)."""
+    head = """
+WITH edges AS (
+  SELECT DISTINCT (event_id % 1200) AS src,
+         ((event_id % 1200) // 8) * 8 + (event_id * 3) % 8 AS dst
+  FROM events),
+nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+consts AS (SELECT 1000000000000 // count(*) AS s0,
+                  15 * (1000000000000 // count(*)) // 100 AS base
+           FROM nodes WHERE v % 97 = 0),
+p0 AS (SELECT v, CASE WHEN v % 97 = 0 THEN (SELECT s0 FROM consts)
+                      ELSE 0 END AS s
+       FROM nodes)"""
+    steps = [
+        f""",
+p{i} AS (
+  SELECT n.v,
+         CASE WHEN n.v % 97 = 0 THEN (SELECT base FROM consts) ELSE 0 END
+           + 85 * coalesce(sum(p.s // deg.d), 0) // 100 AS s
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.v
+  LEFT JOIN p{i - 1} p ON p.v = e.src
+  LEFT JOIN deg ON deg.v = e.src
+  GROUP BY n.v)"""
+        for i in range(1, iters + 1)
+    ]
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT CAST(v AS BIGINT) AS node, CAST(s AS BIGINT) AS score FROM p{iters}"
+    )
+
+
+_PPR_SQL = _ppr_sql(3)
 
 
 def q_clustering_coeff(sf_dir: str):
@@ -10573,6 +10786,66 @@ def q_cdc_compaction(sf_dir: str):
         compact_ratio=1e9,
         compact_max_deltas=10**6,
     )
+
+
+def q_cdc_vacuum(sf_dir: str):
+    """Lake VACUUM driver-gated end-to-end (``CDCPipeline.vacuum`` —
+    orphan-file GC for the two-phase-commit protocol): after a clean
+    replay the query plants every crash artifact the protocol can leave
+    — a stray partition file inside a committed epoch (task died before
+    the manifest), a FULL uncommitted epoch (file + manifest written,
+    checkpoint swap never happened — the commit-point crash), and a
+    stranded ``*.tmp`` staging file — then asserts dry-run reports
+    exactly those four paths while deleting nothing, real vacuum
+    removes exactly them, the checkpoint is untouched, and epoch-0 time
+    travel still reads (retain_history keeps every committed manifest's
+    files). The lake is then read back through the manifest — same
+    oracle as cdc_replay, so a vacuum that deleted a LIVE file cannot
+    pass."""
+
+    def sabotage_and_vacuum(pipe):
+        import pyarrow.parquet as _pq
+
+        store = pipe.store
+        before = pipe.checkpoint()
+        junk = pa.table({"conv_id": pa.array(["zz"]), "x": pa.array([1])})
+        stray = store.epoch_dir(0) / "part-9999.parquet"
+        _pq.write_table(junk, stray)
+        e = before.last_epoch + 1
+        store.ensure_dirs(e)
+        _pq.write_table(junk, store.partition_file(e, 0))
+        rel = store.partition_file(e, 0).relative_to(store.root).as_posix()
+        store.write_manifest(
+            e,
+            {
+                "offset_range": [0, 0],
+                "files": {
+                    "transcripts#0": {
+                        "path": rel, "rows": 1, "max_lsn": 0, "kind": "full",
+                    }
+                },
+                "registry": {},
+                "metrics": {},
+            },
+        )
+        tmp = store.epoch_dir(0) / "manifest.json.tmp-999"
+        tmp.write_text("{}")
+        dry = pipe.vacuum(dry_run=True)
+        if dry["orphans_removed"] != 4:
+            raise AssertionError(f"dry-run found wrong orphan set: {dry}")
+        if not (stray.exists() and tmp.exists()):
+            raise AssertionError("dry-run deleted files")
+        res = pipe.vacuum()
+        if res["orphans_removed"] != 4 or res["bytes_reclaimed"] <= 0:
+            raise AssertionError(f"vacuum removed wrong set: {res}")
+        if stray.exists() or tmp.exists() or store.partition_file(e, 0).exists():
+            raise AssertionError("orphans survived vacuum")
+        if pipe.checkpoint().to_dict() != before.to_dict():
+            raise AssertionError("vacuum touched the checkpoint")
+        if pipe.read_lake(epoch=0).count() <= 0:
+            raise AssertionError("epoch-0 time travel broken after vacuum")
+
+    return _q_replay_via_pipeline(sf_dir, post_replay=sabotage_and_vacuum)
 
 
 def _bipartite_edges(sf_dir: str):
@@ -12121,6 +12394,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "global_rank": q_global_rank,
     "cdc_scd2": q_cdc_scd2,
+    "scd2_lookup": q_scd2_lookup,
     "string_join": q_string_join,
     "jsonl_ingest": q_jsonl_ingest,
     "orc_ingest": q_orc_ingest,
@@ -12158,6 +12432,7 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "assortativity": q_assortativity,
     "hits": q_hits,
+    "ppr": q_ppr,
     "c4_clean": q_c4_clean,
     "mad_outliers": q_mad_outliers,
     "seq_gaps": q_seq_gaps,
@@ -12182,6 +12457,7 @@ QUERIES = {
     "zorder": q_zorder,
     "embed_quantize": q_embed_quantize,
     "cdc_compaction": q_cdc_compaction,
+    "cdc_vacuum": q_cdc_vacuum,
     "link_prediction": q_link_prediction,
     "link_prediction_ra": q_link_prediction_ra,
     "dq_checks": q_dq_checks,
@@ -12345,6 +12621,7 @@ ORACLE_SQL = {
     "corpus_prep": _CORPUS_PREP_SQL,
     "global_rank": _GLOBAL_RANK_SQL,
     "cdc_scd2": _CDC_SCD2_SQL,
+    "scd2_lookup": _SCD2_LOOKUP_SQL,
     "string_join": _STRING_JOIN_SQL,
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "orc_ingest": _ORC_INGEST_SQL,
@@ -12382,6 +12659,7 @@ ORACLE_SQL = {
     "clustering_coeff": _CLUSTERING_COEFF_SQL,
     "assortativity": _ASSORTATIVITY_SQL,
     "hits": _HITS_SQL,
+    "ppr": _PPR_SQL,
     "c4_clean": _C4_CLEAN_SQL,
     "mad_outliers": _MAD_OUTLIERS_SQL,
     "seq_gaps": _SEQ_GAPS_SQL,
@@ -12406,6 +12684,7 @@ ORACLE_SQL = {
     "zorder": _ZORDER_SQL,
     "embed_quantize": _EMBED_QUANTIZE_SQL,
     "cdc_compaction": _CDC_REPLAY_SQL,
+    "cdc_vacuum": _CDC_REPLAY_SQL,
     "link_prediction": _LINK_PREDICTION_SQL,
     "link_prediction_ra": _LINK_PREDICTION_RA_SQL,
     "dq_checks": _DQ_CHECKS_SQL,

@@ -51,6 +51,7 @@ def pagerank_unioned(
     src: str = "src",
     dst: str = "dst",
     num_buckets: int | None = None,
+    seeds: "np.ndarray | None" = None,
 ):
     """(node:int64, score:int64) after ``iterations`` rounds — the
     pure-Dataset variant.
@@ -58,16 +59,34 @@ def pagerank_unioned(
     ``edges_ds`` holds integer ``src``/``dst`` columns; duplicates are
     collapsed inside the source bucket before the degree count.
 
+    ``seeds`` switches to PERSONALIZED PageRank (Page et al. 1999 §6;
+    the graph-retrieval/recommendation primitive): the teleport vector
+    concentrates on the seed set instead of being uniform —
+
+        s0      = SCALE // |S ∩ V|   (uniform over the LIVE seeds)
+        p0(v)   = s0 if v ∈ S else 0
+        base(v) = 15·s0//100 if v ∈ S else 0
+        p'(v)   = base(v) + 85·(Σ_{u→v} p(u) // outdeg(u)) // 100
+
+    Seeds absent from the graph are ignored (the oracle mirrors this by
+    deriving its seed CTE from the node set). The seed array is a
+    QUERY-sized driver object captured by closure — personalization
+    sets are user/topic-sized, not corpus-sized; a corpus-scale seed
+    side would switch to a hash-bucket membership join instead.
+
     SCALE NOTE: each iteration re-unions the STATIC edge table into the
     ``groupby("_b")`` exchange, so the (dominant) edge table goes
     through Ray's sort-based shuffle once per iteration even though its
     bucket assignment never changes. :func:`pagerank` (the default)
     pins the static state in shard actors and moves only the
     contribution stream per round; this variant is kept as the
-    zero-actor fallback and as documentation of the fused
-    scatter+gather exchange shape.
+    zero-actor fallback, as documentation of the fused scatter+gather
+    exchange shape — and as the personalized entry point (the sharded
+    variant would carry seeds the same way via its routed setup blocks).
     """
     nb = num_buckets or adaptive_buckets()
+    if seeds is not None:
+        seeds = np.unique(np.asarray(seeds, np.int64))
 
     # --- setup: ONE exchange builds the whole static per-run state -------
     # tagged-union schema throughout: kind 0 = edge rows (key=src, dst,
@@ -149,26 +168,35 @@ def pagerank_unioned(
         .materialize()
     )
 
-    # exact node count off the materialized blocks (kilobyte partials)
-    n_nodes = int(
+    # exact node (or live-seed) count off the materialized blocks
+    # (kilobyte partials) — the s0 denominator
+    def _count_init(t: pa.Table) -> pa.Table:
+        sel = t["kind"].to_numpy(zero_copy_only=False) == 1
+        if seeds is not None:
+            sel &= np.isin(t["key"].to_numpy(zero_copy_only=False), seeds)
+        return pa.table({"n": pa.array([int(sel.sum())])})
+
+    n_init = int(
         sum(
             r["n"]
             for r in static.map_batches(
-                lambda t: pa.table(
-                    {"n": pa.array([int((t["kind"].to_numpy(zero_copy_only=False) == 1).sum())])}
-                ),
-                batch_format="pyarrow",
+                _count_init, batch_format="pyarrow"
             ).take_all()
         )
     )
-    s0 = SCALE // n_nodes
+    if n_init == 0:
+        raise ValueError("personalized pagerank: no seed is present in the graph")
+    s0 = SCALE // n_init
     base = 15 * s0 // 100
 
     # round-0 contributions come straight off the static edge rows
-    # (uniform init score s0) — map-only, no exchange
+    # (init score s0 — uniform, or seeds-only when personalized) —
+    # map-only, no exchange
     def contrib0(t: pa.Table) -> pa.Table:
         kind = t["kind"].to_numpy(zero_copy_only=False)
         sel = kind == 0
+        if seeds is not None:
+            sel &= np.isin(t["key"].to_numpy(zero_copy_only=False), seeds)
         d = t["dst"].to_numpy(zero_copy_only=False)[sel]
         deg = t["deg"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
         n = len(d)
@@ -203,7 +231,8 @@ def pagerank_unioned(
             cont = g[g["kind"] == 1]
             tot = cont.groupby("key")["c"].sum()  # sentinels keep every node
             v = tot.index.to_numpy(np.int64)
-            s = base + 85 * tot.to_numpy(np.int64) // 100
+            b_v = base if seeds is None else np.where(np.isin(v, seeds), base, 0)
+            s = b_v + 85 * tot.to_numpy(np.int64) // 100
             if last:
                 return pa.table(
                     {"v": pa.array(v, pa.int64()), "s": pa.array(s, pa.int64())}
@@ -218,7 +247,13 @@ def pagerank_unioned(
             s_of = pd.Series(s, index=v)
             src = e["key"].to_numpy(np.int64)
             out_c = s_of.loc[src].to_numpy(np.int64) // e["deg"].to_numpy(np.int64)
-            return _contrib_table(e["dst"].to_numpy(np.int64), out_c)
+            d_out = e["dst"].to_numpy(np.int64)
+            if seeds is not None:
+                # personalized mass stays sparse for the first rounds:
+                # dropping exact-zero contributions changes no sum
+                nz = out_c > 0
+                out_c, d_out = out_c[nz], d_out[nz]
+            return _contrib_table(d_out, out_c)
 
         return step
 
@@ -234,6 +269,30 @@ def pagerank_unioned(
 
     return stream.map_batches(
         lambda t: pa.table({"node": t["v"], "score": t["s"]}), batch_format="pyarrow"
+    )
+
+
+def personalized_pagerank(
+    edges_ds,
+    seeds,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int | None = None,
+):
+    """Personalized PageRank from a seed set — teleport mass restricted
+    to ``seeds`` (see :func:`pagerank_unioned` for the exact integer
+    update). The graph-retrieval primitive: scores measure proximity to
+    the seed set, e.g. seed = a user's clicked docs, result = expansion
+    candidates. Thin named entry point over
+    ``pagerank_unioned(seeds=...)``."""
+    return pagerank_unioned(
+        edges_ds,
+        iterations=iterations,
+        src=src,
+        dst=dst,
+        num_buckets=num_buckets,
+        seeds=seeds,
     )
 
 

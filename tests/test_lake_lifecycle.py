@@ -38,14 +38,15 @@ def test_time_travel_reads_past_epoch(tmp_path):
 
 def test_vacuum_bounds_history_keeps_current(tmp_path):
     pipe, env = _build(tmp_path)
-    removed = pipe.vacuum(keep_last=0)
-    assert removed  # superseded epoch files gone
+    res = pipe.vacuum(keep_last=0)
+    assert res["orphans_removed"] > 0  # superseded epoch files gone
+    assert res["bytes_reclaimed"] > 0
     # current state still fully readable and correct
     got = sorted_canonical(pa.Table.from_pandas(pipe.read_lake().to_pandas()))
     want = sorted_canonical(replay_envelopes(env))
     assert got.equals(want.cast(got.schema))
     # vacuum is idempotent
-    assert pipe.vacuum(keep_last=0) == []
+    assert pipe.vacuum(keep_last=0)["orphans_removed"] == 0
 
 
 def test_metrics_and_lag(tmp_path):
