@@ -1967,6 +1967,18 @@ def hits(edges_ds, iterations: int = 2, src: str = "src", dst: str = "dst",
             v = np.unique(
                 g.loc[g["kind"] == kinds["sentinel"], "key"].to_numpy(np.int64)
             )
+            # pre-SUM guard (exact python ints): max contribution × bucket
+            # rows bounds every per-key sum, so the int64 groupby below can
+            # never wrap silently — the post-sum 2^44 check alone would miss
+            # a wrap on a >2^19-degree hub whose addends each passed it
+            if len(cont):
+                m = int(cont["c"].max())
+                if m and m * len(cont) >= (1 << 62):
+                    raise OverflowError(
+                        "hits(): contribution sum may exceed int64 "
+                        "(max contribution x bucket rows >= 2^62); "
+                        "lower iterations or rescale"
+                    )
             tot = cont.groupby("key")["c"].sum()
             score = pd.Series(np.zeros(len(v), np.int64), index=v)
             score.loc[tot.index] = tot.to_numpy(np.int64)

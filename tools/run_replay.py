@@ -70,8 +70,8 @@ def main() -> int:
     else:
         results = pipe.replay(args.envelopes, mode=args.mode)
     if args.vacuum_keep is not None:
-        removed = pipe.vacuum(keep_last=args.vacuum_keep)
-        print(f"vacuumed {len(removed)} superseded files", file=sys.stderr)
+        vac = pipe.vacuum(keep_last=args.vacuum_keep)
+        print(f"vacuumed {vac['orphans_removed']} superseded files", file=sys.stderr)
     print(json.dumps({"epochs": results, "metrics": pipe.metrics()}, default=str))
     ray.shutdown()
     return 0
