@@ -9409,6 +9409,66 @@ p{i} AS (
 _PPR_SQL = _ppr_sql(3)
 
 
+def q_bfs_levels(sf_dir: str):
+    """Single-source BFS hop levels (stages/graph.py ``bfs_levels``) —
+    the traversal primitive (exact frontier expansion with hop counts)
+    the spectral/peeling graph ops don't cover. Runs on a deterministic
+    doubling graph (src → 2·src + 1..7 mod 1200, jump picked by the
+    event id) so the frontier genuinely branches and deepens — the
+    q_pagerank block graph never leaves its 8-node block. Source 0,
+    6 levels; level-synchronous bucketed exchanges with the visited set
+    riding the stream as partitioned tagged rows; the oracle unrolls
+    the same duplicate-free frontiers as difference CTEs
+    (AS MATERIALIZED — each is referenced twice)."""
+    from commons_codec_ray.stages.graph import bfs_levels
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (2 * a + 1 + (eid * 3) % 7) % 1200
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    return bfs_levels(
+        events.map_batches(edges, batch_format="pyarrow"), source=0, max_levels=6
+    )
+
+
+def _bfs_sql(levels: int) -> str:
+    """Unrolled frontier-difference CTEs mirroring bfs_levels: f_k is
+    the set first reached at hop k, r_k the union reached so far."""
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT (event_id % 1200) AS u,
+         (2 * (event_id % 1200) + 1 + (event_id * 3) % 7) % 1200 AS v
+  FROM events),
+f0 AS MATERIALIZED (SELECT 0 AS node),
+r0 AS MATERIALIZED (SELECT node FROM f0)"""
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS node FROM e JOIN f{k - 1} ON e.u = f{k - 1}.node
+  WHERE e.v NOT IN (SELECT node FROM r{k - 1})),
+r{k} AS MATERIALIZED (SELECT node FROM r{k - 1} UNION SELECT node FROM f{k})"""
+        )
+    sels = [
+        f"SELECT CAST(node AS BIGINT) AS node, CAST({k} AS BIGINT) AS level FROM f{k}"
+        for k in range(levels + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+_BFS_LEVELS_SQL = _bfs_sql(6)
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (stages/graph.py:clustering_coeff — the node-resolved
@@ -12433,6 +12493,7 @@ QUERIES = {
     "assortativity": q_assortativity,
     "hits": q_hits,
     "ppr": q_ppr,
+    "bfs_levels": q_bfs_levels,
     "c4_clean": q_c4_clean,
     "mad_outliers": q_mad_outliers,
     "seq_gaps": q_seq_gaps,
@@ -12660,6 +12721,7 @@ ORACLE_SQL = {
     "assortativity": _ASSORTATIVITY_SQL,
     "hits": _HITS_SQL,
     "ppr": _PPR_SQL,
+    "bfs_levels": _BFS_LEVELS_SQL,
     "c4_clean": _C4_CLEAN_SQL,
     "mad_outliers": _MAD_OUTLIERS_SQL,
     "seq_gaps": _SEQ_GAPS_SQL,

@@ -130,3 +130,35 @@ def test_vacuum_retention_bounds_time_travel(ray_session, tmp_path):
     # pre-horizon epoch is no longer fully reconstructible
     with pytest.raises(Exception):
         pipe.read_lake(epoch=0).count()
+
+
+def test_bfs_levels_matches_python_bfs(ray_session):
+    from collections import deque
+
+    from commons_codec_ray.stages.graph import bfs_levels
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 80, 500).astype(np.int64)
+    dst = rng.randint(0, 80, 500).astype(np.int64)
+    # an unreachable island and a self-loop at the source
+    src = np.append(src, [0, 200])
+    dst = np.append(dst, [0, 201])
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    max_levels = 4
+    got = bfs_levels(ds, source=0, max_levels=max_levels).to_pandas()
+
+    adj = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, set()).add(v)
+    want = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if want[u] >= max_levels:
+            continue
+        for v in sorted(adj.get(u, ())):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert dict(zip(got["node"], got["level"])) == want
+    assert 201 not in set(got["node"])  # island stays unreached
