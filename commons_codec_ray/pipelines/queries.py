@@ -134,6 +134,95 @@ FROM ranked WHERE rn = 1 AND op = 1
 """
 
 
+def q_cdc_merge_sources(sf_dir: str):
+    """Multi-SOURCE CDC merge with source priority — the failover /
+    correction-feed topology: a primary feed (priority 1, every event)
+    and a corrections feed (priority 2, every 5th lsn, amended text)
+    stream the SAME table, and conflict resolution is lexicographic
+    (lsn, priority) — encoded as one int64 ``eff = 4·lsn + priority``
+    so the standard LWW kernel needs no second sort key and the
+    ordering survives any cluster layout. Both feeds run the REAL
+    mixed-dialect envelope encode → decode path with duplicate
+    deliveries; the union shares ONE shuffle_key exchange (the same
+    single all-to-all as cdc_replay — merging sources adds decode
+    width, not shuffle count). Corrections at a key's final lsn win;
+    corrections that are deletes tombstone it."""
+    cfg = PipelineConfig()
+
+    def decoded(events_ds):
+        ds = events_ds.map_batches(
+            EventsToEnvelopes(duplicates=True), batch_format="pyarrow"
+        )
+        ds = ds.map_batches(
+            DecodeEnvelopes(cfg, combine=True),
+            batch_format="pyarrow",
+            batch_size=cfg.decode_batch_size,
+        )
+        return ds.map_batches(
+            lambda t: t.filter(pc.less(t["op"], OP_SCHEMA_CHANGE)),
+            batch_format="pyarrow",
+        )
+
+    def corrections(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.equal(pc.subtract(t["event_id"], pc.multiply(pc.divide(t["event_id"], 5), 5)), 0)
+        )
+        fixed = pc.binary_join_element_wise(
+            pa.array(["corrected-"] * f.num_rows, pa.string()), f["props"], ""
+        )
+        return f.set_column(f.schema.get_field_index("props"), "props", fixed)
+
+    def prio(p: int):
+        def tagged(t: pa.Table) -> pa.Table:
+            eff = pc.add(pc.multiply(t["lsn"], 4), p)
+            return t.set_column(t.schema.get_field_index("lsn"), "lsn", eff)
+
+        return tagged
+
+    primary = decoded(_events(sf_dir)).map_batches(prio(1), batch_format="pyarrow")
+    corr = decoded(
+        _events(sf_dir).map_batches(corrections, batch_format="pyarrow")
+    ).map_batches(prio(2), batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        out = df.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+        out = out[out["op"].to_numpy() == 1]
+        return out[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+    return (
+        primary.union(corr)
+        .groupby("shuffle_key")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+_CDC_MERGE_SOURCES_SQL = """
+WITH base AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INTEGER)   AS turn_idx,
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END AS op,
+         event_type AS role, props AS text,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END AS tool,
+         ts, 4 * event_id + 1 AS eff
+  FROM events),
+corr AS (
+  SELECT 'c-' || CAST(user_id AS VARCHAR),
+         CAST(event_id % 40 AS INTEGER),
+         CASE WHEN event_id % 10 = 7 THEN 0 ELSE 1 END,
+         event_type, 'corrected-' || props,
+         CASE WHEN value >= 50 THEN 'search' ELSE NULL END,
+         ts, 4 * event_id + 2
+  FROM events WHERE event_id % 5 = 0),
+ops AS (SELECT * FROM base UNION ALL SELECT * FROM corr),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY eff DESC) AS rn
+  FROM ops)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op = 1
+"""
+
+
 def q_cdc_log_compaction(sf_dir: str):
     """Kafka-style changelog compaction: the LAST operation per key
     (by LSN) with delete TOMBSTONES RETAINED — the compacted-topic
@@ -5083,6 +5172,87 @@ r AS (SELECT * FROM r0
       QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY r_event_id DESC) = 1)
 SELECT l.event_id, r.r_event_id AS matched_event_id, r.r_value AS matched_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch marketing attribution with a lookback window: each
+    purchase is credited to the user's LATEST preceding click, but only
+    if it happened within 7 days — older touches expire to NULL. The
+    time-BOUNDED as-of shape (cf. q_asof_join, unbounded): distributed
+    backward as-of join by user (one tagged-union exchange, per-bucket
+    merge_asof, deterministic (user, ts) right-dedupe mirrored by the
+    oracle's QUALIFY), then a vectorized window mask on the µs gap.
+    Output: (event_id, click_id, gap_us), both nullable."""
+    from commons_codec_ray.stages.joins import asof_join
+
+    WINDOW_US = 7 * 86400 * 1_000_000
+
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "ts": f["ts"],
+                "click_id": f["event_id"],
+                "click_ts": f["ts"],
+            }
+        )
+
+    touches = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(clicks, batch_format="pyarrow")
+
+    joined = asof_join(
+        purchases, touches, on="ts", by="user_id", right_columns=["click_id", "click_ts"]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        click_ts = pd.to_datetime(df["click_ts"]).to_numpy("datetime64[us]")
+        has = ~pd.isna(df["click_ts"]).to_numpy()
+        gap = np.where(has, ts - click_ts.astype(np.int64), 0)
+        ok = has & (gap <= WINDOW_US)
+        click_id = df["click_id"].astype("Int64").mask(~ok)
+        gap_out = pd.array(gap, dtype="Int64")
+        gap_out[~ok] = pd.NA
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+                "click_id": pa.array(click_id, pa.int64()),
+                "gap_us": pa.array(gap_out, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+_ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id, p.ts, c.click_id, c.ts AS click_ts
+  FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT event_id,
+       CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('microsecond', click_ts, ts) <= 604800000000
+            THEN click_id END AS click_id,
+       CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('microsecond', click_ts, ts) <= 604800000000
+            THEN date_diff('microsecond', click_ts, ts) END AS gap_us
+FROM j
 """
 
 
@@ -12455,6 +12625,8 @@ QUERIES = {
     "global_rank": q_global_rank,
     "cdc_scd2": q_cdc_scd2,
     "scd2_lookup": q_scd2_lookup,
+    "attribution": q_attribution,
+    "cdc_merge_sources": q_cdc_merge_sources,
     "string_join": q_string_join,
     "jsonl_ingest": q_jsonl_ingest,
     "orc_ingest": q_orc_ingest,
@@ -12683,6 +12855,8 @@ ORACLE_SQL = {
     "global_rank": _GLOBAL_RANK_SQL,
     "cdc_scd2": _CDC_SCD2_SQL,
     "scd2_lookup": _SCD2_LOOKUP_SQL,
+    "attribution": _ATTRIBUTION_SQL,
+    "cdc_merge_sources": _CDC_MERGE_SOURCES_SQL,
     "string_join": _STRING_JOIN_SQL,
     "jsonl_ingest": _JSONL_INGEST_SQL,
     "orc_ingest": _ORC_INGEST_SQL,
