@@ -137,7 +137,7 @@ FROM ranked WHERE rn = 1 AND op = 1
 def q_cdc_merge_sources(sf_dir: str):
     """Multi-SOURCE CDC merge with source priority — the failover /
     correction-feed topology: a primary feed (priority 1, every event)
-    and a corrections feed (priority 2, every 5th lsn, amended text)
+    and a corrections feed (priority 2, every 7th lsn, amended text)
     stream the SAME table, and conflict resolution is lexicographic
     (lsn, priority) — encoded as one int64 ``eff = 4·lsn + priority``
     so the standard LWW kernel needs no second sort key and the
@@ -146,7 +146,8 @@ def q_cdc_merge_sources(sf_dir: str):
     deliveries; the union shares ONE shuffle_key exchange (the same
     single all-to-all as cdc_replay — merging sources adds decode
     width, not shuffle count). Corrections at a key's final lsn win;
-    corrections that are deletes tombstone it."""
+    corrections that are deletes (lsn ≡ 7 mod 70 — the 7th-lsn feed
+    deliberately intersects the %10==7 delete lane) tombstone it."""
     cfg = PipelineConfig()
 
     def decoded(events_ds):
@@ -165,11 +166,9 @@ def q_cdc_merge_sources(sf_dir: str):
 
     def corrections(t: pa.Table) -> pa.Table:
         f = t.filter(
-            pc.equal(pc.subtract(t["event_id"], pc.multiply(pc.divide(t["event_id"], 5), 5)), 0)
+            pc.equal(pc.subtract(t["event_id"], pc.multiply(pc.divide(t["event_id"], 7), 7)), 0)
         )
-        fixed = pc.binary_join_element_wise(
-            pa.array(["corrected-"] * f.num_rows, pa.string()), f["props"], ""
-        )
+        fixed = pc.binary_join_element_wise("corrected-", f["props"], "")
         return f.set_column(f.schema.get_field_index("props"), "props", fixed)
 
     def prio(p: int):
@@ -213,7 +212,7 @@ corr AS (
          event_type, 'corrected-' || props,
          CASE WHEN value >= 50 THEN 'search' ELSE NULL END,
          ts, 4 * event_id + 2
-  FROM events WHERE event_id % 5 = 0),
+  FROM events WHERE event_id % 7 = 0),
 ops AS (SELECT * FROM base UNION ALL SELECT * FROM corr),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY eff DESC) AS rn
