@@ -4579,6 +4579,146 @@ SELECT event_id, user_id, event_type, ts FROM chain
 """
 
 
+def q_bt_strength(sf_dir: str):
+    """Bradley–Terry preference strength (Bradley & Terry 1952; the
+    RLHF reward-aggregation primitive: turn pairwise win/loss
+    comparisons into per-item strengths). Comparisons are derived
+    deterministically: per user, each consecutive event pair (by
+    event_id) is a duel the higher-value event's type WINS (ties and
+    NULL values skipped — mirroring SQL's NULL-dropping comparison).
+    Distributed part: per-user bucketed exchange + vectorized shift
+    pass emitting per-bucket (winner, loser, n) partial counts — the
+    win matrix is |types|² cells (kilobytes), driver-reduced like
+    chi2/kmeans. Two MM fixed-point iterations run driver-side in
+    EXACT integers (ppm strengths; each term ``g·10^12 //
+    max(s_i+s_j, 1)`` is an exact floor op), so the oracle unrolls
+    the same two rounds over its own win-matrix CTE bit-for-bit.
+    Output: (role, wins, losses, strength)."""
+    nb = adaptive_buckets()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_b", hash_bucket(u, nb))
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        v = df["value"].to_numpy(np.float64)
+        if len(df) < 2:
+            return pd.DataFrame({"w": [], "l": [], "n": []})
+        same = u[1:] == u[:-1]
+        cur_t, prev_t = et[1:], et[:-1]
+        cur_v, prev_v = v[1:], v[:-1]
+        sel = (
+            same
+            & (cur_t != prev_t)
+            & ~np.isnan(cur_v)
+            & ~np.isnan(prev_v)
+            & (cur_v != prev_v)
+        )
+        up = cur_v[sel] > prev_v[sel]
+        w = np.where(up, cur_t[sel], prev_t[sel])
+        l = np.where(up, prev_t[sel], cur_t[sel])
+        out = (
+            pd.DataFrame({"w": w, "l": l})
+            .groupby(["w", "l"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out.assign(n=out["n"].astype(np.int64))
+
+    rows = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .take_all()
+    )  # ≤ buckets × |types|² kilobyte partials
+    from collections import defaultdict
+
+    mat: dict[tuple[str, str], int] = defaultdict(int)
+    for r in rows:
+        mat[(str(r["w"]), str(r["l"]))] += int(r["n"])
+    types = sorted({i for i, _ in mat} | {j for _, j in mat})
+    S, BIG = 1_000_000, 10**12
+    wins = {t: 0 for t in types}
+    games: dict[tuple[str, str], int] = defaultdict(int)
+    for (i, j), c in mat.items():
+        wins[i] += c
+        games[(i, j)] += c
+        games[(j, i)] += c
+    losses = {t: sum(g for (i, _), g in games.items() if i == t) - wins[t] for t in types}
+    s = {t: S for t in types}
+    for _ in range(2):
+        den = {
+            t: sum(
+                g * BIG // max(s[t] + s[j], 1)
+                for (i, j), g in games.items()
+                if i == t
+            )
+            for t in types
+        }
+        s = {t: (wins[t] * BIG // den[t] if den[t] else 0) for t in types}
+    return pa.table(
+        {
+            "role": pa.array(types, pa.string()),
+            "wins": pa.array([wins[t] for t in types], pa.int64()),
+            "losses": pa.array([losses[t] for t in types], pa.int64()),
+            "strength": pa.array([s[t] for t in types], pa.int64()),
+        }
+    )
+
+
+_BT_STRENGTH_SQL = """
+WITH ord AS (
+  SELECT user_id, event_type, value, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+         lag(value)      OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+  FROM events),
+duels AS (
+  SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+         CASE WHEN value > pv THEN pt ELSE event_type END AS l
+  FROM ord
+  WHERE pt IS NOT NULL AND event_type <> pt
+    AND value IS NOT NULL AND pv IS NOT NULL AND value <> pv),
+m AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM duels GROUP BY w, l),
+types AS MATERIALIZED (SELECT w AS t FROM m UNION SELECT l FROM m),
+g AS MATERIALIZED (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS g FROM (
+    SELECT w AS i, l AS j, n FROM m
+    UNION ALL
+    SELECT l AS i, w AS j, n FROM m) GROUP BY i, j),
+wl AS MATERIALIZED (
+  SELECT t.t,
+         CAST(coalesce((SELECT sum(n) FROM m WHERE m.w = t.t), 0) AS BIGINT) AS wins,
+         CAST(coalesce((SELECT sum(g) FROM g WHERE g.i = t.t), 0)
+              - coalesce((SELECT sum(n) FROM m WHERE m.w = t.t), 0) AS BIGINT) AS losses
+  FROM types t),
+s0 AS MATERIALIZED (SELECT t, CAST(1000000 AS BIGINT) AS s FROM types),
+d1 AS (
+  SELECT g.i AS t, CAST(sum(g.g * 1000000000000 // greatest(si.s + sj.s, 1)) AS BIGINT) AS den
+  FROM g JOIN s0 si ON si.t = g.i JOIN s0 sj ON sj.t = g.j GROUP BY g.i),
+s1 AS MATERIALIZED (
+  SELECT t.t, CAST(CASE WHEN coalesce(d1.den, 0) = 0 THEN 0
+                        ELSE wl.wins * 1000000000000 // d1.den END AS BIGINT) AS s
+  FROM types t LEFT JOIN d1 ON d1.t = t.t JOIN wl ON wl.t = t.t),
+d2 AS (
+  SELECT g.i AS t, CAST(sum(g.g * 1000000000000 // greatest(si.s + sj.s, 1)) AS BIGINT) AS den
+  FROM g JOIN s1 si ON si.t = g.i JOIN s1 sj ON sj.t = g.j GROUP BY g.i),
+s2 AS (
+  SELECT t.t, CAST(CASE WHEN coalesce(d2.den, 0) = 0 THEN 0
+                        ELSE wl.wins * 1000000000000 // d2.den END AS BIGINT) AS s
+  FROM types t LEFT JOIN d2 ON d2.t = t.t JOIN wl ON wl.t = t.t)
+SELECT wl.t AS role, wl.wins, wl.losses, s2.s AS strength
+FROM wl JOIN s2 ON s2.t = wl.t
+"""
+
+
 def q_chi2(sf_dir: str):
     """Pearson χ² independence test on the source × lang contingency
     table — the distribution-shift significance check of data cards.
@@ -12555,6 +12695,7 @@ QUERIES = {
     "throttle": q_throttle,
     "outliers": q_outliers,
     "chi2": q_chi2,
+    "bt_strength": q_bt_strength,
     "zonemap_prune": q_zonemap_prune,
     "minmax_scale": q_minmax_scale,
     "cross_source_dups": q_cross_source_dups,
@@ -12785,6 +12926,7 @@ ORACLE_SQL = {
     "throttle": _THROTTLE_SQL,
     "outliers": _OUTLIERS_SQL,
     "chi2": _CHI2_SQL,
+    "bt_strength": _BT_STRENGTH_SQL,
     "zonemap_prune": _ZONEMAP_PRUNE_SQL,
     "minmax_scale": _MINMAX_SCALE_SQL,
     "cross_source_dups": _CROSS_SOURCE_DUPS_SQL,
