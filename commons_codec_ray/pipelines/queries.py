@@ -12536,6 +12536,40 @@ FROM d WHERE nxt - event_id > 1
 """
 
 
+def q_seq_islands(sf_dir: str):
+    """Maximal consecutive-run detection over the same filtered id
+    sequence as q_seq_gaps — the ISLANDS half of gaps-and-islands
+    (stages/watermark.py ``sequence_islands``). The distributed
+    wrinkle: a run can CROSS range-bucket boundaries, so interior runs
+    stay distributed while each bucket's two boundary fragments
+    (kilobytes total) are stitched on the driver — the runs table is
+    materialized once so the two consumers don't re-scan. Oracle: the
+    classic ``id − row_number()`` grouping."""
+    from commons_codec_ray.stages.watermark import sequence_islands
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(["event_id"])
+
+    return sequence_islands(
+        ds.map_batches(keep, batch_format="pyarrow"), id_col="event_id"
+    )
+
+
+_SEQ_ISLANDS_SQL = """
+WITH f AS (SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'),
+g AS (SELECT event_id,
+             event_id - CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS grp
+      FROM f)
+SELECT min(event_id) AS start_id, max(event_id) AS end_id,
+       CAST(count(*) AS BIGINT) AS n_ids
+FROM g GROUP BY grp
+"""
+
+
 def q_profile_drift(sf_dir: str):
     """Snapshot-drift profiling (the Deequ AnomalyDetection shape over
     stages/dq.py ``profile_columns``): profile the SAME columns on the
@@ -12809,6 +12843,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "mad_outliers": q_mad_outliers,
     "seq_gaps": q_seq_gaps,
+    "seq_islands": q_seq_islands,
     "profile_drift": q_profile_drift,
     "kcore_sharded": q_kcore_sharded,
     "embed_covariance": q_embed_covariance,
@@ -13040,6 +13075,7 @@ ORACLE_SQL = {
     "c4_clean": _C4_CLEAN_SQL,
     "mad_outliers": _MAD_OUTLIERS_SQL,
     "seq_gaps": _SEQ_GAPS_SQL,
+    "seq_islands": _SEQ_ISLANDS_SQL,
     "profile_drift": _PROFILE_DRIFT_SQL,
     "kcore_sharded": _KCORE_SQL,
     "embed_covariance": _EMBED_COVARIANCE_SQL,

@@ -44,6 +44,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Max
@@ -484,3 +485,105 @@ def sequence_gaps(
         .groupby("_wb")
         .map_groups(scan_bucket, batch_format="pandas")
     )
+
+
+def sequence_islands(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    num_buckets: Optional[int] = None,
+    seq_source: Optional[rd.Dataset] = None,
+) -> rd.Dataset:
+    """Maximal consecutive runs of a global integer sequence — the
+    ISLANDS half of SQL's gaps-and-islands (:func:`sequence_gaps` is
+    the gaps half): one row per run, ``(start_id, end_id, n_ids)``.
+
+    The distributed wrinkle is that a run can CROSS range-bucket
+    boundaries, so per-bucket runs aren't final. Shape:
+
+    1. Quantile range-bucket on ``id_col`` (contiguous half-open
+       ranges → bucket order is id order), ONE keyed exchange.
+    2. Per bucket, runs fall out of ``np.diff`` over the sorted
+       deduped ids. INTERIOR runs (separated from both bucket edges
+       by a gap inside the bucket) are final and stay distributed;
+       each bucket's FIRST and LAST run are emitted as tagged
+       boundary fragments (≤ 2 rows per bucket).
+    3. The runs table is materialized ONCE (far smaller than the
+       input; both consumers below would otherwise re-execute the
+       scan), the kilobyte fragment set is collected and stitched on
+       the driver (merge chains where ``next.start == prev.end + 1``
+       — a run spanning k buckets folds k fragments), and the result
+       is the interior stream unioned with the stitched fragments.
+
+    Ids must be int64-coercible; duplicates collapse."""
+    from commons_codec_ray.util import adaptive_buckets
+
+    src = seq_source if seq_source is not None else ds
+    if num_buckets is None:
+        num_buckets = adaptive_buckets()
+    cuts = _quantile_cuts(src, id_col, num_buckets)
+    bucketize = _bucketize_cuts(id_col, cuts)
+
+    def runs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df[id_col].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(ids) > 1)
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk, [len(ids) - 1]])
+        n = len(starts)
+        frag = np.zeros(n, dtype=bool)
+        frag[0] = frag[-1] = True  # may continue in a neighbor bucket
+        return pd.DataFrame(
+            {
+                "start_id": ids[starts],
+                "end_id": ids[ends],
+                "frag": frag,
+            }
+        )
+
+    runs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(runs_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    frags = (
+        runs.map_batches(
+            lambda t: t.filter(t["frag"]), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("start_id")
+    )
+    stitched_start: list[int] = []
+    stitched_end: list[int] = []
+    for s, e in zip(frags["start_id"].to_numpy(np.int64), frags["end_id"].to_numpy(np.int64)):
+        if stitched_end and s == stitched_end[-1] + 1:
+            stitched_end[-1] = int(e)
+        else:
+            stitched_start.append(int(s))
+            stitched_end.append(int(e))
+    sa = np.asarray(stitched_start, np.int64)
+    ea = np.asarray(stitched_end, np.int64)
+    stitched = rd.from_arrow(
+        pa.table(
+            {
+                "start_id": pa.array(sa),
+                "end_id": pa.array(ea),
+                "n_ids": pa.array(ea - sa + 1),
+            }
+        )
+    )
+
+    def interior(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(t["frag"]))
+        s = f["start_id"].to_numpy(zero_copy_only=False)
+        e = f["end_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "start_id": pa.array(s),
+                "end_id": pa.array(e),
+                "n_ids": pa.array(e - s + 1),
+            }
+        )
+
+    return runs.map_batches(interior, batch_format="pyarrow").union(stitched)

@@ -2,6 +2,7 @@
 teleport) and the merged lake VACUUM (orphan GC + history retention)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -162,3 +163,28 @@ def test_bfs_levels_matches_python_bfs(ray_session):
                 q.append(v)
     assert dict(zip(got["node"], got["level"])) == want
     assert 201 not in set(got["node"])  # island stays unreached
+
+
+def test_sequence_islands_stitches_runs_across_buckets(ray_session):
+    from commons_codec_ray.stages.watermark import sequence_islands
+
+    # one 5000-id run that MUST span several range buckets, plus
+    # scattered singleton islands and a duplicate delivery
+    run = np.arange(10_000, 15_000, dtype=np.int64)
+    singles = np.array([1, 3, 20_000, 20_002], np.int64)
+    ids = np.concatenate([run, singles, run[:100]])
+    ds = rd.from_arrow(pa.table({"seq": pa.array(ids)}))
+    got = (
+        sequence_islands(ds, id_col="seq", num_buckets=8)
+        .to_pandas()
+        .sort_values("start_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "start_id": np.array([1, 3, 10_000, 20_000, 20_002], np.int64),
+            "end_id": np.array([1, 3, 14_999, 20_000, 20_002], np.int64),
+            "n_ids": np.array([1, 1, 5_000, 1, 1], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
