@@ -9748,6 +9748,64 @@ def q_bfs_levels(sf_dir: str):
     )
 
 
+def q_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (stages/graph.py ``sssp``
+    — bounded Bellman–Ford; the min-plus member of the traversal
+    family, q_bfs_levels is the hop-count special case). Same doubling
+    graph, edge weight 1 + (event_id·5) % 9 — multi-edges collapse to
+    their MIN weight on both sides — source 0, 6 relaxation rounds.
+    Delta-relaxation (only improved nodes re-relax) is bit-identical
+    to the textbook recurrence, which the oracle unrolls as min-CTEs."""
+    from commons_codec_ray.stages.graph import sssp
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=max(8, pool_size(1 << 30) // 2),
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = eid % 1200
+        b = (2 * a + 1 + (eid * 3) % 7) % 1200
+        w = 1 + (eid * 5) % 9
+        return pa.table({"src": pa.array(a), "dst": pa.array(b), "w": pa.array(w)})
+
+    return sssp(
+        events.map_batches(edges, batch_format="pyarrow"), source=0, rounds=6
+    )
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Unrolled Bellman–Ford min-CTEs mirroring stages/graph.py sssp."""
+    parts = [
+        """
+WITH e AS (
+  SELECT (event_id % 1200) AS u,
+         (2 * (event_id % 1200) + 1 + (event_id * 3) % 7) % 1200 AS v,
+         CAST(min(1 + (event_id * 5) % 9) AS BIGINT) AS w
+  FROM events GROUP BY 1, 2),
+d0 AS MATERIALIZED (SELECT 0 AS n, CAST(0 AS BIGINT) AS d)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT n, min(d) AS d FROM (
+    SELECT n, d FROM d{k - 1}
+    UNION ALL
+    SELECT e.v AS n, p.d + e.w AS d FROM d{k - 1} p JOIN e ON e.u = p.n
+  ) GROUP BY n)"""
+        )
+    return (
+        "".join(parts)
+        + f"\nSELECT CAST(n AS BIGINT) AS node, CAST(d AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+_SSSP_SQL = _sssp_sql(6)
+
+
 def _bfs_sql(levels: int) -> str:
     """Unrolled frontier-difference CTEs mirroring bfs_levels: f_k is
     the set first reached at hop k, r_k the union reached so far."""
@@ -12840,6 +12898,7 @@ QUERIES = {
     "hits": q_hits,
     "ppr": q_ppr,
     "bfs_levels": q_bfs_levels,
+    "sssp": q_sssp,
     "c4_clean": q_c4_clean,
     "mad_outliers": q_mad_outliers,
     "seq_gaps": q_seq_gaps,
@@ -13072,6 +13131,7 @@ ORACLE_SQL = {
     "hits": _HITS_SQL,
     "ppr": _PPR_SQL,
     "bfs_levels": _BFS_LEVELS_SQL,
+    "sssp": _SSSP_SQL,
     "c4_clean": _C4_CLEAN_SQL,
     "mad_outliers": _MAD_OUTLIERS_SQL,
     "seq_gaps": _SEQ_GAPS_SQL,

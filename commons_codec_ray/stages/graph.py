@@ -2194,3 +2194,151 @@ def bfs_levels(edges_ds, source: int, max_levels: int = 6,
         )
 
     return stream.map_batches(finalize, batch_format="pyarrow")
+
+
+def sssp(edges_ds, source: int, rounds: int = 6,
+         src: str = "src", dst: str = "dst", weight: str = "w",
+         num_buckets: int | None = None):
+    """Single-source shortest paths, ``rounds`` Bellman–Ford
+    relaxation rounds — ``(node:int64, dist:int64)`` for every node
+    reachable from ``source`` by a path of ≤ ``rounds`` edges, with the
+    exact min-plus distance over int64 weights (the WEIGHTED traversal
+    member; :func:`bfs_levels` is the hop-count special case).
+
+    Same level-synchronous tagged-union shape as :func:`bfs_levels`:
+    one setup exchange buckets the distinct adjacency at hash(src)
+    (multi-edges collapse to their MIN weight — the only one a
+    shortest path can use), then each round is one ``union + groupby``
+    exchange. Per-node best-so-far distances ride the stream as
+    partitioned state rows; a round folds incoming relaxation
+    candidates into the state and re-relaxes only the IMPROVED nodes —
+    bit-identical to the textbook d_k(v) = min(d_{k-1}(v),
+    min_{(u,v,w)} d_{k-1}(u)+w) recurrence (an unimproved node's
+    relaxations were already folded in an earlier round), which is
+    exactly what the oracle's unrolled min-CTEs replay. Exact integer
+    arithmetic throughout; weights must be ≥ 0 for the ≤-rounds-edges
+    truncation to bound true distances.
+    """
+    nb = num_buckets or adaptive_buckets()
+    KIND_EDGE, KIND_STATE, KIND_CAND = np.int8(0), np.int8(1), np.int8(2)
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": hash_bucket(s, nb),
+                "key": pa.array(s),
+                "other": pa.array(d),
+                "val": pa.array(w),
+                "kind": pa.array(np.full(len(s), KIND_EDGE)),
+            }
+        )
+
+    def dedupe_group(g: pd.DataFrame) -> pa.Table:
+        e = g.groupby(["key", "other"], sort=False, as_index=False)["val"].min()
+        n = len(e)
+        bucket = np.int64(g["_b"].iloc[0])
+        return pa.table(
+            {
+                "_b": pa.array(np.full(n, bucket)),
+                "key": pa.array(e["key"].to_numpy(np.int64)),
+                "other": pa.array(e["other"].to_numpy(np.int64)),
+                "val": pa.array(e["val"].to_numpy(np.int64)),
+                "kind": pa.array(np.full(n, KIND_EDGE)),
+            }
+        )
+
+    static = (
+        edges_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dedupe_group, batch_format="pandas")
+        .materialize()
+    )
+
+    seed_b = int(hash_bucket(np.array([source], np.int64), nb)[0].as_py())
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "_b": pa.array([seed_b], pa.int64()),
+                "key": pa.array([int(source)], pa.int64()),
+                "other": pa.array([0], pa.int64()),
+                "val": pa.array([0], pa.int64()),
+                "kind": pa.array([KIND_CAND], pa.int8()),
+            }
+        )
+    )
+
+    def step(last: bool):
+        def go(g: pd.DataFrame) -> pa.Table:
+            state = g[g["kind"] == KIND_STATE]
+            cand = g[g["kind"] == KIND_CAND]
+            bucket = np.int64(g["_b"].iloc[0])
+            old = pd.Series(
+                state["val"].to_numpy(np.int64),
+                index=state["key"].to_numpy(np.int64),
+            )
+            cbest = cand.groupby("key")["val"].min()
+            best = pd.concat([old, cbest]).groupby(level=0).min()
+            nodes = best.index.to_numpy(np.int64)
+            dist = best.to_numpy(np.int64)
+            # improved = nodes whose best dropped below their old state
+            # (or that had no state at all)
+            imp_mask = np.ones(len(nodes), dtype=bool)
+            if len(old):
+                pos = old.reindex(best.index)
+                imp_mask = pos.isna().to_numpy() | (dist < pos.fillna(np.iinfo(np.int64).max).to_numpy(np.int64))
+            outs = [
+                pa.table(
+                    {
+                        "_b": pa.array(np.full(len(nodes), bucket)),
+                        "key": pa.array(nodes),
+                        "other": pa.array(np.zeros(len(nodes), np.int64)),
+                        "val": pa.array(dist),
+                        "kind": pa.array(np.full(len(nodes), KIND_STATE)),
+                    }
+                )
+            ]
+            if not last and imp_mask.any():
+                imp_nodes = nodes[imp_mask]
+                imp_dist = pd.Series(dist[imp_mask], index=imp_nodes)
+                e = g[g["kind"] == KIND_EDGE]
+                sel = e[np.isin(e["key"].to_numpy(np.int64), imp_nodes)]
+                if len(sel):
+                    u = sel["key"].to_numpy(np.int64)
+                    nxt = sel["other"].to_numpy(np.int64)
+                    relax = imp_dist.loc[u].to_numpy(np.int64) + sel["val"].to_numpy(np.int64)
+                    outs.append(
+                        pa.table(
+                            {
+                                "_b": hash_bucket(nxt, nb),
+                                "key": pa.array(nxt),
+                                "other": pa.array(np.zeros(len(nxt), np.int64)),
+                                "val": pa.array(relax),
+                                "kind": pa.array(np.full(len(nxt), KIND_CAND)),
+                            }
+                        )
+                    )
+            return pa.concat_tables(outs)
+
+        return go
+
+    stream = seed
+    for k in range(rounds + 1):
+        stream = (
+            static.union(stream)
+            .groupby("_b")
+            .map_groups(step(last=(k == rounds)), batch_format="pandas")
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sel = t["kind"].to_numpy(zero_copy_only=False) == KIND_STATE
+        return pa.table(
+            {
+                "node": pa.array(t["key"].to_numpy(zero_copy_only=False)[sel]),
+                "dist": pa.array(t["val"].to_numpy(zero_copy_only=False)[sel]),
+            }
+        )
+
+    return stream.map_batches(finalize, batch_format="pyarrow")

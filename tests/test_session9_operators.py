@@ -188,3 +188,30 @@ def test_sequence_islands_stitches_runs_across_buckets(ray_session):
         }
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_sssp_matches_python_bellman_ford(ray_session):
+    from commons_codec_ray.stages.graph import sssp
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 70, 600).astype(np.int64)
+    dst = rng.randint(0, 70, 600).astype(np.int64)
+    w = rng.randint(1, 10, 600).astype(np.int64)
+    rounds = 4
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "w": pa.array(w)})
+    )
+    got = sssp(ds, source=3, rounds=rounds).to_pandas()
+
+    # min-weight dedupe of multi-edges, then synchronous Bellman-Ford
+    emin = {}
+    for u, v, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        emin[(u, v)] = min(emin.get((u, v), 1 << 60), ww)
+    d = {3: 0}
+    for _ in range(rounds):
+        nxt = dict(d)
+        for (u, v), ww in emin.items():
+            if u in d and d[u] + ww < nxt.get(v, 1 << 60):
+                nxt[v] = d[u] + ww
+        d = nxt
+    assert dict(zip(got["node"], got["dist"])) == d
