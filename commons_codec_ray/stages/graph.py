@@ -2068,132 +2068,37 @@ def bfs_levels(edges_ds, source: int, max_levels: int = 6,
     cover: reachability with exact hop counts, e.g. link-depth crawl
     frontiers or citation-hop cuts).
 
-    Level-synchronous frontier expansion in the zero-actor tagged-union
-    shape (cf. :func:`pagerank_unioned`): ONE setup exchange buckets the
-    distinct adjacency at hash(src); each of the ``max_levels + 1``
-    rounds is one ``union + groupby`` exchange whose per-bucket pass
-    (i) dedupes incoming candidate nodes against the bucket's visited
-    set — hash-bucketing makes the visited set PARTITIONED state that
-    simply rides the stream as tagged rows, (ii) assigns the round's
-    level to the newly reached, and (iii) emits their out-neighbors as
-    next-round candidates. Exact integers only; frontier sets are
-    duplicate-free by construction, so the oracle unrolls the same
-    frontiers as difference-CTEs. The static adjacency rides each
-    exchange (the documented zero-actor cost; the actor-sharded fix is
-    the :class:`_PagerankShard` machinery with the visited set pinned).
+    The hop count IS the min-plus distance under unit weights, so this
+    is a named entry point over :func:`sssp` with ``w = 1`` — one
+    adjacency-bucketing setup exchange, one ``union + groupby``
+    exchange per level, the per-node best level riding the stream as
+    partitioned state rows, and only newly-reached (improved) nodes
+    expanding — exactly the level-synchronous frontier. See
+    :func:`sssp` for the exchange shape and exactness notes.
     """
-    nb = num_buckets or adaptive_buckets()
-    KIND_EDGE, KIND_VISITED, KIND_CAND = np.int8(0), np.int8(1), np.int8(2)
 
-    def explode(t: pa.Table) -> pa.Table:
-        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    def unit(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "_b": hash_bucket(s, nb),
-                "key": pa.array(s),
-                "other": pa.array(d),
-                "lvl": pa.array(np.zeros(len(s), np.int64)),
-                "kind": pa.array(np.full(len(s), KIND_EDGE)),
+                src: t[src],
+                dst: t[dst],
+                "_w1": pa.array(np.ones(t.num_rows, np.int64)),
             }
         )
 
-    def dedupe_group(g: pd.DataFrame) -> pa.Table:
-        e = g.drop_duplicates(["key", "other"])
-        n = len(e)
-        return pa.table(
-            {
-                "_b": pa.array(e["_b"].to_numpy(np.int64)),
-                "key": pa.array(e["key"].to_numpy(np.int64)),
-                "other": pa.array(e["other"].to_numpy(np.int64)),
-                "lvl": pa.array(np.zeros(n, np.int64)),
-                "kind": pa.array(np.full(n, KIND_EDGE)),
-            }
-        )
-
-    static = (
-        edges_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(dedupe_group, batch_format="pandas")
-        .materialize()
+    out = sssp(
+        edges_ds.map_batches(unit, batch_format="pyarrow"),
+        source=source,
+        rounds=max_levels,
+        src=src,
+        dst=dst,
+        weight="_w1",
+        num_buckets=num_buckets,
     )
-
-    seed_b = int(hash_bucket(np.array([source], np.int64), nb)[0].as_py())
-    seed = rd.from_arrow(
-        pa.table(
-            {
-                "_b": pa.array([seed_b], pa.int64()),
-                "key": pa.array([int(source)], pa.int64()),
-                "other": pa.array([0], pa.int64()),
-                "lvl": pa.array([0], pa.int64()),
-                "kind": pa.array([KIND_CAND], pa.int8()),
-            }
-        )
+    return out.map_batches(
+        lambda t: pa.table({"node": t["node"], "level": t["dist"]}),
+        batch_format="pyarrow",
     )
-
-    def step(level: int, last: bool):
-        def go(g: pd.DataFrame) -> pa.Table:
-            vis = g[g["kind"] == KIND_VISITED]
-            cand = np.unique(g.loc[g["kind"] == KIND_CAND, "key"].to_numpy(np.int64))
-            new = cand[~np.isin(cand, vis["key"].to_numpy(np.int64))]
-            bucket = np.int64(g["_b"].iloc[0])
-            outs = [
-                pa.table(
-                    {
-                        "_b": pa.array(vis["_b"].to_numpy(np.int64)),
-                        "key": pa.array(vis["key"].to_numpy(np.int64)),
-                        "other": pa.array(vis["other"].to_numpy(np.int64)),
-                        "lvl": pa.array(vis["lvl"].to_numpy(np.int64)),
-                        "kind": pa.array(vis["kind"].to_numpy(np.int8)),
-                    }
-                ),
-                pa.table(
-                    {
-                        "_b": pa.array(np.full(len(new), bucket)),
-                        "key": pa.array(new),
-                        "other": pa.array(np.zeros(len(new), np.int64)),
-                        "lvl": pa.array(np.full(len(new), level, np.int64)),
-                        "kind": pa.array(np.full(len(new), KIND_VISITED)),
-                    }
-                ),
-            ]
-            if not last and len(new):
-                e = g[g["kind"] == KIND_EDGE]
-                sel = e[np.isin(e["key"].to_numpy(np.int64), new)]
-                nxt = sel["other"].to_numpy(np.int64)
-                outs.append(
-                    pa.table(
-                        {
-                            "_b": hash_bucket(nxt, nb),
-                            "key": pa.array(nxt),
-                            "other": pa.array(np.zeros(len(nxt), np.int64)),
-                            "lvl": pa.array(np.zeros(len(nxt), np.int64)),
-                            "kind": pa.array(np.full(len(nxt), KIND_CAND)),
-                        }
-                    )
-                )
-            return pa.concat_tables(outs)
-
-        return go
-
-    stream = seed
-    for level in range(max_levels + 1):
-        stream = (
-            static.union(stream)
-            .groupby("_b")
-            .map_groups(step(level, last=(level == max_levels)), batch_format="pandas")
-        )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        sel = t["kind"].to_numpy(zero_copy_only=False) == KIND_VISITED
-        return pa.table(
-            {
-                "node": pa.array(t["key"].to_numpy(zero_copy_only=False)[sel]),
-                "level": pa.array(t["lvl"].to_numpy(zero_copy_only=False)[sel]),
-            }
-        )
-
-    return stream.map_batches(finalize, batch_format="pyarrow")
 
 
 def sssp(edges_ds, source: int, rounds: int = 6,
@@ -2284,11 +2189,18 @@ def sssp(edges_ds, source: int, rounds: int = 6,
             nodes = best.index.to_numpy(np.int64)
             dist = best.to_numpy(np.int64)
             # improved = nodes whose best dropped below their old state
-            # (or that had no state at all)
+            # (or that had no state at all). Pure-int64 alignment: a
+            # pandas reindex would NaN-promote to float64 and lose
+            # exactness above 2^53
             imp_mask = np.ones(len(nodes), dtype=bool)
             if len(old):
-                pos = old.reindex(best.index)
-                imp_mask = pos.isna().to_numpy() | (dist < pos.fillna(np.iinfo(np.int64).max).to_numpy(np.int64))
+                oi = old.index.to_numpy(np.int64)
+                ov = old.to_numpy(np.int64)
+                srt = np.argsort(oi, kind="stable")
+                oi, ov = oi[srt], ov[srt]
+                pos = np.minimum(np.searchsorted(oi, nodes), len(oi) - 1)
+                has = oi[pos] == nodes
+                imp_mask = ~has | (dist < ov[pos])
             outs = [
                 pa.table(
                     {
